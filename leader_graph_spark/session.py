@@ -1,0 +1,49 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (single JVM); the
+settings below are chosen so the same logical plans scale to a real
+multi-executor cluster:
+
+- AQE on (runtime join re-plan, partition coalescing, skew-join splitting)
+  so the plans written here survive skew and 100x data growth without
+  hand-tuned partition counts.
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a cluster
+  AQE coalescing makes the initial number mostly irrelevant.
+- Arrow enabled for every pandas interchange (pandas UDFs, toPandas).
+- UTC session timezone so timestamp semantics match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def cpu_count() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(app_name: str = "leader_graph_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) the tuned SparkSession."""
+    cpus = cpu_count()
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

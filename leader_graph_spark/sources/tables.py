@@ -1,0 +1,59 @@
+"""Canonical test-table sources (parquet).
+
+The reference reads everything through per-stage JDBC SELECTs with
+explicit column lists and ``is_deleted = 0`` filters
+(``utils/db_utils.py:37-62``, ``src/mysql2neo4j.py:87-151``); in Spark
+the equivalent projection pruning and predicate pushdown are free once
+the scan is declared — ``spark.read.parquet`` + ``.select``/``.filter``
+reach the parquet reader as ReadSchema/PushedFilters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one canonical table. Column pruning / filter pushdown happen
+    at the parquet scan for anything composed on top of this.
+
+    The ``events`` table carries TIMESTAMP(NANOS) — illegal for Spark's
+    vectorized parquet reader — so it is read via the nanosAsLong legacy
+    mode and converted to microsecond TimestampType (truncation, which
+    matches DuckDB's ns→µs conversion of the same files).
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every canonical table as a temp view (for the SQL API)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
