@@ -1,0 +1,341 @@
+"""Graph-derivation queries (SURVEY.md §2.3, M2 milestone).
+
+The reference's three derived-relationship Cypher queries
+(``src/mysql2neo4j.py:229-489``) re-expressed over the synthetic star
+schema:
+
+  Person        → supplier / customer
+  school        → part (suppliers "studied at" the parts they shipped,
+                  with the ship-date span as the study interval)
+  hometown      → nation
+  current org   → nation
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from leader_graph_spark.graph.algorithms import connected_components, degrees
+from leader_graph_spark.graph.build import build_membership_edges, build_vertices
+from leader_graph_spark.graph.derived import (
+    current_colleague_edges,
+    same_group_pairs,
+    schoolmate_edges,
+)
+from leader_graph_spark.plans.registry import query
+from leader_graph_spark.sources.tables import load_table
+
+# The 中央党校-style exclusion (src/mysql2neo4j.py:265): excluded by
+# *name*, which matches many partkeys (names repeat across parts).
+EXCLUDED_SCHOOL_NAME = "red plate"
+
+
+# ---------------------------------------------------------------------------
+# J3 — SAME_HOMETOWN
+# ---------------------------------------------------------------------------
+
+_SAME_NATION_ORACLE = """
+SELECT a.s_nationkey AS nationkey,
+       a.s_suppkey AS suppkey_1, b.s_suppkey AS suppkey_2
+FROM supplier a JOIN supplier b
+  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+"""
+
+
+@query("same_nation_supplier_pairs", _SAME_NATION_ORACLE, tags=("J3", "A2", "W4"))
+def same_nation_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAME_HOMETOWN derived edges (``src/mysql2neo4j.py:229-253``):
+    group by shared attribute, all unordered pairs within the group,
+    direction dedup by id ordering."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    pairs = same_group_pairs(
+        supplier.select("s_suppkey", "s_nationkey"),
+        group_col="s_nationkey",
+        id_col="s_suppkey",
+    )
+    return pairs.select(
+        F.col("s_nationkey").alias("nationkey"),
+        F.col("s_suppkey_1").alias("suppkey_1"),
+        F.col("s_suppkey_2").alias("suppkey_2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4 — SCHOOLMATES (shared school + interval overlap + exclusion)
+# ---------------------------------------------------------------------------
+
+_SCHOOLMATES_ORACLE = f"""
+WITH study AS (
+  SELECT l_suppkey AS person_id, l_partkey AS school,
+         year(min(l_shipdate)) AS sy, NULLIF(month(min(l_shipdate)), 1) AS sm,
+         year(max(l_shipdate)) AS ey, NULLIF(month(max(l_shipdate)), 1) AS em
+  FROM lineitem
+  WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_name = '{EXCLUDED_SCHOOL_NAME}')
+  GROUP BY l_suppkey, l_partkey
+), sides AS (
+  SELECT person_id, school, sy, ey,
+         sy*12 + coalesce(sm, 1) AS start_m,
+         ey*12 + coalesce(em, 12) AS end_m
+  FROM study
+)
+SELECT a.school AS school,
+       a.person_id AS person_id_1, b.person_id AS person_id_2,
+       (a.sy IS NOT NULL AND a.ey IS NOT NULL AND b.sy IS NOT NULL AND b.ey IS NOT NULL
+        AND a.start_m <= b.end_m AND b.start_m <= a.end_m) AS at_same_time,
+       CASE WHEN a.sy IS NOT NULL AND a.ey IS NOT NULL AND b.sy IS NOT NULL AND b.ey IS NOT NULL
+                 AND a.start_m <= b.end_m AND b.start_m <= a.end_m
+            THEN printf('%d.%02d-%d.%02d',
+                        (greatest(a.start_m, b.start_m) - 1) // 12,
+                        ((greatest(a.start_m, b.start_m) - 1) % 12) + 1,
+                        (least(a.end_m, b.end_m) - 1) // 12,
+                        ((least(a.end_m, b.end_m) - 1) % 12) + 1)
+       END AS overlap_period
+FROM sides a JOIN sides b
+  ON a.school = b.school AND a.person_id < b.person_id
+"""
+
+
+@query("schoolmates_shared_part", _SCHOOLMATES_ORACLE, bench=True, tags=("J4", "F15", "F16", "F17", "W4"))
+def schoolmates_shared_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHOOLMATES derived edges (``src/mysql2neo4j.py:255-371``):
+    suppliers joined through a shared part ("school"), study interval =
+    ship-date span per (supplier, part). Exercises the reference-exact
+    semantics: name-based school exclusion, missing start months
+    coalesced to January / end months to December (January is nulled as
+    the synthetic "unknown month"), at_same_time three-valued logic
+    collapsed to false, nullable formatted overlap window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    excluded = part.filter(F.col("p_name") == EXCLUDED_SCHOOL_NAME).select("p_partkey")
+    study = (
+        li.join(F.broadcast(excluded), li.l_partkey == excluded.p_partkey, "left_anti")
+        .groupBy(
+            F.col("l_suppkey").alias("person_id"), F.col("l_partkey").alias("school")
+        )
+        .agg(F.min("l_shipdate").alias("first_sd"), F.max("l_shipdate").alias("last_sd"))
+        .select(
+            "person_id",
+            "school",
+            F.year("first_sd").alias("start_year"),
+            F.nullif(F.month("first_sd"), F.lit(1)).alias("start_month"),
+            F.year("last_sd").alias("end_year"),
+            F.nullif(F.month("last_sd"), F.lit(1)).alias("end_month"),
+        )
+    )
+    return schoolmate_edges(study, school_col="school", id_col="person_id")
+
+
+# ---------------------------------------------------------------------------
+# J5 — current COLLEAGUES ('till now')
+# ---------------------------------------------------------------------------
+
+_COLLEAGUES_NOW_ORACLE = """
+SELECT a.c_nationkey AS c_nationkey,
+       a.c_custkey AS c_custkey_1, b.c_custkey AS c_custkey_2,
+       a.c_mktsegment AS c_mktsegment_1, b.c_mktsegment AS c_mktsegment_2,
+       'till now' AS overlap_period
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+"""
+
+
+@query("current_colleague_customers", _COLLEAGUES_NOW_ORACLE, tags=("J5", "W4"))
+def current_colleague_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current-colleague derived edges (``src/mysql2neo4j.py:373-396``):
+    pairs through the shared current org, both positions carried,
+    overlap period literally 'till now'."""
+    customer = load_table(spark, sf_dir, "customer")
+    return current_colleague_edges(
+        customer.select("c_custkey", "c_nationkey", "c_mktsegment"),
+        org_col="c_nationkey",
+        id_col="c_custkey",
+        position_col="c_mktsegment",
+    )
+
+
+# ---------------------------------------------------------------------------
+# J7 — null-safe anti-join edge dedup
+# ---------------------------------------------------------------------------
+
+_DEDUP_ORACLE = f"""
+WITH study AS (
+  SELECT l_suppkey AS person_id, l_partkey AS school,
+         year(min(l_shipdate))*12 + coalesce(NULLIF(month(min(l_shipdate)), 1), 1) AS start_m,
+         year(max(l_shipdate))*12 + coalesce(NULLIF(month(max(l_shipdate)), 1), 12) AS end_m
+  FROM lineitem
+  WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_name = '{EXCLUDED_SCHOOL_NAME}')
+  GROUP BY l_suppkey, l_partkey
+), edges AS (
+  SELECT a.school, a.person_id AS person_id_1, b.person_id AS person_id_2,
+         CASE WHEN a.start_m <= b.end_m AND b.start_m <= a.end_m
+              THEN printf('%d.%02d-%d.%02d',
+                          (greatest(a.start_m, b.start_m) - 1) // 12,
+                          ((greatest(a.start_m, b.start_m) - 1) % 12) + 1,
+                          (least(a.end_m, b.end_m) - 1) // 12,
+                          ((least(a.end_m, b.end_m) - 1) % 12) + 1)
+         END AS overlap_period
+  FROM study a JOIN study b ON a.school = b.school AND a.person_id < b.person_id
+), existing AS (
+  SELECT * FROM edges WHERE school % 2 = 0
+)
+SELECT e.school, e.person_id_1, e.person_id_2, e.overlap_period
+FROM edges e
+WHERE NOT EXISTS (
+  SELECT 1 FROM existing x
+  WHERE x.school = e.school
+    AND x.person_id_1 = e.person_id_1
+    AND x.person_id_2 = e.person_id_2
+    AND x.overlap_period IS NOT DISTINCT FROM e.overlap_period
+)
+"""
+
+
+@query("schoolmate_edges_dedup_antijoin", _DEDUP_ORACLE, tags=("J7", "A3"))
+def schoolmate_edges_dedup_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge dedup against already-materialized edges
+    (``src/mysql2neo4j.py:326-336``): left_anti on the full edge key
+    with eqNullSafe on the nullable overlap period — the Cypher
+    ``existingCount = 0`` pattern. 'Existing' edges are modeled as the
+    even-school half of the same derivation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    excluded = part.filter(F.col("p_name") == EXCLUDED_SCHOOL_NAME).select("p_partkey")
+    study = (
+        li.join(F.broadcast(excluded), li.l_partkey == excluded.p_partkey, "left_anti")
+        .groupBy(F.col("l_suppkey").alias("person_id"), F.col("l_partkey").alias("school"))
+        .agg(
+            (
+                F.year(F.min("l_shipdate")) * 12
+                + F.coalesce(F.nullif(F.month(F.min("l_shipdate")), F.lit(1)), F.lit(1))
+            ).alias("start_m"),
+            (
+                F.year(F.max("l_shipdate")) * 12
+                + F.coalesce(F.nullif(F.month(F.max("l_shipdate")), F.lit(1)), F.lit(12))
+            ).alias("end_m"),
+        )
+    )
+    from leader_graph_spark.functions.scalar import format_period
+    from leader_graph_spark.operators.intervals import interval_overlap_self_join
+
+    a, b = study.alias("a"), study.alias("b")
+    cond = (F.col("a.school") == F.col("b.school")) & (
+        F.col("a.person_id") < F.col("b.person_id")
+    )
+    overlaps = (F.col("a.start_m") <= F.col("b.end_m")) & (
+        F.col("b.start_m") <= F.col("a.end_m")
+    )
+    edges = a.join(b, cond).select(
+        F.col("a.school").alias("school"),
+        F.col("a.person_id").alias("person_id_1"),
+        F.col("b.person_id").alias("person_id_2"),
+        F.when(
+            overlaps,
+            format_period(
+                F.greatest(F.col("a.start_m"), F.col("b.start_m")),
+                F.least(F.col("a.end_m"), F.col("b.end_m")),
+            ),
+        ).alias("overlap_period"),
+    )
+    existing = edges.filter(F.col("school") % 2 == 0)
+    cond_anti = (
+        (edges["school"] == existing["school"])
+        & (edges["person_id_1"] == existing["person_id_1"])
+        & (edges["person_id_2"] == existing["person_id_2"])
+        & edges["overlap_period"].eqNullSafe(existing["overlap_period"])
+    )
+    return edges.join(existing, cond_anti, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# J10-chain — supplier reach through the fact table (bench)
+# ---------------------------------------------------------------------------
+
+_REACH_ORACLE = """
+SELECT l_suppkey AS suppkey,
+       count(DISTINCT c_nationkey) AS n_nations,
+       count(DISTINCT o_custkey) AS n_customers
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY l_suppkey
+"""
+
+
+@query("supplier_nation_reach", _REACH_ORACLE, bench=True, tags=("J10", "A2", "A4"))
+def supplier_nation_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership-edge derivation through a join chain
+    (``src/mysql2neo4j.py:671-698`` WORKS_FOR explode+join, generalized):
+    fact→orders→customer with distinct-aggregates per supplier."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vertices / degrees / components
+# ---------------------------------------------------------------------------
+
+_VERTICES_ORACLE = """
+SELECT md5(concat('customer', '_', c_name)) AS id, 'Person' AS label,
+       c_name AS name, CAST(c_custkey AS BIGINT) AS natural_key FROM customer
+UNION ALL
+SELECT md5(concat('supplier', '_', s_name)), 'Person', s_name, CAST(s_suppkey AS BIGINT) FROM supplier
+UNION ALL
+SELECT md5(concat('nation', '_', n_name)), 'Organization', n_name, CAST(n_nationkey AS BIGINT) FROM nation
+UNION ALL
+SELECT md5(concat('region', '_', r_name)), 'Organization', r_name, CAST(r_regionkey AS BIGINT) FROM region
+"""
+
+
+@query("graph_vertices", _VERTICES_ORACLE, tags=("K6", "U1", "F1"))
+def graph_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The node-build union (``src/mysql2neo4j.py:542-600,628-669``) as
+    one DataFrame with content-derived ids — batch, not row-at-a-time
+    MERGE."""
+    return build_vertices(spark, sf_dir)
+
+
+_DEGREES_ORACLE = """
+WITH edges AS (
+  SELECT md5(concat('nation', '_', n_name)) AS src,
+         md5(concat('region', '_', r_name)) AS dst
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+  UNION ALL
+  SELECT md5(concat('customer', '_', c_name)),
+         md5(concat('nation', '_', n_name))
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+), sym AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+  )
+)
+SELECT src AS id, count(*) AS degree FROM sym GROUP BY src
+"""
+
+
+@query("vertex_degrees", _DEGREES_ORACLE, tags=("A4",))
+def vertex_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected vertex degree over the membership graph — the simplest
+    whole-graph analytic (GraphFrames ``degrees`` equivalent)."""
+    return degrees(build_membership_edges(spark, sf_dir))
+
+
+@query("connected_components_membership", None, tags=("graph-iterative",))
+def connected_components_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the membership graph by iterative
+    min-label propagation (non-SQL-expressible: iterative until
+    convergence → rows-only check; unit-tested for exact component
+    structure in tests/test_graph.py)."""
+    vertices = build_vertices(spark, sf_dir)
+    edges = build_membership_edges(spark, sf_dir)
+    return connected_components(vertices, edges)

@@ -459,20 +459,20 @@ def union_all_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EXCEPT_ORACLE = """
 SELECT n_nationkey, n_name FROM nation
-WHERE n_nationkey NOT IN (SELECT s_nationkey FROM supplier)
+WHERE n_nationkey NOT IN (SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000)
 """
 
 
-@query("nations_without_suppliers", _EXCEPT_ORACLE, tags=("U2", "J7"))
-def nations_without_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("nations_without_rich_suppliers", _EXCEPT_ORACLE, tags=("U2", "J7"))
+def nations_without_rich_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set difference on a key (new − existing,
-    ``org/create_c_org_info.py:314-315``) as ``left_anti``."""
+    ``org/create_c_org_info.py:314-315``) as ``left_anti``; the filtered
+    right side keeps the result non-trivial at every scale factor."""
     nation = load_table(spark, sf_dir, "nation")
     supplier = load_table(spark, sf_dir, "supplier")
+    rich = supplier.filter(F.col("s_acctbal") > 5000).select("s_nationkey")
     return nation.join(
-        supplier.select("s_nationkey"),
-        nation.n_nationkey == F.col("s_nationkey"),
-        "left_anti",
+        rich, nation.n_nationkey == F.col("s_nationkey"), "left_anti"
     ).select("n_nationkey", "n_name")
 
 
@@ -489,14 +489,15 @@ FROM orders ORDER BY o_orderkey LIMIT 100 OFFSET 50
 @query("order_pagination", _PAGE_ORACLE, tags=("W2", "W3"))
 def order_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORDER BY + LIMIT/OFFSET pagination
-    (``leader/update_c_org_leader_info.py:331-339``) — offset via
-    row_number filter (Spark has no OFFSET pushdown on DataFrames);
-    ordering key is unique so the page is deterministic."""
+    (``leader/update_c_org_leader_info.py:331-339``). Uses the native
+    ``offset``/``limit`` so the plan is a TakeOrdered-style global limit
+    (each partition keeps only its top rows, then one small merge) —
+    never a single-partition global window. Ordering key is unique so
+    the page is deterministic."""
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderkey")
     return (
         orders.select("o_orderkey", "o_custkey", "o_totalprice")
-        .withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") > 50) & (F.col("rn") <= 150))
-        .drop("rn")
+        .orderBy("o_orderkey")
+        .offset(50)
+        .limit(100)
     )

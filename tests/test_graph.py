@@ -1,0 +1,126 @@
+"""Unit fixtures for reference-exact derived-edge semantics
+(src/mysql2neo4j.py:255-489) and the DataFrame graph algorithms."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from leader_graph_spark.graph.algorithms import connected_components, degrees
+from leader_graph_spark.graph.derived import (
+    current_colleague_edges,
+    historical_colleague_edges,
+    same_group_pairs,
+    schoolmate_edges,
+)
+from leader_graph_spark.operators.intervals import (
+    interval_overlap_self_join,
+    interval_overlap_self_join_bucketed,
+)
+
+
+def test_schoolmates_null_semantics(spark):
+    rows = [
+        # p1/p2: same school, clear overlap (2000-2004 vs 2002-2006)
+        ("p1", "S", 2000, 9, 2004, 6),
+        ("p2", "S", 2002, None, 2006, None),  # null months → Jan/Dec
+        # p3: missing end year → at_same_time must be FALSE (not null)
+        ("p3", "S", 2001, 3, None, None),
+        # p4: excluded school
+        ("p4", "PARTY_SCHOOL", 2000, 1, 2005, 1),
+        # p5: disjoint interval
+        ("p5", "S", 2010, 1, 2012, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "person_id string, school string, start_year int, start_month int, end_year int, end_month int"
+    )
+    out = schoolmate_edges(df, exclude_schools=["PARTY_SCHOOL"]).collect()
+    by_pair = {(r.person_id_1, r.person_id_2): r for r in out}
+    # excluded school never appears
+    assert all("p4" not in k for k in by_pair)
+    r12 = by_pair[("p1", "p2")]
+    assert r12.at_same_time is True
+    # overlap: max(2000*12+9, 2002*12+1)=2002.01 .. min(2004*12+6, 2006*12+12)=2004.06
+    assert r12.overlap_period == "2002.01-2004.06"
+    # null end year → collapsed to False with null period
+    r13 = by_pair[("p1", "p3")]
+    assert r13.at_same_time is False and r13.overlap_period is None
+    # disjoint → false
+    r15 = by_pair[("p1", "p5")]
+    assert r15.at_same_time is False and r15.overlap_period is None
+    # pair order: every pair has id1 < id2
+    assert all(k[0] < k[1] for k in by_pair)
+
+
+def test_historical_colleagues_requires_complete_dates(spark):
+    rows = [
+        ("p1", "ORG", 2000, 1, 2005, 12),
+        ("p2", "ORG", 2003, 6, 2010, 1),
+        ("p3", "ORG", 2004, None, 2009, 2),  # incomplete → dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "person_id string, workplace string, start_year int, start_month int, end_year int, end_month int"
+    )
+    out = historical_colleague_edges(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.person_id_1, r.person_id_2) == ("p1", "p2")
+    assert r.overlap_period == "2003.06-2005.12"
+
+
+def test_current_colleagues_till_now(spark):
+    df = spark.createDataFrame(
+        [("p1", "O1", "boss"), ("p2", "O1", "worker"), ("p3", "O2", "x"), ("p4", None, "y")],
+        "person_id string, org string, position string",
+    )
+    out = current_colleague_edges(
+        df, org_col="org", id_col="person_id", position_col="position"
+    ).collect()
+    assert len(out) == 1
+    assert out[0].overlap_period == "till now"
+    assert out[0].position_1 == "boss" and out[0].position_2 == "worker"
+
+
+def test_same_group_pairs_excludes_null_and_empty(spark):
+    df = spark.createDataFrame(
+        [("p1", "H"), ("p2", "H"), ("p3", ""), ("p4", None), ("p5", "H")],
+        "person_id string, birth_place string",
+    )
+    out = same_group_pairs(df, group_col="birth_place", id_col="person_id").collect()
+    pairs = {(r.person_id_1, r.person_id_2) for r in out}
+    assert pairs == {("p1", "p2"), ("p1", "p5"), ("p2", "p5")}
+
+
+def test_bucketed_interval_join_matches_naive(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(80):
+        start = rng.randint(24000, 24240)
+        rows.append((f"p{i}", f"k{rng.randint(0, 3)}", start, start + rng.randint(0, 60)))
+    df = spark.createDataFrame(rows, "id string, key string, start_m int, end_m int")
+    naive = interval_overlap_self_join(df, key_cols=["key"], id_col="id")
+    bucketed = interval_overlap_self_join_bucketed(
+        df, key_cols=["key"], id_col="id", bucket_months=24
+    )
+    n = {tuple(r) for r in naive.collect()}
+    b = {tuple(r) for r in bucketed.collect()}
+    assert n == b
+    assert len(n) > 0
+
+
+def test_connected_components_two_islands(spark):
+    vertices = spark.createDataFrame([(v,) for v in "abcdefg"], "id string")
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e"), ("f", "e")], "src string, dst string"
+    )
+    out = {r.id: r.component for r in connected_components(vertices, edges).collect()}
+    assert out["a"] == out["b"] == out["c"] == "a"
+    assert out["d"] == out["e"] == out["f"] == "d"
+    assert out["g"] == "g"
+
+
+def test_degrees(spark):
+    edges = spark.createDataFrame([("a", "b"), ("a", "c")], "src string, dst string")
+    out = {r.id: r.degree for r in degrees(edges).collect()}
+    assert out == {"a": 2, "b": 1, "c": 1}
