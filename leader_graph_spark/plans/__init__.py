@@ -3,6 +3,11 @@
 from leader_graph_spark.plans.registry import REGISTRY, QuerySpec, bench_queries, query
 
 # Import for side effect: each module registers its queries.
-from leader_graph_spark.plans import graph_queries, relational  # noqa: E402,F401
+from leader_graph_spark.plans import (  # noqa: E402,F401
+    dedup_queries,
+    graph_queries,
+    relational,
+    similarity_queries,
+)
 
 __all__ = ["REGISTRY", "QuerySpec", "bench_queries", "query"]

@@ -1,0 +1,194 @@
+"""Deduplication queries over the ``documents`` table with fully
+SQL-expressible DuckDB oracles.
+
+Every hash is md5-based (portable), every float op is an exact small
+division or a rounded double, so the oracle reproduces the Spark
+pipeline bit-for-bit — including the MinHash+LSH pipeline end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from leader_graph_spark.operators.dedup import (
+    exact_dedup_keys,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash16,
+)
+from leader_graph_spark.plans.registry import query
+from leader_graph_spark.sources.tables import load_table
+
+SHINGLE_N = 3
+NUM_HASHES = 16
+BANDS = 4
+THRESHOLD = 0.8
+
+# Shared SQL fragment: distinct n-gram shingles per doc.
+_SHINGLES_CTE = f"""
+toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tokens FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(tokens) - {SHINGLE_N} + 2),
+                                 i -> array_to_string(tokens[i:i+{SHINGLE_N - 1}], ' '))) AS shingle
+    FROM toks
+  )
+)
+"""
+
+_EXACT_ORACLE = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+       min(doc_id) AS keep_id,
+       count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+@query("exact_dedup_docs", _EXACT_ORACLE, tags=("dedup-exact",))
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-content hash, deterministic min-id
+    winner — the hash-groupBy dedup every corpus pipeline starts with."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_keys(docs, id_col="doc_id", text_col="text")
+
+
+def _sig_cols_sql() -> str:
+    return ",\n         ".join(
+        f"min(md5(shingle || '#' || '{s}')) AS s{s}" for s in range(NUM_HASHES)
+    )
+
+
+def _band_selects_sql() -> str:
+    rows_per_band = NUM_HASHES // BANDS
+    parts = []
+    for b in range(BANDS):
+        sig_concat = " || '|' || ".join(
+            f"s{b * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        parts.append(
+            f"SELECT doc_id, {b} AS band, md5({sig_concat}) AS key FROM sigs"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+_MINHASH_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+sigs AS (
+  SELECT doc_id,
+         {_sig_cols_sql()}
+  FROM sh GROUP BY doc_id
+),
+buckets AS (
+{_band_selects_sql()}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_1, c.id_2, count(*) AS inter
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.id_1
+  JOIN sh b ON b.doc_id = c.id_2 AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT i.id_1, i.id_2,
+       round(i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_1
+JOIN sizes sb ON sb.doc_id = i.id_2
+WHERE i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= {THRESHOLD}
+"""
+
+
+@query("minhash_near_dup_docs", _MINHASH_ORACLE, bench=True, tags=("dedup-minhash-lsh",))
+def minhash_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate detection, end-to-end: shingle →
+    16-hash signature → 4-band LSH buckets → candidate pairs → exact
+    Jaccard ≥ 0.8. The oracle reproduces every stage (md5 min-hashing
+    is engine-portable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_duplicates(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        shingle_n=SHINGLE_N,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        threshold=THRESHOLD,
+    )
+
+
+_NGRAM_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_1, c.id_2, count(*) AS inter
+  FROM pairs c
+  JOIN sh a ON a.doc_id = c.id_1
+  JOIN sh b ON b.doc_id = c.id_2 AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT i.id_1, i.id_2,
+       round(i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_1
+JOIN sizes sb ON sb.doc_id = i.id_2
+WHERE i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= {THRESHOLD}
+"""
+
+
+@query("ngram_jaccard_dup_docs", _NGRAM_ORACLE, tags=("dedup-ngram-jaccard",))
+def ngram_jaccard_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (the non-approximate baseline
+    for the LSH path; also the recall yardstick)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", shingle_n=SHINGLE_N, threshold=THRESHOLD
+    )
+
+
+def _h16_sql(tok_expr: str) -> str:
+    terms = []
+    for i in range(4):
+        terms.append(
+            f"(instr('0123456789abcdef', substr(md5({tok_expr}), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        )
+    return " + ".join(terms)
+
+
+_SIMHASH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok FROM documents
+),
+h AS (
+  SELECT doc_id, {_h16_sql('tok')} AS h16 FROM tok
+),
+votes AS (
+  SELECT doc_id,
+         {", ".join(f"sum(CASE WHEN floor(h16 / {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS v{j}" for j in range(16))}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({" + ".join(f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16))} AS INT) AS simhash
+FROM votes
+"""
+
+
+@query("simhash_fingerprints", _SIMHASH_ORACLE, tags=("dedup-simhash",))
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit frequency-weighted SimHash fingerprint per document
+    (equal fingerprints → near-dup candidates). Bit arithmetic is
+    md5-hex based so the oracle matches exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash16(docs, id_col="doc_id", text_col="text")

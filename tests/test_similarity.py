@@ -1,0 +1,60 @@
+"""Dedup & similarity operator unit tests (beyond the oracle parity
+suite): LSH recall vs brute force, exact-dedup semantics on crafted
+duplicates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from leader_graph_spark.operators.dedup import (
+    exact_dedup_keys,
+    minhash_near_duplicates,
+    shingle_rows,
+)
+from leader_graph_spark.operators.similarity import ann_lsh_topk, brute_force_topk
+
+
+def test_exact_dedup_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different text")],
+        "doc_id int, text string",
+    )
+    out = {r.content_hash: r for r in exact_dedup_keys(df, id_col="doc_id", text_col="text").collect()}
+    assert len(out) == 2
+    dup = [r for r in out.values() if r.n_dups == 2][0]
+    assert dup.keep_id == 1
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([(1, "one two")], "doc_id int, text string")
+    assert shingle_rows(df, id_col="doc_id", text_col="text", n=3).count() == 0
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely unrelated words describing spark query engines at scale now"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id int, text string"
+    )
+    out = minhash_near_duplicates(
+        df, id_col="doc_id", text_col="text", threshold=0.5
+    ).collect()
+    pairs = {(r.id_1, r.id_2) for r in out}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    exact = brute_force_topk(emb, k=1).select("id", "neighbor_id")
+    approx = ann_lsh_topk(emb, k=5, n_planes=4, n_tables=4, dim=64).select(
+        "id", F.col("neighbor_id").alias("approx_nbr")
+    )
+    hits = exact.join(
+        approx, (exact.id == approx.id) & (exact.neighbor_id == approx.approx_nbr)
+    ).count()
+    total = exact.count()
+    # 4 tables × 4 planes (OR-amplified): nearest-neighbor cosines in
+    # this data are weak (~0.33), so recall ~0.4-0.6 is expected.
+    assert hits / total > 0.35, f"recall {hits}/{total}"
