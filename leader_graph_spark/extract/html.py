@@ -1,0 +1,288 @@
+"""Semi-structured (HTML) extraction operators — the reference's UDF
+surface (SURVEY.md §2.8, X1-X7).
+
+The reference walks BeautifulSoup DOMs; no Catalyst expression walks a
+DOM, so these are Arrow-batched pandas UDFs over ``mapInPandas``. The
+parser is the stdlib ``html.parser`` (bs4 is not available in this
+environment, and the extraction rules only need linear tag events).
+
+Shapes reproduced:
+- X1 page → content struct: title, meta description, summary, ordered
+  (heading, content) sections (``html_extractor/extract_content_from_remark.py:85-703``);
+- X2 rule-driven infobox: config-driven field → label-synonym mapping
+  over dt/dd pairs, first-hit-wins per field
+  (``html_extractor/extract_table_from_remark.py:268-439``);
+- X3 link harvest under a heading (UDTF: 1 page row → N link rows)
+  with name cleaning + validity gate
+  (``leader/update_c_org_leader_info.py:75-206``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections.abc import Iterator
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+_HEADING_TAGS = {"h1", "h2", "h3"}
+
+# F2-F5 cleaning cascade (python side, matching functions/scalar.py).
+_CITATION_RE = re.compile(r"\[\d+(-\d+)?\]|\[编辑\]|\[详情\]")
+_ZW_RE = re.compile("[​‌‍﻿ ]")
+_WS_RE = re.compile(r"\s+")
+
+
+def clean_text(s: str) -> str:
+    return _WS_RE.sub(" ", _ZW_RE.sub("", _CITATION_RE.sub("", s))).strip()
+
+
+class _PageParser(HTMLParser):
+    """Linear scan collecting title, meta description, headings, text
+    runs, dt/dd pairs and anchors (with the heading they appear under)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.title = ""
+        self.description = ""
+        self.sections: list[tuple[str, str]] = []
+        self.pre_heading_text: list[str] = []
+        self.dt_dd: list[tuple[str, str]] = []
+        self.links: list[tuple[str, str, str]] = []  # (heading, text, href)
+        self._stack: list[str] = []
+        self._cur_heading = ""
+        self._text_buf: list[str] = []
+        self._heading_buf: list[str] = []
+        self._cur_dt = ""
+        self._in_link = False
+        self._cur_href = ""
+        self._link_buf: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        attrs = dict(attrs)
+        if tag == "meta" and attrs.get("name") == "description":
+            self.description = attrs.get("content", "")
+        if tag == "a":
+            self._in_link = True
+            self._cur_href = attrs.get("href", "")
+            self._link_buf = []
+        self._stack.append(tag)
+
+    def handle_endtag(self, tag):
+        while self._stack and self._stack[-1] != tag:
+            self._stack.pop()
+        if self._stack:
+            self._stack.pop()
+        if tag in _HEADING_TAGS:
+            self._flush_section()
+            self._cur_heading = clean_text(" ".join(self._heading_buf))
+            self._heading_buf = []
+        elif tag == "a" and self._in_link:
+            self.links.append(
+                (self._cur_heading, clean_text(" ".join(self._link_buf)), self._cur_href)
+            )
+            self._in_link = False
+            self._cur_href = ""
+
+    def _flush_section(self):
+        text = clean_text(" ".join(self._text_buf))
+        if self._cur_heading:
+            self.sections.append((self._cur_heading, text))
+        elif text:
+            self.pre_heading_text.append(text)
+        self._text_buf = []
+
+    def handle_data(self, data):
+        if not data.strip():
+            return
+        ctx = self._stack[-1] if self._stack else ""
+        if ctx == "title":
+            self.title += data
+        elif ctx in _HEADING_TAGS:
+            self._heading_buf.append(data)
+        else:
+            if self._in_link:
+                self._link_buf.append(data)
+            if ctx == "dt":
+                self._cur_dt = clean_text(data)
+            elif ctx == "dd" and self._cur_dt:
+                self.dt_dd.append((self._cur_dt, clean_text(data)))
+                self._cur_dt = ""
+            self._text_buf.append(data)
+
+    def close(self):
+        super().close()
+        self._flush_section()
+
+
+def parse_page(html: str) -> dict:
+    """X1: page → {title, description, summary, sections[{heading, content}]}.
+
+    Summary = text before the first heading (the lemmaSummary analog);
+    title falls back through <title> → first h1 (the reference's
+    title/h1/lemma-title cascade)."""
+    p = _PageParser()
+    try:
+        p.feed(html or "")
+        p.close()
+    except Exception:
+        return {"title": "", "description": "", "summary": "", "sections": []}
+    sections = [{"heading": h, "content": c} for h, c in p.sections]
+    # F10 title-suffix strip (extract_content_from_remark.py:136-139).
+    title = clean_text(p.title).split("_百度百科")[0]
+    if not title and sections:
+        title = sections[0]["heading"]
+    return {
+        "title": title,
+        "description": clean_text(p.description),
+        "summary": " ".join(p.pre_heading_text),
+        "sections": sections,
+    }
+
+
+def extract_infobox(html: str, field_mapping: dict[str, list[str]]) -> dict[str, str | None]:
+    """X2: config-driven infobox extraction — each target field maps to
+    label synonyms; the first dt/dd pair whose label matches wins
+    (first-hit-wins per field,
+    ``html_extractor/extract_table_from_remark.py:359-362``)."""
+    p = _PageParser()
+    try:
+        p.feed(html or "")
+        p.close()
+    except Exception:
+        return {f: None for f in field_mapping}
+    out: dict[str, str | None] = {f: None for f in field_mapping}
+    for label, value in p.dt_dd:
+        norm = _WS_RE.sub("", label)
+        for field, synonyms in field_mapping.items():
+            if out[field] is None and any(s in norm for s in synonyms):
+                out[field] = value
+    return out
+
+
+_NAME_BLACKLIST = ("简介", "主要职责", "机构设置", "Test", "Invalid")
+
+
+def is_valid_person_name(name: str) -> bool:
+    """P6 person-name heuristic (``leader/update_c_org_leader_info.py:15-32``):
+    short-or-dotted AND no blacklist keyword."""
+    if not name:
+        return False
+    if any(b in name for b in _NAME_BLACKLIST):
+        return False
+    return len(name) <= 4 or ("·" in name or "•" in name)
+
+
+def extract_person_links(
+    html: str, *, heading_keywords: tuple[str, ...], base_url: str = "https://example.org"
+) -> list[dict]:
+    """X3 UDTF shape: harvest /item/ links under a matching heading,
+    clean + validate names, md5 uuid per canonical URL
+    (``leader/update_c_org_leader_info.py:75-206``)."""
+    page = _PageParser()
+    try:
+        page.feed(html or "")
+        page.close()
+    except Exception:
+        return []
+    out = []
+    for heading, text, href in page.links:
+        if not any(k in heading for k in heading_keywords):
+            continue
+        if "/item/" not in href:
+            continue
+        name = re.sub(r"（[^）]*）|\([^)]*\)", "", text)
+        name = _WS_RE.sub("", name)
+        if not is_valid_person_name(name):
+            continue
+        url = href if href.startswith("http") else base_url + href
+        url = url.split("?")[0]
+        out.append(
+            {
+                "name": name,
+                "url": url,
+                "uuid": hashlib.md5(url.encode()).hexdigest(),
+            }
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spark surfaces
+# ---------------------------------------------------------------------------
+
+PAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("title", T.StringType()),
+        T.StructField("description", T.StringType()),
+        T.StructField("summary", T.StringType()),
+        T.StructField(
+            "sections",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("heading", T.StringType()),
+                        T.StructField("content", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def parse_pages(df: DataFrame, *, id_col: str, html_col: str) -> DataFrame:
+    """X1 as mapInPandas: (id, html) → (id, title, description, summary,
+    sections). Arrow-batched; one Python pass per partition."""
+    out_schema = T.StructType(
+        [df.schema[id_col]] + list(PAGE_SCHEMA.fields)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = pdf[html_col].map(parse_page)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "title": parsed.map(lambda d: d["title"]),
+                    "description": parsed.map(lambda d: d["description"]),
+                    "summary": parsed.map(lambda d: d["summary"]),
+                    "sections": parsed.map(
+                        lambda d: [(s["heading"], s["content"]) for s in d["sections"]]
+                    ),
+                }
+            )
+
+    return df.select(id_col, html_col).mapInPandas(run, out_schema)
+
+
+def extract_links_table(
+    df: DataFrame,
+    *,
+    id_col: str,
+    html_col: str,
+    heading_keywords: tuple[str, ...] = ("机构领导", "现任领导", "Leadership"),
+) -> DataFrame:
+    """X3 as a flatMap-shaped mapInPandas: one page row → N link rows
+    (org_id, name, url, uuid)."""
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("name", T.StringType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("uuid", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, html in zip(pdf[id_col], pdf[html_col]):
+                for link in extract_person_links(html, heading_keywords=heading_keywords):
+                    rows.append((rid, link["name"], link["url"], link["uuid"]))
+            yield pd.DataFrame(rows, columns=[id_col, "name", "url", "uuid"])
+
+    return df.select(id_col, html_col).mapInPandas(run, out_schema)

@@ -1,0 +1,165 @@
+"""Model-backed batch-inference operators (SURVEY.md §2.8 X8-X10).
+
+The reference structures free-text career histories through GPT-4o
+function calls inside a thread pool with a req/s + tokens/min rate
+limiter and a cost-cap circuit breaker
+(``leader/bio_processor.py:304-475``). In Spark the same operator is an
+Arrow-batched ``mapInPandas`` with:
+
+- a pluggable backend (the real one would call an external service;
+  the ``DeterministicFakeBackend`` here parses career lines by rule so
+  CI is hermetic and oracle-friendly);
+- a per-partition token-bucket rate limiter (the distributed analog of
+  the reference's global lock: each of N partitions gets rate/N);
+- a cost accumulator checked between batches (circuit breaker);
+- incremental-rerun semantics by skipping rows whose output column is
+  already populated (P5, ``leader/bio_processor.py:572-588``).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import time
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_FIELDS = [
+    ("event_type", T.StringType()),
+    ("start_year", T.IntegerType()),
+    ("start_month", T.IntegerType()),
+    ("end_year", T.IntegerType()),
+    ("end_month", T.IntegerType()),
+    ("is_end", T.BooleanType()),
+    ("has_end_date", T.BooleanType()),
+    ("school", T.StringType()),
+    ("place", T.StringType()),
+    ("position", T.StringType()),
+]
+
+EVENT_SCHEMA = T.StructType([T.StructField(n, t) for n, t in EVENT_FIELDS])
+EVENTS_SCHEMA = T.ArrayType(EVENT_SCHEMA)
+
+# ``YYYY.MM-YYYY.MM <text>`` or ``YYYY-`` open-ended (至今-style) lines —
+# the same career-line shapes the reference's demo fixture uses
+# (``src/bio_demo.py:161-166``).
+_LINE_RE = re.compile(
+    r"(?P<sy>\d{4})(?:\.(?P<sm>\d{1,2}))?\s*[-—至]\s*(?:(?P<ey>\d{4})(?:\.(?P<em>\d{1,2}))?|(?P<now>今|now))?\s*(?P<rest>.*)"
+)
+_STUDY_MARKERS = ("学习", "大学", "学院", "study", "university", "college")
+
+
+class DeterministicFakeBackend:
+    """Rule-based stand-in for the LLM call: parses one career line per
+    text line into a typed event. Deterministic, dependency-free."""
+
+    cost_per_row = 0.0001
+
+    def extract(self, text: str) -> list[dict]:
+        events = []
+        for line in (text or "").splitlines():
+            m = _LINE_RE.match(line.strip())
+            if not m:
+                continue
+            rest = m.group("rest").strip()
+            is_study = any(k in rest for k in _STUDY_MARKERS)
+            open_ended = m.group("now") is not None or (
+                m.group("ey") is None and m.group("now") is None
+            )
+            events.append(
+                {
+                    "event_type": "study" if is_study else "work",
+                    "start_year": int(m.group("sy")),
+                    "start_month": int(m.group("sm")) if m.group("sm") else None,
+                    "end_year": int(m.group("ey")) if m.group("ey") else None,
+                    "end_month": int(m.group("em")) if m.group("em") else None,
+                    "is_end": not open_ended,
+                    "has_end_date": m.group("ey") is not None,
+                    "school": rest if is_study else None,
+                    "place": None if is_study else rest,
+                    "position": None if is_study else rest,
+                }
+            )
+        return events
+
+
+class TokenBucket:
+    """Per-partition rate limiter: ``rate`` requests/second with burst
+    ``burst`` — the distributed version of the reference's global
+    req/s lock (``leader/bio_processor.py:315-340``)."""
+
+    def __init__(self, rate: float, burst: int = 10):
+        self.rate = rate
+        self.capacity = float(burst)
+        self.tokens = float(burst)
+        self.last = time.monotonic()
+
+    def acquire(self) -> None:
+        while True:
+            now = time.monotonic()
+            self.tokens = min(self.capacity, self.tokens + (now - self.last) * self.rate)
+            self.last = now
+            if self.tokens >= 1:
+                self.tokens -= 1
+                return
+            time.sleep((1 - self.tokens) / self.rate)
+
+
+def structured_extraction(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    output_col: str = "events",
+    backend_factory: Callable[[], object] = DeterministicFakeBackend,
+    requests_per_second: float | None = None,
+    cost_limit: float | None = None,
+) -> DataFrame:
+    """X8/X9: free text → typed event array via a pluggable batch
+    backend. Returns (id, text, events array<struct>, cost).
+
+    The cost cap is enforced per-partition via the backend's
+    ``cost_per_row`` (driver-side budget checks between micro-batches
+    belong to the streaming variant)."""
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("events_json", T.StringType()),
+            T.StructField("cost", T.DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        backend = backend_factory()
+        bucket = TokenBucket(requests_per_second) if requests_per_second else None
+        spent = 0.0
+        for pdf in batches:
+            out_rows = []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                if cost_limit is not None and spent >= cost_limit:
+                    break  # circuit breaker: stop spending, rows stay pending
+                if bucket:
+                    bucket.acquire()
+                events = backend.extract(text)
+                spent += backend.cost_per_row
+                out_rows.append((rid, json.dumps({"events": events}), backend.cost_per_row))
+            yield pd.DataFrame(out_rows, columns=[id_col, "events_json", "cost"])
+
+    extracted = df.select(id_col, text_col).mapInPandas(run, out_schema)
+    return extracted.select(
+        id_col,
+        F.from_json(
+            F.get_json_object("events_json", "$.events"), EVENTS_SCHEMA
+        ).alias(output_col),
+        "cost",
+    )
+
+
+def pending_rows(df: DataFrame, *, output_col: str) -> DataFrame:
+    """P5 incremental-rerun filter: only rows not yet structured
+    (``leader/bio_processor.py:572-588``)."""
+    return df.filter(F.col(output_col).isNull())

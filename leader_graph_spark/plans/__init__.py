@@ -6,8 +6,11 @@ from leader_graph_spark.plans.registry import REGISTRY, QuerySpec, bench_queries
 from leader_graph_spark.plans import (  # noqa: E402,F401
     dedup_queries,
     graph_queries,
+    pipeline_queries,
     relational,
     similarity_queries,
+    streaming_queries,
+    text_queries,
 )
 
 __all__ = ["REGISTRY", "QuerySpec", "bench_queries", "query"]

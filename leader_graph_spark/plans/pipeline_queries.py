@@ -1,0 +1,166 @@
+"""Extraction-pipeline queries: event validation (X11) with oracles,
+plus the end-to-end career-structuring pipeline (X8 → X11 → explode)
+over synthesized career texts.
+
+Event rows are synthesized deterministically from ``orders`` so the
+oracle can reproduce them: a mix of valid/invalid years, months, flags
+and cross-type field violations keyed off ``o_orderkey`` residues.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from leader_graph_spark.operators.llm import structured_extraction
+from leader_graph_spark.operators.validation import (
+    event_violations,
+    repair_events,
+    validate_events_reject,
+)
+from leader_graph_spark.plans.registry import query
+from leader_graph_spark.sources.tables import load_table
+
+_SYNTH_EVENTS_SQL = """
+synth AS (
+  SELECT o_orderkey AS event_id,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'study'
+              WHEN o_orderkey % 3 = 1 THEN 'work'
+              ELSE 'unknown' END AS event_type,
+         year(o_orderdate) + CASE WHEN o_orderkey % 11 = 0 THEN 300 ELSE 0 END AS start_year,
+         CASE WHEN o_orderkey % 5 = 0 THEN 13 ELSE month(o_orderdate) END AS start_month,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE year(o_orderdate) + 1 END AS end_year,
+         month(o_orderdate) AS end_month,
+         TRUE AS is_end,
+         (o_orderkey % 2 = 0) AS has_end_date,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'School_' || o_orderstatus ELSE NULL END AS school,
+         CASE WHEN o_orderkey % 3 = 1 THEN o_orderpriority
+              WHEN o_orderkey % 3 = 0 AND o_orderkey % 4 = 0 THEN 'stray_place'
+              ELSE NULL END AS place,
+         CASE WHEN o_orderkey % 3 = 1 AND o_orderkey % 4 <> 0 THEN 'manager' ELSE NULL END AS position
+  FROM orders
+)
+"""
+
+
+def _synth_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        k.alias("event_id"),
+        F.when(k % 3 == 0, "study").when(k % 3 == 1, "work").otherwise("unknown").alias(
+            "event_type"
+        ),
+        (F.year("o_orderdate") + F.when(k % 11 == 0, 300).otherwise(0)).alias("start_year"),
+        F.when(k % 5 == 0, 13).otherwise(F.month("o_orderdate")).alias("start_month"),
+        F.when(k % 7 == 0, F.lit(None).cast("int"))
+        .otherwise(F.year("o_orderdate") + 1)
+        .alias("end_year"),
+        F.month("o_orderdate").alias("end_month"),
+        F.lit(True).alias("is_end"),
+        (k % 2 == 0).alias("has_end_date"),
+        F.when(k % 3 == 0, F.concat(F.lit("School_"), F.col("o_orderstatus"))).alias("school"),
+        F.when(k % 3 == 1, F.col("o_orderpriority"))
+        .when((k % 3 == 0) & (k % 4 == 0), F.lit("stray_place"))
+        .alias("place"),
+        F.when((k % 3 == 1) & (k % 4 != 0), F.lit("manager")).alias("position"),
+    )
+
+
+_REPAIR_ORACLE = f"""
+WITH {_SYNTH_EVENTS_SQL},
+yfix AS (
+  SELECT event_id, event_type,
+         CASE WHEN start_year IS NULL OR (start_year BETWEEN 1900 AND 2100) THEN start_year END AS start_year,
+         CASE WHEN start_month IS NULL OR (start_month BETWEEN 1 AND 12) THEN start_month END AS start_month,
+         CASE WHEN end_year IS NULL OR (end_year BETWEEN 1900 AND 2100) THEN end_year END AS end_year,
+         CASE WHEN end_month IS NULL OR (end_month BETWEEN 1 AND 12) THEN end_month END AS end_month,
+         is_end, has_end_date, school, place, position
+  FROM synth
+)
+SELECT event_id, event_type, start_year, start_month, end_year, end_month,
+       is_end,
+       CASE WHEN end_year IS NULL THEN FALSE ELSE has_end_date END AS has_end_date,
+       CASE WHEN event_type = 'work' THEN NULL ELSE school END AS school,
+       CASE WHEN event_type = 'study' THEN NULL ELSE place END AS place,
+       CASE WHEN event_type = 'study' THEN NULL ELSE position END AS position
+FROM yfix
+"""
+
+
+@query("event_validation_repair", _REPAIR_ORACLE, tags=("X11-repair",))
+def event_validation_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repair-mode schema validation (the Qwen variant,
+    ``leader/bio_processor_qwen.py:348-423``): out-of-range dates nulled,
+    cross-type fields nulled, has_end_date downgraded without an end
+    year — every row survives."""
+    return repair_events(_synth_events(spark, sf_dir))
+
+
+_CHECKS_SQL = """list_filter([
+  CASE WHEN NOT (start_year IS NULL OR (start_year BETWEEN 1900 AND 2100)) THEN 'start_year_range' END,
+  CASE WHEN NOT (end_year IS NULL OR (end_year BETWEEN 1900 AND 2100)) THEN 'end_year_range' END,
+  CASE WHEN NOT (start_month IS NULL OR (start_month BETWEEN 1 AND 12)) THEN 'start_month_range' END,
+  CASE WHEN NOT (end_month IS NULL OR (end_month BETWEEN 1 AND 12)) THEN 'end_month_range' END,
+  CASE WHEN NOT (NOT (is_end AND has_end_date) OR end_year IS NOT NULL) THEN 'end_flags_need_end_year' END,
+  CASE WHEN NOT (event_type <> 'study' OR school IS NOT NULL) THEN 'study_requires_school' END,
+  CASE WHEN NOT (event_type <> 'study' OR (place IS NULL AND position IS NULL)) THEN 'study_excludes_work_fields' END,
+  CASE WHEN NOT (event_type <> 'work' OR (place IS NOT NULL AND position IS NOT NULL)) THEN 'work_requires_place_position' END,
+  CASE WHEN NOT (event_type <> 'work' OR school IS NULL) THEN 'work_excludes_school' END,
+  CASE WHEN NOT (event_type IN ('study', 'work')) THEN 'known_event_type' END
+], x -> x IS NOT NULL)"""
+
+_QUARANTINE_ORACLE = f"""
+WITH {_SYNTH_EVENTS_SQL}
+SELECT event_id, event_type, {_CHECKS_SQL} AS violations
+FROM synth
+WHERE len({_CHECKS_SQL}) > 0
+"""
+
+
+@query("event_validation_quarantine", _QUARANTINE_ORACLE, tags=("X11-reject",))
+def event_validation_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reject-mode schema validation (the GPT path,
+    ``leader/bio_processor.py:449-455``): rows with ≥1 violated rule go
+    to quarantine with the violated-rule list attached."""
+    _, quarantine = validate_events_reject(_synth_events(spark, sf_dir))
+    return quarantine.select("event_id", "event_type", "violations")
+
+
+@query("career_structuring_pipeline", None, tags=("X8", "X11", "F18"))
+def career_structuring_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end X8→X11 pipeline: per-customer career text synthesized
+    from order history, structured into typed events by the
+    deterministic stub backend (mapInPandas — the LLM seam), validated
+    in reject mode, exploded to one row per valid event. Non-SQL
+    (mapInPandas) → rows-only check; exact parsing is unit-tested in
+    tests/test_extract.py."""
+    orders = load_table(spark, sf_dir, "orders")
+    lines = orders.select(
+        "o_custkey",
+        F.format_string(
+            "%d.%02d-%d.%02d worked as clerk at Store%d",
+            F.year("o_orderdate"),
+            F.month("o_orderdate"),
+            F.year("o_orderdate") + 1,
+            F.month("o_orderdate"),
+            F.col("o_orderkey"),
+        ).alias("line"),
+        F.struct("o_orderdate", "o_orderkey").alias("ord"),
+    )
+    texts = lines.groupBy("o_custkey").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ord", "line"))), lambda s: s.line
+            ),
+            "\n",
+        ).alias("career_text")
+    )
+    extracted = structured_extraction(
+        texts, id_col="o_custkey", text_col="career_text", output_col="events"
+    )
+    exploded = extracted.select("o_custkey", F.explode("events").alias("e")).select(
+        "o_custkey", "e.*"
+    )
+    valid, _ = validate_events_reject(exploded)
+    return valid

@@ -1,0 +1,297 @@
+"""Text-analysis queries over ``documents`` — the training-data
+pipeline operators (language ID, quality scoring, token counting,
+fingerprinting) plus the reference's validation predicates (P6/P7)
+re-expressed as column expressions.
+
+Everything is JVM-side regexp/length arithmetic with exact DuckDB
+mirrors (verified: ``\\b`` word boundaries, ``[^\\w\\s]`` classes, hex
+and octet_length behave identically on this data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from leader_graph_spark.plans.registry import query
+from leader_graph_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Token statistics
+# ---------------------------------------------------------------------------
+
+_TOKEN_ORACLE = """
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_word_tokens,
+       length(text) AS n_chars_actual,
+       round(length(replace(text, ' ', '')) / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 6) AS avg_token_len
+FROM documents
+"""
+
+
+@query("doc_token_stats", _TOKEN_ORACLE, tags=("text-tokens",))
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, BPE-ish regexp tokens
+    (word runs + single symbols), char count, mean token length."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws_tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    return docs.select(
+        "doc_id",
+        ws_tokens.alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0)).alias(
+            "n_word_tokens"
+        ),
+        F.length("text").alias("n_chars_actual"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            / ws_tokens.cast("double"),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic
+# ---------------------------------------------------------------------------
+
+# n-gram/stopword marker lists per language; scored by hit count. The
+# synthetic corpus is English word-soup, so markers for other languages
+# rely on characteristic character patterns too — the operator is the
+# point, the synthetic corpus only exercises it deterministically.
+_LANG_MARKERS = {
+    "en": r"\b(the|a|of|and|in|to|is|row|data|table)\b",
+    "es": r"\b(el|la|los|las|de|que|y|un|una)\b|[ñ¿¡]",
+    "fr": r"\b(le|la|les|des|une|est|et|dans)\b|[àâçéèêë]",
+    "de": r"\b(der|die|das|und|ist|ein|eine|nicht)\b|[äöüß]",
+    "zh": r"[一-鿿]",
+}
+
+
+def _lang_scores_spark() -> list:
+    return [
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0)).alias(f"score_{lang}")
+        for lang, pat in _LANG_MARKERS.items()
+    ]
+
+
+_LANG_CASE_SQL = """
+CASE
+  WHEN score_zh > 0 THEN 'zh'
+  WHEN score_de > score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+  WHEN score_fr > score_en AND score_fr >= score_es THEN 'fr'
+  WHEN score_es > score_en THEN 'es'
+  ELSE 'en'
+END
+"""
+
+# SQL string literals pass backslashes straight to the regex engine, so
+# the Python patterns embed verbatim (no quotes occur in the patterns).
+_LANG_SCORES_SQL = ", ".join(
+    f"len(regexp_extract_all(text, '{pat}')) AS score_{lang}"
+    for lang, pat in _LANG_MARKERS.items()
+)
+
+_LANG_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang, {_LANG_SCORES_SQL}
+  FROM documents
+)
+SELECT doc_id, lang AS labeled_lang, {_LANG_CASE_SQL} AS predicted_lang
+FROM scored
+"""
+
+
+@query("lang_id_heuristic", _LANG_ORACLE, tags=("text-langid",))
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification by marker-pattern hit counts (stopword
+    n-grams + characteristic character classes), with a fixed
+    tie-breaking priority so the prediction is deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", F.col("lang").alias("labeled_lang"), "text").select(
+        "doc_id", "labeled_lang", *_lang_scores_spark()
+    )
+    predicted = (
+        F.when(F.col("score_zh") > 0, F.lit("zh"))
+        .when(
+            (F.col("score_de") > F.col("score_en"))
+            & (F.col("score_de") >= F.col("score_es"))
+            & (F.col("score_de") >= F.col("score_fr")),
+            F.lit("de"),
+        )
+        .when(
+            (F.col("score_fr") > F.col("score_en"))
+            & (F.col("score_fr") >= F.col("score_es")),
+            F.lit("fr"),
+        )
+        .when(F.col("score_es") > F.col("score_en"), F.lit("es"))
+        .otherwise(F.lit("en"))
+    )
+    return scored.select("doc_id", "labeled_lang", predicted.alias("predicted_lang"))
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+_QUALITY_ORACLE = """
+WITH feats AS (
+  SELECT doc_id,
+         length(text) AS n_chars_actual,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+         len(regexp_extract_all(text, '\\b(the|a|of|and|in|to|is)\\b')) AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+       round(least(n_chars_actual / 500.0, 1.0), 6) AS length_score,
+       round(n_punct / CAST(n_tokens AS DOUBLE), 6) AS punct_ratio,
+       round(n_stop / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
+       round(0.5 * least(n_chars_actual / 500.0, 1.0)
+           + 0.25 * least(n_stop / CAST(n_tokens AS DOUBLE) * 5, 1.0)
+           + 0.25 * (1.0 - least(n_punct / CAST(n_tokens AS DOUBLE), 1.0)), 6) AS quality_score
+FROM feats
+"""
+
+
+@query("doc_quality_score", _QUALITY_ORACLE, tags=("text-quality", "P7"))
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length / punctuation-ratio /
+    stopword-ratio features composed into a bounded [0,1] score — the
+    quality-gate operator of a training-data pipeline (generalizes the
+    reference's content validation ``utils/content_validator.py:61-137``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    n_punct = F.size(F.regexp_extract_all("text", F.lit(r"[^\w\s]"), 0))
+    n_stop = F.size(F.regexp_extract_all("text", F.lit(r"\b(the|a|of|and|in|to|is)\b"), 0))
+    length_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    punct_ratio = n_punct / n_tokens.cast("double")
+    stop_ratio = n_stop / n_tokens.cast("double")
+    quality = (
+        F.lit(0.5) * length_score
+        + F.lit(0.25) * F.least(stop_ratio * 5, F.lit(1.0))
+        + F.lit(0.25) * (F.lit(1.0) - F.least(punct_ratio, F.lit(1.0)))
+    )
+    return docs.select(
+        "doc_id",
+        F.round(length_score, 6).alias("length_score"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Content-validity predicate (P7) and fingerprint
+# ---------------------------------------------------------------------------
+
+_VALIDITY_ORACLE = """
+SELECT doc_id,
+       CASE
+         WHEN octet_length(encode(text)) < 150 THEN 'too_small'
+         WHEN regexp_matches(text, '(error|fail)') THEN 'error_marker'
+         WHEN NOT regexp_matches(text, '(data|table|row|query)') THEN 'no_valid_marker'
+         ELSE 'ok'
+       END AS reason,
+       (octet_length(encode(text)) >= 150
+        AND NOT regexp_matches(text, '(error|fail)')
+        AND regexp_matches(text, '(data|table|row|query)')) AS is_valid
+FROM documents
+"""
+
+
+@query("content_validity", _VALIDITY_ORACLE, tags=("P7", "F21"))
+def content_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's content-validation predicate
+    (``utils/content_validator.py:10-137``): byte-size floor, forbidden
+    patterns, required valid-page patterns — a struct-returning quality
+    gate with a first-matching-rule reason."""
+    docs = load_table(spark, sf_dir, "documents")
+    size_ok = F.octet_length(F.encode(F.col("text"), "utf-8")) >= 150
+    has_error = F.col("text").rlike("(error|fail)")
+    has_marker = F.col("text").rlike("(data|table|row|query)")
+    reason = (
+        F.when(~size_ok, F.lit("too_small"))
+        .when(has_error, F.lit("error_marker"))
+        .when(~has_marker, F.lit("no_valid_marker"))
+        .otherwise(F.lit("ok"))
+    )
+    return docs.select(
+        "doc_id",
+        reason.alias("reason"),
+        (size_ok & ~has_error & has_marker).alias("is_valid"),
+    )
+
+
+_FINGERPRINT_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, text, string_split_regex(trim(lower(text)), '\\s+') AS tokens FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tokens) - 4 + 2),
+                               i -> array_to_string(tokens[i:i+3], ' '))) AS gram
+  FROM toks
+)
+SELECT t.doc_id,
+       md5(trim(regexp_replace(lower(t.text), '\\s+', ' ', 'g'))) AS content_hash,
+       g.fp AS rolling_fingerprint
+FROM toks t
+LEFT JOIN (SELECT doc_id, min(md5(gram)) AS fp FROM grams GROUP BY doc_id) g
+  ON t.doc_id = g.doc_id
+"""
+
+
+@query("doc_fingerprints", _FINGERPRINT_ORACLE, tags=("text-fingerprint", "F1"))
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-content hash plus a
+    rolling-window fingerprint (min-md5 over 4-gram windows — the
+    winnowing-style selection that survives local edits)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    n = 4
+    count = F.size(toks) - F.lit(n - 1)
+    grams = F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), count), lambda i: F.md5(F.array_join(F.slice(toks, i, n), " "))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        "doc_id",
+        F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))).alias("content_hash"),
+        F.array_min(grams).alias("rolling_fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P6 — name-validity predicate
+# ---------------------------------------------------------------------------
+
+_NAME_FILTER_ORACLE = """
+SELECT c_custkey, c_name,
+       (length(replace(regexp_replace(c_name, '（[^）]*）|\\([^)]*\\)', '', 'g'), ' ', '')) <= 18
+        AND NOT regexp_matches(c_name, '(Test|Dummy|Invalid|00000000)')) AS is_valid_name
+FROM customer
+"""
+
+
+@query("valid_name_filter", _NAME_FILTER_ORACLE, tags=("P6", "F6"))
+def valid_name_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's person-name validity heuristic
+    (``leader/update_c_org_leader_info.py:15-73``): paren-stripped
+    length ceiling AND no blacklist keyword — as a pure column
+    predicate."""
+    customer = load_table(spark, sf_dir, "customer")
+    cleaned = F.replace(
+        F.regexp_replace(F.col("c_name"), r"（[^）]*）|\([^)]*\)", ""),
+        F.lit(" "),
+        F.lit(""),
+    )
+    blacklist = F.col("c_name").rlike("(Test|Dummy|Invalid|00000000)")
+    return customer.select(
+        "c_custkey",
+        "c_name",
+        ((F.length(cleaned) <= 18) & ~blacklist).alias("is_valid_name"),
+    )

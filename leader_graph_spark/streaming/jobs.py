@@ -1,0 +1,116 @@
+"""Structured Streaming jobs over the ``events`` table.
+
+The reference's streaming-shaped behavior is a producer/consumer thread
+pipeline with incremental skip-processed reruns
+(``processor/data_processor.py:64-316``, SURVEY.md §2.9). Here the same
+shapes are Structured Streaming:
+
+- the bounded work queue → micro-batch pipeline (``Trigger.AvailableNow``
+  replays a landing table exactly once, checkpointed);
+- incremental "only new" runs → checkpointed source offsets;
+- the driver's ``events`` fixture adds true event-time operators the
+  reference lacks: watermark + tumbling/sliding/session windows.
+
+Every streaming aggregation here has a batch twin in
+``plans/streaming_queries.py`` whose oracle the driver checks; the
+stream-equals-batch property is asserted in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events landing file. The nanosecond
+    timestamps come in as longs (legacy mode) and are converted to
+    microsecond timestamps exactly like the batch source."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file-stream source requires a directory: scan sf_dir with a
+    # glob filter selecting just the events landing file.
+    sdf = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, *, window: str = "1 hour") -> DataFrame:
+    """Tumbling-window aggregate (batch or streaming input): per
+    (window, event_type) count + DECIMAL value sum. With a streaming
+    input, add ``with_watermark`` first."""
+    return (
+        events.groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def tumbling_counts_stream(
+    spark: SparkSession, sf_dir: str, *, window: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming variant with an event-time watermark bounding state:
+    late rows beyond the watermark are dropped and finalized windows
+    are evicted — the state never grows with input size."""
+    events = read_events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    return tumbling_counts(events, window=window)
+
+
+def run_available_now(sdf: DataFrame, *, name: str, checkpoint: str) -> DataFrame:
+    """Execute a streaming DataFrame with Trigger.AvailableNow into an
+    in-memory sink and return the final result table — the batch-replay
+    mode the reference's incremental reruns map to."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+def session_windows(events: DataFrame, *, gap: str = "5 minutes") -> DataFrame:
+    """Per-user session windows (works for batch and streaming input):
+    events closer than ``gap`` merge; the window end is last-event + gap.
+    At scale this is Spark's native session_window state machine — no
+    per-user collect."""
+    return (
+        events.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )

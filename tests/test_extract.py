@@ -1,0 +1,129 @@
+"""Fixture tests for the UDF-surface operators: HTML extraction
+(X1-X3), LLM-stub structuring (X8), validation (X11) — the reference's
+demo fixtures (src/bio_demo.py) recast as unit tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from leader_graph_spark.extract.html import (
+    extract_infobox,
+    extract_links_table,
+    extract_person_links,
+    parse_page,
+    parse_pages,
+)
+from leader_graph_spark.operators.llm import DeterministicFakeBackend, structured_extraction
+from leader_graph_spark.operators.validation import repair_events, validate_events_reject
+
+FIXTURE_HTML = """
+<html><head><title>张伟_百度百科</title>
+<meta name="description" content="张伟，男，汉族[1]。">
+</head><body>
+<p>张伟，男，汉族，1962年10月生。[1]</p>
+<h2>人物履历</h2>
+<p>1980.09-1984.07 北京大学学习</p>
+<p>1984.07-1990.01 某单位工作[2]</p>
+<h2>机构领导</h2>
+<ul>
+  <li><a href="/item/%E5%BC%A0%E4%B8%89?from=tag">张三</a></li>
+  <li><a href="/item/LiSi">李四（主任）</a></li>
+  <li><a href="/item/TooLongNameHereInvalid">机构设置与主要职责说明</a></li>
+  <li><a href="/other/nope">王五</a></li>
+</ul>
+<h2>基本信息</h2>
+<dl><dt>民 族</dt><dd>汉族</dd><dt>出生地</dt><dd>北京[3]</dd></dl>
+</body></html>
+"""
+
+
+def test_parse_page_sections_and_cleaning():
+    page = parse_page(FIXTURE_HTML)
+    assert page["title"] == "张伟"  # F10 suffix strip applied
+    assert "汉族" in page["description"] and "[1]" not in page["description"]
+    headings = [s["heading"] for s in page["sections"]]
+    assert headings == ["人物履历", "机构领导", "基本信息"]
+    career = page["sections"][0]["content"]
+    assert "1980.09-1984.07 北京大学学习" in career
+    assert "[2]" not in career  # citation marks stripped
+    assert "1962年10月生" in page["summary"]
+
+
+def test_extract_infobox_first_hit_wins():
+    mapping = {"ethnicity": ["民族"], "birth_place": ["出生地", "籍贯"], "missing": ["学历"]}
+    out = extract_infobox(FIXTURE_HTML, mapping)
+    assert out["ethnicity"] == "汉族"
+    assert out["birth_place"] == "北京"  # citation stripped
+    assert out["missing"] is None
+
+
+def test_extract_person_links_validation_and_uuid():
+    links = extract_person_links(FIXTURE_HTML, heading_keywords=("机构领导",))
+    names = [l["name"] for l in links]
+    assert names == ["张三", "李四"]  # paren stripped, invalid + non-item dropped
+    assert all(len(l["uuid"]) == 32 for l in links)
+    assert all("?" not in l["url"] for l in links)
+
+
+def test_parse_pages_spark_surface(spark):
+    df = spark.createDataFrame([(1, FIXTURE_HTML), (2, "<p>no headings</p>")], "id int, html string")
+    out = {r.id: r for r in parse_pages(df, id_col="id", html_col="html").collect()}
+    assert len(out[1].sections) == 3
+    assert out[2].sections == [] and out[2].summary == "no headings"
+
+
+def test_extract_links_table_udtf_shape(spark):
+    df = spark.createDataFrame([(1, FIXTURE_HTML)], "org_id int, html string")
+    rows = extract_links_table(df, id_col="org_id", html_col="html").collect()
+    assert {(r.org_id, r.name) for r in rows} == {(1, "张三"), (1, "李四")}
+
+
+def test_fake_backend_parses_career_lines():
+    text = "1980.09-1984.07 北京大学学习\n1984.07-1990.01 某单位工作\n2020.01-今 现职工作"
+    events = DeterministicFakeBackend().extract(text)
+    assert len(events) == 3
+    assert events[0]["event_type"] == "study" and events[0]["school"]
+    assert events[0]["start_year"] == 1980 and events[0]["start_month"] == 9
+    assert events[1]["event_type"] == "work" and events[1]["place"]
+    assert events[2]["is_end"] is False and events[2]["end_year"] is None
+
+
+def test_structured_extraction_spark(spark):
+    df = spark.createDataFrame(
+        [(1, "1980.09-1984.07 university study"), (2, "no events here")],
+        "id int, career string",
+    )
+    out = {
+        r.id: r
+        for r in structured_extraction(df, id_col="id", text_col="career").collect()
+    }
+    assert len(out[1].events) == 1
+    assert out[1].events[0].event_type == "study"
+    assert out[2].events == []
+
+
+def test_validation_reject_and_repair(spark):
+    rows = [
+        # valid work event
+        (1, "work", 2000, 1, 2005, 12, True, True, None, "place", "pos"),
+        # study with stray place → reject / repair nulls place
+        (2, "study", 2000, 1, 2005, 12, True, True, "school", "stray", None),
+        # out-of-range year → reject / repair nulls year
+        (3, "work", 2300, 1, 2305, 12, True, True, None, "p", "q"),
+    ]
+    schema = (
+        "event_id int, event_type string, start_year int, start_month int, end_year int,"
+        " end_month int, is_end boolean, has_end_date boolean, school string, place string,"
+        " position string"
+    )
+    df = spark.createDataFrame(rows, schema)
+    valid, quarantine = validate_events_reject(df)
+    assert [r.event_id for r in valid.collect()] == [1]
+    q = {r.event_id: r.violations for r in quarantine.collect()}
+    assert "study_excludes_work_fields" in q[2]
+    assert "start_year_range" in q[3] and "end_year_range" in q[3]
+
+    repaired = {r.event_id: r for r in repair_events(df).collect()}
+    assert repaired[2].place is None and repaired[2].school == "school"
+    assert repaired[3].start_year is None and repaired[3].end_year is None
+    assert repaired[3].has_end_date is False  # downgraded with the nulled end year
