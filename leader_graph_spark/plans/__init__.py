@@ -11,6 +11,7 @@ from leader_graph_spark.plans import (  # noqa: E402,F401
     similarity_queries,
     streaming_queries,
     text_queries,
+    warehouse_queries,
 )
 
 __all__ = ["REGISTRY", "QuerySpec", "bench_queries", "query"]

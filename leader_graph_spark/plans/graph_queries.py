@@ -237,12 +237,20 @@ def schoolmate_edges_dedup_antijoin(spark: SparkSession, sf_dir: str) -> DataFra
             ),
         ).alias("overlap_period"),
     )
-    existing = edges.filter(F.col("school") % 2 == 0)
+    # Re-alias the existing side: both inputs share lineage, so bare
+    # column refs would resolve to the same attributes (trivially-true
+    # predicates) — explicit renames force a real 4-column comparison.
+    existing = edges.filter(F.col("school") % 2 == 0).select(
+        F.col("school").alias("x_school"),
+        F.col("person_id_1").alias("x_p1"),
+        F.col("person_id_2").alias("x_p2"),
+        F.col("overlap_period").alias("x_period"),
+    )
     cond_anti = (
-        (edges["school"] == existing["school"])
-        & (edges["person_id_1"] == existing["person_id_1"])
-        & (edges["person_id_2"] == existing["person_id_2"])
-        & edges["overlap_period"].eqNullSafe(existing["overlap_period"])
+        (F.col("school") == F.col("x_school"))
+        & (F.col("person_id_1") == F.col("x_p1"))
+        & (F.col("person_id_2") == F.col("x_p2"))
+        & F.col("overlap_period").eqNullSafe(F.col("x_period"))
     )
     return edges.join(existing, cond_anti, "left_anti")
 

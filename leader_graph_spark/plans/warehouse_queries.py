@@ -1,0 +1,268 @@
+"""Warehouse-shape queries: the TPC-H-style join/agg benchmarks that
+anchor the performance story, the keyed-upsert recompute (K2), the tag
+histogram (A9), distinct statistics, and the multimodal metadata scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from leader_graph_spark.operators.multimodal import attach_fake_payloads
+from leader_graph_spark.plans.registry import query
+from leader_graph_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape: 3-way join + grouped revenue + deterministic top-k
+# ---------------------------------------------------------------------------
+
+_Q3_ORACLE = """
+SELECT l_orderkey,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(28,6)) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@query("shipping_priority_top10", _Q3_ORACLE, bench=True, tags=("J1", "A1", "W2"))
+def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension filter → fact join → grouped
+    DECIMAL revenue → top-10 with a unique tie-break. The dimension
+    filter reaches the parquet scan; the small filtered side
+    broadcasts."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = orders.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    li = lineitem.filter(F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp"))
+    revenue = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+    ).cast("decimal(28,6)")
+    return (
+        o.join(F.broadcast(building), o.o_custkey == building.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape: snowflake join through region
+# ---------------------------------------------------------------------------
+
+_Q5_ORACLE = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(28,6)) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'REGION_0' AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY n_name
+"""
+
+
+@query("local_supplier_volume", _Q5_ORACLE, bench=True, tags=("J1", "J2", "A1"))
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table snowflake join with the region/nation
+    dimensions broadcast and the customer-supplier co-nation predicate —
+    the join-reordering stress test."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    nr = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "REGION_0")),
+        nation.n_regionkey == region.r_regionkey,
+    ).select("n_nationkey", "n_name")
+    revenue = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+    ).cast("decimal(28,6)")
+    return (
+        lineitem.join(o, lineitem.l_orderkey == o.o_orderkey)
+        .join(customer, o.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == supplier.s_suppkey)
+            & (F.col("c_nationkey") == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nr), F.col("s_nationkey") == nr.n_nationkey)
+        .groupBy("n_name")
+        .agg(revenue.alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# K2 — keyed upsert as pure recompute
+# ---------------------------------------------------------------------------
+
+_UPSERT_ORACLE = """
+WITH updates AS (
+  SELECT o_custkey AS custkey, max(o_orderdate) AS last_order_dt
+  FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
+)
+SELECT c.c_custkey, c.c_name,
+       coalesce(u.last_order_dt, TIMESTAMP '1970-01-01') AS last_open_order,
+       (u.custkey IS NOT NULL) AS was_updated
+FROM customer c LEFT JOIN updates u ON c.c_custkey = u.custkey
+"""
+
+
+@query("keyed_upsert_recompute", _UPSERT_ORACLE, tags=("K2",))
+def keyed_upsert_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ``UPDATE … SET x WHERE id`` stages (K2,
+    ``utils/db_utils.py:64-89``) as a pure recompute: base LEFT JOIN
+    updates + coalesce produces the post-update table — idempotent,
+    oracle-checkable, and the natural lake-table MERGE shape."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    updates = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.max("o_orderdate").alias("last_order_dt"))
+    )
+    return customer.join(updates, customer.c_custkey == updates.custkey, "left").select(
+        "c_custkey",
+        "c_name",
+        F.coalesce(F.col("last_order_dt"), F.lit("1970-01-01").cast("timestamp")).alias(
+            "last_open_order"
+        ),
+        F.col("custkey").isNotNull().alias("was_updated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9 — tag histogram over synthesized markup
+# ---------------------------------------------------------------------------
+
+_TAG_HIST_ORACLE = """
+WITH markup AS (
+  SELECT '<p>' || text || '</p><a href="x">' || source || '</a><h2>' || lang || '</h2>' AS html
+  FROM documents
+),
+tags AS (
+  SELECT unnest(regexp_extract_all(html, '<([a-z0-9]+)[^>]*>', 1)) AS tag FROM markup
+)
+SELECT tag, count(*) AS n FROM tags GROUP BY tag
+"""
+
+
+@query("tag_histogram", _TAG_HIST_ORACLE, tags=("A9", "F3"))
+def tag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML tag histogram (``save_html_from_remark.py:202-209``):
+    regexp_extract_all → explode → count, over deterministic synthesized
+    markup."""
+    docs = load_table(spark, sf_dir, "documents")
+    markup = docs.select(
+        F.concat(
+            F.lit("<p>"), F.col("text"), F.lit("</p><a href=\"x\">"), F.col("source"),
+            F.lit("</a><h2>"), F.col("lang"), F.lit("</h2>"),
+        ).alias("html")
+    )
+    return (
+        markup.select(
+            F.explode(F.regexp_extract_all("html", F.lit("<([a-z0-9]+)[^>]*>"), 1)).alias("tag")
+        )
+        .groupBy("tag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct statistics (exact + approximate)
+# ---------------------------------------------------------------------------
+
+_DISTINCT_ORACLE = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+@query("distinct_user_stats", _DISTINCT_ORACLE, tags=("A1", "A7"))
+def distinct_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand-shuffle-dedup under the hood)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query("approx_distinct_users", None, tags=("approx-agg",))
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — the 100 TB path where exact
+    distinct's expand-shuffle is unaffordable. Engine-specific sketch →
+    no cross-engine oracle (rows-only); accuracy asserted vs exact in
+    tests/test_operators.py."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal metadata scan
+# ---------------------------------------------------------------------------
+
+_MULTIMODAL_ORACLE = """
+SELECT doc_id,
+       octet_length(encode(text)) AS payload_bytes,
+       ['png', 'jpeg', 'webp'][CAST(doc_id % 3 AS INT) + 1] AS format,
+       CAST((doc_id % 8 + 1) * 64 AS INT) AS width,
+       CAST((doc_id % 5 + 1) * 64 AS INT) AS height
+FROM documents
+"""
+
+
+@query("multimodal_metadata", _MULTIMODAL_ORACLE, tags=("multimodal",))
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal table scan that never touches pixel bytes beyond
+    length: binary payload column + typed metadata struct, projected to
+    narrow columns (blob column pruned unless referenced). Decode /
+    feature extraction is the mapInPandas path in
+    operators/multimodal.py (rows-only + unit tests)."""
+    docs = load_table(spark, sf_dir, "documents")
+    mm = attach_fake_payloads(docs, text_col="text", id_col="doc_id")
+    return mm.select(
+        "doc_id",
+        F.octet_length("payload").alias("payload_bytes"),
+        F.col("meta.format").alias("format"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
+@query("multimodal_features", None, tags=("multimodal", "mapInPandas"))
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over the binary payloads via mapInPandas
+    (deterministic fake decode in this container — the real codec slots
+    into the same plumbing). Rows-only check."""
+    from leader_graph_spark.operators.multimodal import extract_image_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    mm = attach_fake_payloads(docs, text_col="text", id_col="doc_id")
+    return extract_image_features(mm, id_col="doc_id")

@@ -1,0 +1,90 @@
+"""File sources & sinks beyond parquet (SURVEY.md §2.1 S1-S4, K3-K5).
+
+- S1/S3: CSV scan incl. directory multi-file union (native multi-path);
+- S2: Excel via pandas → ``createDataFrame`` (no native Spark source);
+- S4: CSV with required-field validation (utf-8-sig tolerant);
+- K3/K4: JSON sinks (partitioned per key / single consolidated file).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class MissingFieldsError(ValueError):
+    pass
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str | list[str],
+    *,
+    required_fields: list[str] | None = None,
+) -> DataFrame:
+    """S1/S4: header CSV scan with optional required-field check
+    (``leader/bio_processor_qwen.py:509-540``). utf-8-sig BOM handled by
+    the ``encoding`` option so Chinese-header org charts read cleanly."""
+    df = (
+        spark.read.option("header", True)
+        .option("encoding", "UTF-8")
+        .option("multiLine", True)
+        .csv(path)
+    )
+    if df.columns and df.columns[0].startswith("﻿"):
+        df = df.withColumnRenamed(df.columns[0], df.columns[0].lstrip("﻿"))
+    if required_fields:
+        missing = [f for f in required_fields if f not in df.columns]
+        if missing:
+            raise MissingFieldsError(f"missing required fields: {missing}")
+    return df
+
+
+def read_excel(spark: SparkSession, path: str) -> DataFrame:
+    """S2: Excel via pandas (no native Spark source; the file is small
+    dimension data by construction — org charts)."""
+    import pandas as pd
+
+    return spark.createDataFrame(pd.read_excel(path))
+
+
+def read_tabular_dir(spark: SparkSession, directory: str) -> DataFrame:
+    """S3: union every *.csv/*.xls/*.xlsx in a directory by column name
+    (``org/create_c_org_info.py:374-395``), tagging provenance with the
+    source file for deterministic first-wins dedup downstream."""
+    from pyspark.sql import functions as F
+
+    frames: list[DataFrame] = []
+    csvs = sorted(_glob.glob(os.path.join(directory, "*.csv")))
+    if csvs:
+        frames.append(
+            read_csv(spark, csvs).withColumn("_source_file", F.input_file_name())
+        )
+    for xls in sorted(
+        _glob.glob(os.path.join(directory, "*.xls"))
+        + _glob.glob(os.path.join(directory, "*.xlsx"))
+    ):
+        frames.append(
+            read_excel(spark, xls).withColumn("_source_file", F.lit(xls))
+        )
+    if not frames:
+        raise FileNotFoundError(f"no tabular files in {directory}")
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
+
+
+def write_json_per_key(df: DataFrame, path: str, *, key_col: str) -> None:
+    """K3: per-key JSON output (one directory per key value) —
+    ``partitionBy`` replaces the reference's one-file-per-person loop
+    (``leader/bio_processor_qwen.py:436-490``)."""
+    df.write.mode("overwrite").partitionBy(key_col).json(path)
+
+
+def write_json_single(df: DataFrame, path: str) -> None:
+    """K4: consolidated JSON dump (driver-side collect avoided; coalesce
+    keeps one output file)."""
+    df.coalesce(1).write.mode("overwrite").json(path)
