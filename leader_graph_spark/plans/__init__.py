@@ -4,6 +4,7 @@ from leader_graph_spark.plans.registry import REGISTRY, QuerySpec, bench_queries
 
 # Import for side effect: each module registers its queries.
 from leader_graph_spark.plans import (  # noqa: E402,F401
+    analytics_queries,
     dedup_queries,
     graph_queries,
     pipeline_queries,

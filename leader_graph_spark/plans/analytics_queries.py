@@ -1,0 +1,298 @@
+"""Analytics-surface queries: window functions, cube/rollup/pivot,
+IVF-style similarity partitioning, URL normalization and the
+first-valid coalesce cascade — rounding out the operator inventory
+beyond the flagship shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from leader_graph_spark.functions.scalar import (
+    absolutize_url,
+    strip_query_string,
+)
+from leader_graph_spark.plans.registry import query
+from leader_graph_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Window functions: rank / lag / running totals
+# ---------------------------------------------------------------------------
+
+_RANK_ORACLE = """
+SELECT s_nationkey, s_suppkey, s_acctbal,
+       CAST(rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS INT) AS bal_rank,
+       CAST(dense_rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS INT) AS bal_dense_rank,
+       lag(s_suppkey) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS richer_suppkey
+FROM supplier
+"""
+
+
+@query("supplier_rank_in_nation", _RANK_ORACLE, tags=("window-rank",))
+def supplier_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/lag window functions with a total order
+    (tie-broken by key) per nation partition."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return supplier.select(
+        "s_nationkey",
+        "s_suppkey",
+        "s_acctbal",
+        F.rank().over(w).cast("int").alias("bal_rank"),
+        F.dense_rank().over(w).cast("int").alias("bal_dense_rank"),
+        F.lag("s_suppkey").over(w).alias("richer_suppkey"),
+    )
+
+
+_RUNNING_ORACLE = """
+SELECT event_id, user_id, ts,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_value
+FROM events
+"""
+
+
+@query("running_total_per_user", _RUNNING_ORACLE, tags=("window-frame",))
+def running_total_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative frame aggregation per user in event-time order
+    (DECIMAL so the running sum is order-exact)."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("decimal(18,2)")
+        .alias("running_value"),
+    )
+
+
+_TOPK_GROUP_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+@query("top3_orders_per_customer", _TOPK_GROUP_ORACLE, tags=("window-topk",))
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number — the scalable form of the
+    reference's first-valid-wins selection (W6) generalized to k>1."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cube / rollup / pivot
+# ---------------------------------------------------------------------------
+
+_CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@query("lineitem_cube", _CUBE_ORACLE, tags=("cube",))
+def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all subtotal combinations) with
+    order-independent DECIMAL sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_PIVOT_ORACLE = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS status_F,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS status_O,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS status_P
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@query("order_status_pivot", _PIVOT_ORACLE, tags=("pivot",))
+def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide counts) with an explicit value list so the
+    output schema is static — the planner-friendly form."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("status_F"),
+            F.coalesce("O", F.lit(0)).alias("status_O"),
+            F.coalesce("P", F.lit(0)).alias("status_P"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set op: intersect
+# ---------------------------------------------------------------------------
+
+_INTERSECT_ORACLE = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
+"""
+
+
+@query("nations_customers_and_rich_suppliers", _INTERSECT_ORACLE, tags=("U-intersect",))
+def nations_customers_and_rich_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set operation (value-based)."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return customer.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        supplier.filter(F.col("s_acctbal") > 5000).select(
+            F.col("s_nationkey").alias("nationkey")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF coarse partitioning for similarity search
+# ---------------------------------------------------------------------------
+
+_IVF_ORACLE = """
+WITH centroids AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id % 40 = 0
+),
+scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         round(list_sum(list_transform(list_zip(e.embedding, c.cvec),
+                                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          * sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim
+  FROM embeddings e CROSS JOIN centroids c
+)
+SELECT vec_id, centroid_id AS assigned_centroid, sim AS centroid_sim
+FROM (
+  SELECT vec_id, centroid_id, sim,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
+@query("ivf_centroid_assignment", _IVF_ORACLE, tags=("similarity-ivf",))
+def ivf_centroid_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization: every vector assigned to its
+    most-similar centroid (deterministic centroid subset). At scale the
+    ANN search then probes only the assigned partition(s) — the
+    inverted-file analog of the SRP buckets, and the natural
+    ``repartition(assigned_centroid)`` layout for a vector store."""
+    from leader_graph_spark.operators.similarity import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("cvec"),
+    )
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sim = F.round(
+        dot(F.col("v"), F.col("cvec"))
+        / (
+            F.sqrt(dot(F.col("v"), F.col("v")))
+            * F.sqrt(dot(F.col("cvec"), F.col("cvec")))
+        ),
+        6,
+    )
+    scored = vecs.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "centroid_id", sim.alias("sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("centroid_id").alias("assigned_centroid"),
+            F.col("sim").alias("centroid_sim"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL normalization + first-valid coalesce cascade (F7-F10, P8, W6)
+# ---------------------------------------------------------------------------
+
+_URL_ORACLE = """
+WITH urls AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN '/item/doc' || CAST(doc_id AS VARCHAR) || '?from=search'
+              WHEN doc_id % 3 = 1 THEN 'https://example.org/item/doc' || CAST(doc_id AS VARCHAR)
+              ELSE 'not_a_url_' || CAST(doc_id AS VARCHAR) END AS raw_url,
+         CASE WHEN doc_id % 4 = 0 THEN 'https://img.example.org/pic/p' || CAST(doc_id AS VARCHAR) || '.jpg?x=1'
+              ELSE NULL END AS method1_img,
+         CASE WHEN doc_id % 2 = 0 THEN 'https://img.example.org/pic/q' || CAST(doc_id AS VARCHAR) || '.png'
+              ELSE NULL END AS method2_img
+  FROM documents
+)
+SELECT doc_id,
+       split_part(CASE WHEN raw_url LIKE '/%' THEN 'https://example.org' || raw_url ELSE raw_url END, '?', 1) AS canonical_url,
+       (raw_url LIKE '%/item/%') AS is_item_url,
+       coalesce(method1_img, method2_img, 'https://img.example.org/default.png') AS chosen_img
+FROM urls
+"""
+
+
+@query("url_normalization_cascade", _URL_ORACLE, tags=("F7", "F8", "P8", "W6"))
+def url_normalization_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL absolutization + query-string strip (F7/F8,
+    ``leader/update_c_org_leader_info.py:44-50,172-178``) and the
+    first-valid-image coalesce cascade (W6,
+    ``leader/update_leader_img_url.py:146-215``) over deterministic
+    synthesized URLs."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    raw = (
+        F.when(d % 3 == 0, F.concat(F.lit("/item/doc"), d.cast("string"), F.lit("?from=search")))
+        .when(d % 3 == 1, F.concat(F.lit("https://example.org/item/doc"), d.cast("string")))
+        .otherwise(F.concat(F.lit("not_a_url_"), d.cast("string")))
+    )
+    m1 = F.when(
+        d % 4 == 0,
+        F.concat(F.lit("https://img.example.org/pic/p"), d.cast("string"), F.lit(".jpg?x=1")),
+    )
+    m2 = F.when(
+        d % 2 == 0,
+        F.concat(F.lit("https://img.example.org/pic/q"), d.cast("string"), F.lit(".png")),
+    )
+    urls = docs.select(
+        "doc_id", raw.alias("raw_url"), m1.alias("method1_img"), m2.alias("method2_img")
+    )
+    return urls.select(
+        "doc_id",
+        strip_query_string(absolutize_url("raw_url", "https://example.org")).alias(
+            "canonical_url"
+        ),
+        F.col("raw_url").contains("/item/").alias("is_item_url"),
+        F.coalesce(
+            "method1_img", "method2_img", F.lit("https://img.example.org/default.png")
+        ).alias("chosen_img"),
+    )
