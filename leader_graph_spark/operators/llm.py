@@ -163,3 +163,70 @@ def pending_rows(df: DataFrame, *, output_col: str) -> DataFrame:
     """P5 incremental-rerun filter: only rows not yet structured
     (``leader/bio_processor.py:572-588``)."""
     return df.filter(F.col(output_col).isNull())
+
+
+class RetryingBackend:
+    """Wrap a backend with in-UDF retries (the reference's
+    retry-with-requeue, ``processor/data_processor.py:331-419``:
+    3 attempts, then a terminal-failure record). Deterministic backoff
+    hook for tests; terminal failures surface as error rows for the
+    DLQ split instead of raising."""
+
+    def __init__(self, inner, *, max_retries: int = 3, sleep=None):
+        self.inner = inner
+        self.max_retries = max_retries
+        self.sleep = sleep or (lambda attempt: None)
+        self.cost_per_row = getattr(inner, "cost_per_row", 0.0)
+
+    def extract_with_status(self, text: str) -> tuple[list[dict] | None, str | None, int]:
+        last_err = None
+        for attempt in range(1, self.max_retries + 1):
+            try:
+                return self.inner.extract(text), None, attempt
+            except Exception as exc:  # noqa: BLE001 — external-call seam
+                last_err = str(exc)
+                self.sleep(attempt)
+        return None, last_err, self.max_retries
+
+
+def structured_extraction_with_dlq(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    backend_factory: Callable[[], object],
+    max_retries: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """X8 with failure semantics: returns (results, dead_letter).
+    Failed rows retry in-UDF up to ``max_retries``; terminal failures
+    land in the dead-letter DataFrame with the error and attempt count
+    (re-drivable via the P5 anti-join pattern)."""
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("events_json", T.StringType()),
+            T.StructField("error", T.StringType()),
+            T.StructField("attempts", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        backend = RetryingBackend(backend_factory(), max_retries=max_retries)
+        for pdf in batches:
+            rows = []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                events, err, attempts = backend.extract_with_status(text)
+                payload = None if events is None else json.dumps({"events": events})
+                rows.append((rid, payload, err, attempts))
+            yield pd.DataFrame(rows, columns=[id_col, "events_json", "error", "attempts"])
+
+    raw = df.select(id_col, text_col).mapInPandas(run, out_schema)
+    ok = raw.filter(F.col("error").isNull()).select(
+        id_col,
+        F.from_json(F.get_json_object("events_json", "$.events"), EVENTS_SCHEMA).alias(
+            "events"
+        ),
+        "attempts",
+    )
+    dlq = raw.filter(F.col("error").isNotNull()).select(id_col, "error", "attempts")
+    return ok, dlq

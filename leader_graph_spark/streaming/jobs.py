@@ -114,3 +114,79 @@ def session_windows(events: DataFrame, *, gap: str = "5 minutes") -> DataFrame:
             "sum_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator + micro-batch sink
+# ---------------------------------------------------------------------------
+
+
+def user_running_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    a per-user running (count, value-sum) that persists across
+    micro-batches — the streaming analog of the reference's
+    per-consumer tallies (``processor/data_processor.py:72-79``).
+    State is one small tuple per user — bounded by key cardinality,
+    not input size."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = read_events_stream(spark, sf_dir)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: "GroupState"):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_foreach_batch_to_parquet(
+    sdf: DataFrame, *, out_dir: str, checkpoint: str
+) -> None:
+    """Micro-batch sink via foreachBatch — the consumer side of the
+    reference's producer/consumer pipeline (``processor/data_processor.py:
+    262-316``): each batch lands idempotently (overwrite by batch id
+    partition)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -95,3 +95,30 @@ def test_cost_cap_circuit_breaker(spark):
     )
     # 0.0005 budget / 0.0001 per row → only ~5 rows processed, rest pending
     assert out.count() <= 6
+
+
+def test_retry_dlq_split(spark):
+    from leader_graph_spark.operators.llm import (
+        DeterministicFakeBackend,
+        structured_extraction_with_dlq,
+    )
+
+    class FlakyBackend(DeterministicFakeBackend):
+        """Rows whose text contains 'poison' always fail."""
+
+        def extract(self, text):
+            if "poison" in text:
+                raise RuntimeError("backend exploded")
+            return super().extract(text)
+
+    df = spark.createDataFrame(
+        [(1, "1990-1995 studied at university"), (2, "poison row"), (3, "2000-今 work now")],
+        "id int, career string",
+    )
+    ok, dlq = structured_extraction_with_dlq(
+        df, id_col="id", text_col="career", backend_factory=FlakyBackend, max_retries=3
+    )
+    assert sorted(r.id for r in ok.collect()) == [1, 3]
+    dead = dlq.collect()
+    assert [(r.id, r.attempts) for r in dead] == [(2, 3)]
+    assert "exploded" in dead[0].error

@@ -17,3 +17,48 @@ def test_stream_tumbling_equals_batch(spark, sf_smoke):
         b = {tuple(r) for r in batch.collect()}
         assert s == b
         assert len(s) > 0
+
+
+def test_stateful_running_counts(spark, sf_smoke):
+    from leader_graph_spark.streaming.jobs import run_available_now, user_running_counts_stream
+    from leader_graph_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    sdf = user_running_counts_stream(spark, sf_smoke)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName("running_counts_test")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            r.user_id: (r.n_events, round(r.total_value, 2))
+            for r in spark.table("running_counts_test").collect()
+        }
+    events = load_table(spark, sf_smoke, "events")
+    want = {
+        r.user_id: (r.n, round(r.total, 2))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_foreach_batch_sink(spark, sf_smoke, tmp_path):
+    from leader_graph_spark.streaming.jobs import (
+        run_foreach_batch_to_parquet,
+        tumbling_counts_stream,
+    )
+
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    sdf = tumbling_counts_stream(spark, sf_smoke)
+    run_foreach_batch_to_parquet(sdf, out_dir=out, checkpoint=ckpt)
+    landed = spark.read.parquet(out)
+    assert landed.count() > 0
+    assert "_batch_id" in landed.columns
