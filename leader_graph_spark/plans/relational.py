@@ -85,6 +85,38 @@ def flagship_colleagues_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("flagship_colleagues_bucketed", _FLAGSHIP_ORACLE, tags=("J4", "J6", "skew-bucketed"))
+def flagship_colleagues_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship interval join through the skew-resistant
+    month-bucket blocking variant (same oracle — results must be
+    identical). This is the 100 TB execution path: a hot key's pairs
+    spread over many (key, bucket) partitions instead of one."""
+    from leader_graph_spark.operators.intervals import (
+        interval_overlap_self_join_bucketed,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    spans = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_dt"), F.max("o_orderdate").alias("last_dt")
+    )
+    cust = customer.join(spans, customer.c_custkey == spans.o_custkey).select(
+        "c_custkey",
+        "c_nationkey",
+        ts_months_scalar("first_dt").alias("start_m"),
+        ts_months_scalar("last_dt").alias("end_m"),
+    )
+    pairs = interval_overlap_self_join_bucketed(
+        cust, key_cols=["c_nationkey"], id_col="c_custkey", bucket_months=24
+    )
+    return pairs.select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_custkey_1").alias("custkey_1"),
+        F.col("c_custkey_2").alias("custkey_2"),
+        format_period(F.col("overlap_start"), F.col("overlap_end")).alias("overlap_period"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Aggregation core (A1-A4 shapes) — TPC-H Q1 pricing summary
 # ---------------------------------------------------------------------------
