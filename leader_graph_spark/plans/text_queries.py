@@ -295,3 +295,42 @@ def valid_name_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name",
         ((F.length(cleaned) <= 18) & ~blacklist).alias("is_valid_name"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F2-F5 cleaning cascade over deterministically noised text
+# ---------------------------------------------------------------------------
+
+_CLEAN_ORACLE = """
+WITH noised AS (
+  SELECT doc_id,
+         '<p>' || substr(text, 1, 60) || '</p>[1] tail[12-15] ' || chr(8203) || '[编辑] x' AS noisy
+  FROM documents
+)
+SELECT doc_id,
+       trim(regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(noisy, '\\[\\d+(-\\d+)?\\]|\\[编辑\\]|\\[详情\\]', '', 'g'),
+             '<[^>]+>', '', 'g'),
+           '[\u200b\u200c\u200d\ufeff\u00a0]', '', 'g'),
+         '\\s+', ' ', 'g')) AS cleaned
+FROM noised
+"""
+
+
+@query("clean_text_cascade", _CLEAN_ORACLE, tags=("F2", "F3", "F4", "F5"))
+def clean_text_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's standard text-cleaning cascade (citation marks →
+    HTML tags → zero-width chars → whitespace collapse,
+    ``parser/baike_parser.py:197-205``) applied to deterministically
+    noised text, oracle-checked regex by regex."""
+    from leader_graph_spark.functions.scalar import clean_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    noisy = F.concat(
+        F.lit("<p>"),
+        F.substring("text", 1, 60),
+        F.lit("</p>[1] tail[12-15] \u200b[编辑] x"),
+    )
+    return docs.select("doc_id", clean_text(noisy).alias("cleaned"))

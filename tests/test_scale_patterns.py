@@ -1,0 +1,74 @@
+"""Scale-pattern tests: bucketed co-located joins, observable metrics,
+schema evolution — the cluster techniques that local[32] can still
+verify structurally."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path, sf_smoke):
+    """Writing both join sides bucketed by the join key lets a later
+    join run without exchanging either side (SortMergeJoin with no
+    Exchange under it) — the pre-partitioning story for repeated joins
+    at 100 TB."""
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    orders.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(
+        "b_orders"
+    )
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(
+        "b_lineitem"
+    )
+    # Disable auto-broadcast: at test scale the planner would broadcast
+    # (hiding the bucketing); at 100 TB neither side broadcasts and the
+    # bucketed layout is what saves the shuffle.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_observe_metrics(spark, sf_smoke):
+    """df.observe — the engine's run-statistics surface (the reference's
+    processed/success counters, ``processor/data_processor.py:72-79``)."""
+    from pyspark.sql import Observation
+
+    obs = Observation("ingest_stats")
+    df = (
+        spark.read.parquet(f"{sf_smoke}/orders.parquet")
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((F.col("o_totalprice") > 100000).cast("long")).alias("n_big"),
+        )
+        .filter(F.col("o_orderstatus") == "O")
+    )
+    df.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got["n_rows"] == 1500
+    assert 0 < got["n_big"] < 1500
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Declared-schema evolution: new columns appear as nulls for old
+    files (the lake replacement for the reference's runtime ALTER TABLE,
+    ``leader/bio_processor.py:271-302``)."""
+    p = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "a")], "id int, v string").write.parquet(p)
+    spark.createDataFrame([(2, "b", 9.5)], "id int, v string, score double").write.mode(
+        "append"
+    ).parquet(p)
+    merged = spark.read.option("mergeSchema", True).parquet(p)
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
