@@ -230,3 +230,69 @@ def structured_extraction_with_dlq(
     )
     dlq = raw.filter(F.col("error").isNotNull()).select(id_col, "error", "attempts")
     return ok, dlq
+
+
+NEWS_SCHEMA = T.StructType(
+    [
+        T.StructField("leader", T.StringType()),
+        T.StructField("location", T.StringType()),
+        T.StructField("event", T.StringType()),
+        T.StructField("targets", T.ArrayType(T.StringType())),
+        T.StructField("accompanying", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+class FakeNewsBackend:
+    """X10 news-extraction stand-in (``src/news_processor.py:60-132``):
+    deterministic rule-based pull of the nested struct the reference's
+    NewsExtraction schema defines (leader, location, event, targets[],
+    accompanying[])."""
+
+    cost_per_row = 0.0001
+
+    def extract_news(self, text: str) -> dict:
+        import re as _re
+
+        def group(pat):
+            m = _re.search(pat, text or "")
+            return m.group(1).strip() if m else None
+
+        def group_list(pat):
+            m = _re.search(pat, text or "")
+            return [t.strip() for t in m.group(1).split("、")] if m else []
+
+        return {
+            "leader": group(r"(?:^|。)([\w·]+)(?:书记|市长|省长|主任)"),
+            "location": group(r"在([\w]+?)(?:调研|考察|主持|出席)"),
+            "event": group(r"(调研|考察|主持会议|出席活动)"),
+            "targets": group_list(r"(?:调研|考察)([\w、]+?)(?:等|。|$)"),
+            "accompanying": group_list(r"陪同的有([\w、]+?)(?:等|。|$)"),
+        }
+
+
+def news_extraction(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+    """X10 as mapInPandas → nested struct; downstream ``explode`` of
+    targets/accompanying is plain relational."""
+    out_schema = T.StructType([df.schema[id_col], T.StructField("news", NEWS_SCHEMA)])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        backend = FakeNewsBackend()
+        for pdf in batches:
+            parsed = pdf[text_col].map(backend.extract_news)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "news": parsed.map(
+                        lambda d: (
+                            d["leader"],
+                            d["location"],
+                            d["event"],
+                            d["targets"],
+                            d["accompanying"],
+                        )
+                    ),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, out_schema)

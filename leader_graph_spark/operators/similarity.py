@@ -205,3 +205,60 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    centroid_mod: int = 40,
+) -> DataFrame:
+    """IVF-probe approximate top-k: vectors are coarse-quantized to
+    their nearest centroid (see ``ivf_centroid_assignment``); the
+    search joins only within a centroid's inverted list — after a
+    ``repartition(assigned_centroid)`` layout this is a co-located
+    join with no all-pairs stage. Output matches the top-k schema."""
+    centroids = emb.filter(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+    vecs = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    sim_c = dot(F.col("v"), F.col("cvec")) / (
+        F.col("nrm") * F.sqrt(dot(F.col("cvec"), F.col("cvec")))
+    )
+    w_assign = Window.partitionBy("id").orderBy(F.desc("csim"), F.asc("centroid_id"))
+    assigned = (
+        vecs.crossJoin(F.broadcast(centroids))
+        .select("id", "v", "nrm", "centroid_id", sim_c.alias("csim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("id", "v", "nrm", "centroid_id")
+    )
+    a = assigned.select("id", F.col("v").alias("va"), F.col("nrm").alias("na"), "centroid_id")
+    b = assigned.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        "centroid_id",
+    )
+    scored = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id") != F.col("neighbor_id"))
+        .select(
+            "id",
+            "neighbor_id",
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "neighbor_id", "cosine_sim", F.col("rank").cast("int").alias("rank"))
+    )

@@ -347,3 +347,39 @@ def connected_components_membership(spark: SparkSession, sf_dir: str) -> DataFra
     vertices = build_vertices(spark, sf_dir)
     edges = build_membership_edges(spark, sf_dir)
     return connected_components(vertices, edges)
+
+
+# ---------------------------------------------------------------------------
+# Motif analytics: triangle counting on the same-nation graph
+# ---------------------------------------------------------------------------
+
+_TRIANGLE_ORACLE = """
+SELECT a.s_nationkey AS nationkey, count(*) AS n_triangles
+FROM supplier a
+JOIN supplier b ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+JOIN supplier c ON b.s_nationkey = c.s_nationkey AND b.s_suppkey < c.s_suppkey
+GROUP BY a.s_nationkey
+"""
+
+
+@query("nation_triangle_counts", _TRIANGLE_ORACLE, tags=("graph-motif",))
+def nation_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (the GraphFrames motif ``(a)-(b)-(c)`` analog)
+    over the same-nation relationship graph via ordered 3-way self-join
+    — each triangle counted exactly once by ``id1 < id2 < id3``."""
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    a, b, c = supplier.alias("a"), supplier.alias("b"), supplier.alias("c")
+    return (
+        a.join(
+            b,
+            (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+            & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
+        )
+        .join(
+            c,
+            (F.col("b.s_nationkey") == F.col("c.s_nationkey"))
+            & (F.col("b.s_suppkey") < F.col("c.s_suppkey")),
+        )
+        .groupBy(F.col("a.s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

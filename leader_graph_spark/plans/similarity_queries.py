@@ -74,3 +74,14 @@ def ann_lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(
         emb, id_col="vec_id", vec_col="embedding", k=5, n_planes=4, n_tables=4, dim=64
     )
+
+
+@query("ann_ivf_topk", None, tags=("similarity-ann-ivf",))
+def ann_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probe approximate top-5 (search within the assigned centroid
+    partition only) — the inverted-file complement to the SRP-LSH path.
+    Rows-only check; structure validated in tests/test_similarity.py."""
+    from leader_graph_spark.operators.similarity import ann_ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_ivf_topk(emb, id_col="vec_id", vec_col="embedding", k=5, centroid_mod=40)

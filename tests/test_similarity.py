@@ -58,3 +58,30 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     # 4 tables × 4 planes (OR-amplified): nearest-neighbor cosines in
     # this data are weak (~0.33), so recall ~0.4-0.6 is expected.
     assert hits / total > 0.35, f"recall {hits}/{total}"
+
+
+def test_ann_ivf_structure(spark, sf_dir):
+    from leader_graph_spark.operators.similarity import ann_ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    out = ann_ivf_topk(emb, k=5, centroid_mod=40)
+    rows = out.collect()
+    assert len(rows) > 0
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.id, []).append(r.rank)
+    # ranks are 1..k contiguous per id, never exceeding k
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 5 for v in by_id.values())
+
+
+def test_news_extraction_fixture(spark):
+    from leader_graph_spark.operators.llm import news_extraction
+
+    text = "李强书记在浦东新区调研集成电路、人工智能等。陪同的有张三、李四等。"
+    df = spark.createDataFrame([(1, text)], "id int, body string")
+    out = news_extraction(df, id_col="id", text_col="body").collect()[0].news
+    assert out.leader == "李强"
+    assert out.location == "浦东新区"
+    assert out.event == "调研"
+    assert out.targets == ["集成电路", "人工智能"]
+    assert out.accompanying == ["张三", "李四"]
