@@ -296,3 +296,22 @@ def url_normalization_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             "method1_img", "method2_img", F.lit("https://img.example.org/default.png")
         ).alias("chosen_img"),
     )
+
+
+_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@query("lineitem_rollup", _ROLLUP_ORACLE, tags=("rollup",))
+def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy subtotals (flag → flag+status → grand total)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )

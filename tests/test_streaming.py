@@ -62,3 +62,53 @@ def test_foreach_batch_sink(spark, sf_smoke, tmp_path):
     landed = spark.read.parquet(out)
     assert landed.count() > 0
     assert "_batch_id" in landed.columns
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Watermark semantics across checkpointed incremental runs: run 1
+    advances the watermark past hour 0 and finalizes its window; a
+    too-late record arriving before run 2 must be dropped, not merged.
+    (Within a single AvailableNow run the watermark stays at its
+    restored value for all batches — late-drop is a cross-run property.)
+    """
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("v", T.DoubleType())]
+    )
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    base = dt.datetime(2024, 1, 1)
+
+    def run_once():
+        sdf = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.sum("v").alias("total"))
+            .select(F.col("window.start").alias("ws"), "total")
+        )
+
+        def sink(bdf, bid):
+            bdf.write.mode("append").parquet(out)
+
+        q = (
+            sdf.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    first = [(base, 1.0), (base + dt.timedelta(hours=1), 1.0), (base + dt.timedelta(hours=10), 1.0)]
+    spark.createDataFrame(first, schema).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    late = [(base + dt.timedelta(minutes=30), 99.0)]
+    spark.createDataFrame(late, schema).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    rows = {r.ws: r.total for r in spark.read.parquet(out).collect()}
+    assert rows[dt.datetime(2024, 1, 1, 0, 0)] == 1.0  # 99.0 dropped as too late
