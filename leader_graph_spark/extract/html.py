@@ -286,3 +286,48 @@ def extract_links_table(
             yield pd.DataFrame(rows, columns=[id_col, "name", "url", "uuid"])
 
     return df.select(id_col, html_col).mapInPandas(run, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# X4-X6: career sections, person details, title/summary
+# ---------------------------------------------------------------------------
+
+CAREER_HEADING_KEYWORDS = ("人物履历", "人物经历", "工作经历", "履历", "Career")
+
+PERSON_DETAIL_MAPPING = {
+    "ethnicity": ["民族"],
+    "native_place": ["籍贯", "出生地"],
+    "birth_date": ["出生日期", "出生年月"],
+    "alma_mater": ["毕业院校"],
+    "political_status": ["政治面貌"],
+}
+
+
+def extract_career_sections(html: str) -> list[str]:
+    """X4 (``parser/baike_parser.py:114-208``): the career section's
+    cleaned lines — heading matched by keyword (substring semantics,
+    F14 variant 2), content split on the date-led line starts the
+    reference's cleaner produces."""
+    page = parse_page(html)
+    for sec in page["sections"]:
+        if any(k in sec["heading"] for k in CAREER_HEADING_KEYWORDS):
+            text = sec["content"]
+            parts = re.split(r"(?=\d{4}\.\d{2}[-—])", text)
+            return [clean_text(p) for p in parts if p.strip()]
+    return []
+
+
+def extract_person_details(html: str) -> dict[str, str | None]:
+    """X5 (``parser/baike_parser.py:261-407``): fixed-field person
+    details via the dt/dd infobox cascade."""
+    return extract_infobox(html, PERSON_DETAIL_MAPPING)
+
+
+def extract_title_summary(html: str) -> dict[str, str]:
+    """X6 (``parser/baike_parser.py:74-113,210-259``): page title
+    (suffix-stripped) + summary with the meta-description fallback."""
+    page = parse_page(html)
+    return {
+        "title": page["title"],
+        "summary": page["summary"] or page["description"],
+    }

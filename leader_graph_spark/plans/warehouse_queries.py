@@ -266,3 +266,32 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     mm = attach_fake_payloads(docs, text_col="text", id_col="doc_id")
     return extract_image_features(mm, id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# SQL-API surface: same Catalyst plans from SQL text
+# ---------------------------------------------------------------------------
+
+_REVENUE_REGION_SQL = """
+SELECT r.r_name AS region_name,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DECIMAL(28,6)) AS revenue,
+       count(DISTINCT o.o_orderkey) AS n_orders
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+@query("revenue_by_region_sql", _REVENUE_REGION_SQL, tags=("sql-api", "J1", "A1"))
+def revenue_by_region_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-API path: temp views + ``spark.sql`` — Catalyst produces
+    the same plan as the DataFrame API (here the query text doubles as
+    its own oracle, which is the strongest possible parity check)."""
+    from leader_graph_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_REVENUE_REGION_SQL)

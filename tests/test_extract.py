@@ -127,3 +127,42 @@ def test_validation_reject_and_repair(spark):
     assert repaired[2].place is None and repaired[2].school == "school"
     assert repaired[3].start_year is None and repaired[3].end_year is None
     assert repaired[3].has_end_date is False  # downgraded with the nulled end year
+
+
+def test_career_sections_and_details():
+    from leader_graph_spark.extract.html import (
+        extract_career_sections,
+        extract_person_details,
+        extract_title_summary,
+    )
+
+    lines = extract_career_sections(FIXTURE_HTML)
+    assert lines == ["1980.09-1984.07 北京大学学习", "1984.07-1990.01 某单位工作"]
+    details = extract_person_details(FIXTURE_HTML)
+    assert details["ethnicity"] == "汉族"
+    assert details["native_place"] == "北京"
+    assert details["alma_mater"] is None
+    ts = extract_title_summary(FIXTURE_HTML)
+    assert ts["title"] == "张伟"
+    assert "1962年10月生" in ts["summary"]
+
+
+def test_html_to_events_chain(spark):
+    """Stages 6-7 end-to-end: HTML page → career section lines → typed
+    validated events (the reference's extract→structure chain)."""
+    from leader_graph_spark.extract.html import extract_career_sections
+    from leader_graph_spark.operators.llm import structured_extraction
+    from leader_graph_spark.operators.validation import validate_events_reject
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, FIXTURE_HTML)], "id int, remark string")
+    careers = df.rdd.map(
+        lambda r: (r.id, "\n".join(extract_career_sections(r.remark)))
+    ).toDF(["id", "career_text"])
+    extracted = structured_extraction(careers, id_col="id", text_col="career_text")
+    events = extracted.select("id", F.explode("events").alias("e")).select("id", "e.*")
+    valid, _ = validate_events_reject(events)
+    rows = valid.collect()
+    assert {r.event_type for r in rows} == {"study", "work"}
+    study = [r for r in rows if r.event_type == "study"][0]
+    assert study.start_year == 1980 and study.end_year == 1984
