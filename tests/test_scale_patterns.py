@@ -13,10 +13,17 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path, sf_smoke):
     join run without exchanging either side (SortMergeJoin with no
     Exchange under it) — the pre-partitioning story for repeated joins
     at 100 TB."""
+    import shutil
+
     orders = spark.read.parquet(f"{sf_smoke}/orders.parquet")
     li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    # The in-memory catalog forgets tables between sessions but the
+    # warehouse directory persists — clear stale locations too.
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_lineitem"):
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
     orders.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(
         "b_orders"
     )
