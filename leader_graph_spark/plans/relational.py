@@ -533,3 +533,53 @@ def order_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(50)
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# J1 exact shape: left join on the FIRST element of a packed list
+# ---------------------------------------------------------------------------
+
+_FIRST_ORG_ORACLE = """
+WITH packed AS (
+  SELECT o_custkey AS custkey,
+         string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderdate, o_orderkey) AS order_list
+  FROM orders GROUP BY o_custkey
+)
+SELECT p.custkey,
+       split_part(p.order_list, ',', 1) AS first_order_key,
+       o.o_orderdate AS first_order_date,
+       o.o_totalprice AS first_order_price
+FROM packed p
+LEFT JOIN orders o ON o.o_orderkey = CAST(split_part(p.order_list, ',', 1) AS BIGINT)
+"""
+
+
+@query("first_of_packed_join", _FIRST_ORG_ORACLE, tags=("J1", "F11"))
+def first_of_packed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's J1 exactly: LEFT JOIN on
+    ``SUBSTRING_INDEX(packed_list, ',', 1)`` — the leader's first org in
+    the comma list resolved against the org table
+    (``src/mysql2neo4j.py:110-121``), here as each customer's
+    chronologically-first order resolved against orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    packed = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("o_orderdate", "o_orderkey"))),
+                lambda s: s.o_orderkey.cast("string"),
+            ),
+            ",",
+        ).alias("order_list")
+    )
+    first_key = first_of_packed_list("order_list")
+    o = orders.select("o_orderkey", "o_orderdate", "o_totalprice")
+    return (
+        packed.withColumn("first_order_key", first_key)
+        .join(o, F.col("first_order_key").cast("bigint") == o.o_orderkey, "left")
+        .select(
+            "custkey",
+            "first_order_key",
+            F.col("o_orderdate").alias("first_order_date"),
+            F.col("o_totalprice").alias("first_order_price"),
+        )
+    )
