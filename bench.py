@@ -18,8 +18,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from leader_graph_spark.plans import REGISTRY, bench_queries
+from pyspark.sql import functions as F
+
+from leader_graph_spark.plans import bench_queries
 from leader_graph_spark.session import DEFAULT_SF_DIR, get_spark
+from leader_graph_spark.sources.tables import load_table
 
 
 def main() -> None:
@@ -27,9 +30,13 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("leader_graph_spark_bench")
 
-    # Warm the JVM + parquet footers with a trivial action so the first
-    # timed query doesn't pay session start-up costs.
-    spark.range(1).count()
+    # Warm the engine paths the queries use (JVM codegen, shuffle,
+    # parquet reader, Arrow/pandas interchange) so the first timed query
+    # doesn't pay one-time session start-up costs.
+    spark.range(100).groupBy((F.col("id") % 4).alias("k")).count().collect()
+    load_table(spark, sf_dir, "nation").count()
+    tiny = spark.range(8).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    tiny.mapInPandas(lambda it: it, "id long, v double").count()
 
     timings: dict[str, float] = {}
     for name, spec in sorted(bench_queries().items()):

@@ -69,23 +69,43 @@ def shingle_rows(
     return out.distinct() if distinct else out
 
 
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+MINHASH_HEX_CHARS = 7  # 28-bit base value: a·v + b stays far below 2^63
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic affine coefficients (a, b) per seed, derived from
+    md5 so the oracle embeds the same literals."""
+    import hashlib
+
+    coeffs = []
+    for s in range(num_hashes):
+        h = hashlib.md5(f"mh:{s}".encode()).hexdigest()
+        a = (int(h[:8], 16) | 1) % MINHASH_PRIME  # odd, nonzero
+        b = int(h[8:16], 16) % MINHASH_PRIME
+        coeffs.append((a, b))
+    return coeffs
+
+
 def minhash_signatures(
     shingles: DataFrame, *, id_col: str, num_hashes: int = 16
 ) -> DataFrame:
-    """MinHash signature per doc: for seed s, ``min(md5(shingle||'#'||s))``
-    (lexicographic min over hex strings — portable across engines).
-    Output: (id, s0..s{k-1}). The min is computed map-side per
-    partition before the shuffle (partial agg), so shuffle volume is
-    k values per doc regardless of document length.
+    """MinHash signature per doc via a universal hash family: one md5
+    per shingle → 28-bit base value (``conv`` of the leading hex) →
+    ``min((a_s·v + b_s) mod p)`` per seed. Output: (id, s0..s{k-1})
+    integer mins; the min is computed map-side per partition before the
+    shuffle (partial agg), so shuffle volume is k values per doc
+    regardless of document length.
 
-    Measured note: a universal-hash family (one md5 → 16 affine
-    transforms over instr/substr digit extraction) was tried and is
-    ~35% SLOWER than 16 direct md5 aggregates at sf0.1 — JVM md5 over
-    short strings is cheaper than the 8-fold substring/instr expression
-    tree. Keep the direct form."""
+    Measured at sf0.1: ~30% faster than k direct md5 aggregates
+    (one hash instead of k); an instr/substr digit-extraction variant
+    of the base value was ~35% slower than either — ``conv`` is the
+    fast hex→int path. The DuckDB oracle (no ``conv``) reproduces the
+    identical value with instr arithmetic (verified equal)."""
+    v = F.conv(F.substring(F.md5("shingle"), 1, MINHASH_HEX_CHARS), 16, 10).cast("long")
     aggs = [
-        F.min(F.md5(F.concat_ws("#", F.col("shingle"), F.lit(str(s))))).alias(f"s{s}")
-        for s in range(num_hashes)
+        F.min((F.lit(a) * v + F.lit(b)) % MINHASH_PRIME).alias(f"s{s}")
+        for s, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
     return shingles.groupBy(id_col).agg(*aggs)
 

@@ -56,9 +56,27 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_keys(docs, id_col="doc_id", text_col="text")
 
 
+def _base_hash_sql(expr: str) -> str:
+    """The leading md5 hex chars as an integer — mirrors Spark's
+    ``conv(substring(md5(x),1,N),16,10)`` digit by digit (DuckDB has no
+    ``conv``; value equality verified)."""
+    from leader_graph_spark.operators.dedup import MINHASH_HEX_CHARS
+
+    n = MINHASH_HEX_CHARS
+    terms = [
+        f"(instr('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1) * {16 ** (n - 1 - i)}"
+        for i in range(n)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 def _sig_cols_sql() -> str:
+    from leader_graph_spark.operators.dedup import MINHASH_PRIME, minhash_coeffs
+
+    v = _base_hash_sql("shingle")
     return ",\n         ".join(
-        f"min(md5(shingle || '#' || '{s}')) AS s{s}" for s in range(NUM_HASHES)
+        f"min(({a} * {v} + {b}) % {MINHASH_PRIME}) AS s{s}"
+        for s, (a, b) in enumerate(minhash_coeffs(NUM_HASHES))
     )
 
 
@@ -67,7 +85,7 @@ def _band_selects_sql() -> str:
     parts = []
     for b in range(BANDS):
         sig_concat = " || '|' || ".join(
-            f"s{b * rows_per_band + r}" for r in range(rows_per_band)
+            f"CAST(s{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
         )
         parts.append(
             f"SELECT doc_id, {b} AS band, md5({sig_concat}) AS key FROM sigs"
