@@ -270,3 +270,56 @@ def simhash16(
     for j in range(16):
         sim = sim + F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return per_doc.select(F.col(id_col), sim.cast("int").alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 16-bit fingerprint into
+    ``bands`` nibble keys, bucket-join docs sharing any band, verify
+    exact Hamming distance ≤ ``max_hamming``.
+
+    With 16 bits in 4 bands, pigeonhole makes the banding EXACT for
+    hamming ≤ 3 (any pair differing in ≤3 bits agrees on ≥1 whole
+    band) — unlike MinHash-LSH this recall is 100%, not probabilistic.
+    The bucket join replaces the quadratic all-pairs Hamming scan with
+    an equi-join on (band, nibble) — the 100 TB path. Output:
+    (id_1, id_2, hamming)."""
+    bits_per_band = 16 // bands
+    mask = (1 << bits_per_band) - 1
+    sims = simhash16(df, id_col=id_col, text_col=text_col)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright("simhash", b * bits_per_band).bitwiseAND(F.lit(mask)).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sims.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_1"),
+            F.col(f"b.{id_col}").alias("id_2"),
+            F.col("a.simhash").bitwiseXOR(F.col("b.simhash")).alias("x"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn("hamming", F.bit_count("x").cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_1", "id_2", "hamming")
+    )

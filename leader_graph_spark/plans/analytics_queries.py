@@ -298,6 +298,56 @@ def url_normalization_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# As-of (temporal) join
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH pur AS (
+  SELECT user_id, ts, max(event_id) AS event_id, arg_max(value, event_id) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+clk AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click')
+SELECT c.event_id, c.user_id, c.ts, c.value,
+       p.event_id AS asof_event_id, p.ts AS asof_ts, p.value AS asof_value
+FROM clk c ASOF LEFT JOIN pur p
+  ON c.user_id = p.user_id AND p.ts <= c.ts
+"""
+
+
+@query("clicks_asof_last_purchase", _ASOF_ORACLE, tags=("asof-join",))
+def clicks_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every click annotated with the user's latest purchase
+    at-or-before it. Implemented with the union+window trick (one
+    shuffle on the key, linear per partition — no per-key pair blowup),
+    checked against DuckDB's native ASOF LEFT JOIN. Purchases are
+    pre-deduplicated per (user, ts) by max event_id so the carried
+    payload is deterministic on both sides."""
+    from leader_graph_spark.operators.asof import asof_join_backward
+
+    events = load_table(spark, sf_dir, "events")
+    pur = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("event_id"),
+            F.max_by("value", "event_id").alias("value"),
+        )
+    )
+    clk = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return asof_join_backward(
+        clk,
+        pur,
+        left_key="user_id",
+        right_key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["event_id", "ts", "value"],
+    )
+
+
 _ROLLUP_ORACLE = """
 SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,

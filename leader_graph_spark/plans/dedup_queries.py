@@ -185,8 +185,8 @@ def _h16_sql(tok_expr: str) -> str:
     return " + ".join(terms)
 
 
-_SIMHASH_ORACLE = f"""
-WITH tok AS (
+_SIMHASH_CTE = f"""
+tok AS (
   SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok FROM documents
 ),
 h AS (
@@ -196,11 +196,15 @@ votes AS (
   SELECT doc_id,
          {", ".join(f"sum(CASE WHEN floor(h16 / {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS v{j}" for j in range(16))}
   FROM h GROUP BY doc_id
+),
+sims AS (
+  SELECT doc_id,
+         CAST({" + ".join(f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16))} AS INT) AS simhash
+  FROM votes
 )
-SELECT doc_id,
-       CAST({" + ".join(f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16))} AS INT) AS simhash
-FROM votes
 """
+
+_SIMHASH_ORACLE = f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sims"
 
 
 @query("simhash_fingerprints", _SIMHASH_ORACLE, tags=("dedup-simhash",))
@@ -210,3 +214,31 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-hex based so the oracle matches exactly."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash16(docs, id_col="doc_id", text_col="text")
+
+
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH {_SIMHASH_CTE},
+buckets AS (
+  {" UNION ALL ".join(f"SELECT doc_id, simhash, {b} AS band, (simhash // {1 << (4 * b)}) % 16 AS key FROM sims" for b in range(4))}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2,
+         CAST(bit_count(xor(CAST(a.simhash AS BIGINT), CAST(b.simhash AS BIGINT))) AS INT) AS hamming
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_1, id_2, hamming FROM cands WHERE hamming <= 3
+"""
+
+
+@query("simhash_near_dup_pairs", _SIMHASH_PAIRS_ORACLE, tags=("dedup-simhash-pairs",))
+def simhash_near_dup_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: nibble-banded bucket join (4 bands of 4
+    bits) + exact Hamming ≤ 3 verification. Pigeonhole makes the
+    banding exact — any pair within distance 3 shares a whole band —
+    so this is the deterministic-recall counterpart to MinHash-LSH,
+    still an equi-join (no all-pairs scan) at scale."""
+    from leader_graph_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, id_col="doc_id", text_col="text")

@@ -122,3 +122,25 @@ def test_retry_dlq_split(spark):
     dead = dlq.collect()
     assert [(r.id, r.attempts) for r in dead] == [(2, 3)]
     assert "exploded" in dead[0].error
+
+
+def test_asof_join_backward_semantics(spark):
+    from leader_graph_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 10, "d")],
+        "k long, t long, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "r10"), (1, 15, "r15"), (3, 1, "rx")], "k long, t long, rv string"
+    )
+    out = asof_join_backward(
+        left, right, left_key="k", right_key="k", left_ts="t", right_ts="t",
+        right_payload=["t", "rv"],
+    )
+    got = {(r.k, r.t): (r.asof_t, r.asof_rv) for r in out.collect()}
+    assert got[(1, 10)] == (10, "r10")   # equal ts is inclusive
+    assert got[(1, 20)] == (15, "r15")   # latest at-or-before
+    assert got[(1, 5)] == (None, None)   # nothing precedes
+    assert got[(2, 10)] == (None, None)  # key absent on right
+    assert len(got) == 4
