@@ -75,3 +75,49 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def pagerank_fixed_point(
+    edges: DataFrame, *, iterations: int = 8
+) -> DataFrame:
+    """PageRank (damping 0.85) in integer micro-units.
+
+    All arithmetic is BIGINT — per-edge contribution ``rank div
+    out_degree``, update ``150000 + (0.85 · Σcontrib)`` via ``*85 div
+    100`` — so the result is exactly order-independent and an unrolled
+    SQL oracle reproduces it bit-for-bit (float PageRank would hash
+    differently across engines because summation order differs).
+    Dangling-node mass leaks, as in the classic formulation.
+
+    Per iteration: one join edges⋈ranks (equi on src, co-partitioned
+    after the first shuffle) + one aggregation on dst —
+    the same shape GraphX Pregel compiles to. ``localCheckpoint``
+    truncates lineage so the plan stays flat over many rounds.
+    Returns (id, rank) with rank in micro-units (initial = 1_000_000).
+    """
+    nodes = (
+        edges.select("src")
+        .unionByName(edges.select(F.col("dst").alias("src")))
+        .distinct()
+        .select(F.col("src").alias("id"))
+    )
+    outd = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ranks = nodes.select("id", F.lit(1000000).cast("bigint").alias("rank")).localCheckpoint()
+    for _ in range(iterations):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.id)
+            .join(outd, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.expr("rank div d")).alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, "id", "left")
+            .select(
+                "id",
+                (F.lit(150000) + F.expr("(coalesce(s, CAST(0 AS BIGINT)) * 85) div 100"))
+                .cast("bigint")
+                .alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

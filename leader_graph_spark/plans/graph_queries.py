@@ -383,3 +383,49 @@ def nation_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.s_nationkey").alias("nationkey"))
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank (iterative, integer fixed-point → fully oracle-checkable)
+# ---------------------------------------------------------------------------
+
+_PR_EDGES_CTE = """
+edges AS (
+  SELECT md5(concat('nation', '_', n_name)) AS src,
+         md5(concat('region', '_', r_name)) AS dst
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+  UNION ALL
+  SELECT md5(concat('customer', '_', c_name)),
+         md5(concat('nation', '_', n_name))
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+),
+nodes AS (
+  SELECT DISTINCT src AS id FROM (SELECT src FROM edges UNION ALL SELECT dst FROM edges)
+),
+outd AS (SELECT src, count(*) AS d FROM edges GROUP BY src)
+"""
+
+
+def _pagerank_oracle(iterations: int = 8) -> str:
+    ctes = [_PR_EDGES_CTE.strip(), "r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM nodes)"]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS id, sum(r.rank // o.d) AS s FROM edges e "
+            f"JOIN r{i - 1} r ON r.id = e.src JOIN outd o ON o.src = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT n.id, CAST(150000 + (coalesce(c.s, 0) * 85) // 100 AS BIGINT) AS rank "
+            f"FROM nodes n LEFT JOIN c{i} c ON c.id = n.id)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, rank FROM r{iterations}"
+
+
+@query("pagerank_membership", _pagerank_oracle(), tags=("graph-iterative", "pagerank"))
+def pagerank_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-iteration PageRank over the directed membership graph
+    (customer→nation→region), in integer micro-units so the iterative
+    computation is exactly reproducible by an unrolled-CTE SQL oracle —
+    an oracle-checkable iterative graph algorithm, not rows-only."""
+    from leader_graph_spark.graph.algorithms import pagerank_fixed_point
+
+    return pagerank_fixed_point(build_membership_edges(spark, sf_dir), iterations=8)

@@ -295,3 +295,52 @@ def revenue_by_region_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_REVENUE_REGION_SQL)
+
+
+_LATE_SHIP_EXISTS_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL '90' DAY
+)
+GROUP BY o_orderpriority
+"""
+
+
+@query("late_shipping_orders_exists", _LATE_SHIP_EXISTS_SQL, tags=("sql-api", "subquery-exists"))
+def late_shipping_orders_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shape correlated EXISTS: orders with any line shipped
+    more than 90 days after order date, counted per priority. Catalyst
+    decorrelates the EXISTS into a left-semi join (verified in the
+    plan) — no per-row subquery execution. Query text doubles as its
+    own oracle."""
+    from leader_graph_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATE_SHIP_EXISTS_SQL)
+
+
+_ABOVE_AVG_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE CAST(o_totalprice AS DECIMAL(18,2)) * 2 *
+      (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+    > 3 * (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders i
+           WHERE i.o_custkey = o.o_custkey)
+"""
+
+
+@query("orders_above_customer_avg", _ABOVE_AVG_SQL, tags=("sql-api", "subquery-scalar"))
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shape correlated scalar subqueries: orders priced above
+    1.5× their customer's average, stated as ``2·price·n > 3·sum`` so
+    every comparison stays in exact DECIMAL/BIGINT arithmetic (a float
+    avg would be summation-order-dependent and engine-divergent).
+    Catalyst decorrelates both scalar subqueries into one aggregate
+    joined back on o_custkey."""
+    from leader_graph_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_ABOVE_AVG_SQL)
