@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from leader_graph_spark.sources.tables import fan_out
+
 HEX = "0123456789abcdef"
 
 
@@ -37,7 +39,7 @@ def exact_dedup_keys(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
     text, keeping the smallest id (deterministic winner). Output:
     (content_hash, keep_id, n_dups)."""
     return (
-        df.select(F.col(id_col), F.md5(normalized(text_col)).alias("content_hash"))
+        fan_out(df).select(F.col(id_col), F.md5(normalized(text_col)).alias("content_hash"))
         .groupBy("content_hash")
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
     )
@@ -190,7 +192,9 @@ def minhash_near_duplicates(
     global dedup shuffle is skipped entirely; the exact-Jaccard stage
     needs distinct shingles only for candidate docs, so the dedup runs
     after a semi-join down to the (small) candidate id set."""
-    sh_all = shingle_rows(df, id_col=id_col, text_col=text_col, n=shingle_n, distinct=False)
+    sh_all = shingle_rows(
+        fan_out(df), id_col=id_col, text_col=text_col, n=shingle_n, distinct=False
+    )
     sigs = minhash_signatures(sh_all, id_col=id_col, num_hashes=num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col=id_col, num_hashes=num_hashes, bands=bands)
     cand_ids = (
@@ -217,7 +221,7 @@ def ngram_jaccard_pairs(
     non-approximate baseline the LSH path is measured against).
     The shingle self-join is the scale limiter — correct at any SF but
     O(sum over shingles of docs²); LSH is the 100 TB path."""
-    sh = shingle_rows(df, id_col=id_col, text_col=text_col, n=shingle_n)
+    sh = shingle_rows(fan_out(df), id_col=id_col, text_col=text_col, n=shingle_n)
     pairs = (
         sh.alias("a")
         .join(
@@ -256,7 +260,7 @@ def simhash16(
     first 16 bits of md5(token); a bit is set when the vote sum is
     positive. Output: (id, simhash int). Identical fingerprints flag
     near-duplicate candidates."""
-    tok_rows = df.select(
+    tok_rows = fan_out(df).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tok")
     ).withColumn("h16", _hex16(F.col("tok")))
     votes = [

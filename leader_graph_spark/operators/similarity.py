@@ -48,7 +48,9 @@ def brute_force_topk(
     instead of three. Ranking is on the rounded score with the neighbor
     id as tie-break, so results are deterministic and oracle-stable.
     Output: (id, neighbor_id, cosine_sim, rank)."""
-    a = emb.select(
+    from leader_graph_spark.sources.tables import fan_out
+
+    a = fan_out(emb).select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("va")
     ).withColumn("na", F.sqrt(dot(F.col("va"), F.col("va"), dim)))
     b = emb.select(
@@ -135,7 +137,9 @@ def srp_lsh_buckets(
                 {"id": ids, "table": tables, "bucket": buckets.reshape(-1)}
             )
 
-    return emb.select(id_col, vec_col).mapInPandas(run, out_schema)
+    from leader_graph_spark.sources.tables import fan_out
+
+    return fan_out(emb.select(id_col, vec_col)).mapInPandas(run, out_schema)
 
 
 def ann_lsh_topk(
@@ -209,7 +213,9 @@ def embedding_near_duplicates(
     """Embedding-cosine near-dup pairs (id_1 < id_2, sim ≥ threshold) —
     the semantic-dedup operator. Exact form; at scale the same
     predicate runs over SRP-bucket candidates."""
-    a = emb.select(
+    from leader_graph_spark.sources.tables import fan_out
+
+    a = fan_out(emb).select(
         F.col(id_col).alias("id_1"), F.col(vec_col).cast("array<double>").alias("va")
     ).withColumn("na", F.sqrt(dot(F.col("va"), F.col("va"), dim)))
     b = emb.select(
@@ -245,7 +251,9 @@ def ann_ivf_topk(
         F.col(id_col).alias("centroid_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
     )
-    vecs = emb.select(
+    from leader_graph_spark.sources.tables import fan_out
+
+    vecs = fan_out(emb).select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
     sim_c = dot(F.col("v"), F.col("cvec")) / (

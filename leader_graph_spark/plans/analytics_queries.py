@@ -211,7 +211,9 @@ def ivf_centroid_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").cast("array<double>").alias("cvec"),
     )
-    vecs = emb.select(
+    from leader_graph_spark.sources.tables import fan_out
+
+    vecs = fan_out(emb).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     sim = F.round(

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from leader_graph_spark.plans.registry import query
-from leader_graph_spark.sources.tables import load_table
+from leader_graph_spark.sources.tables import fan_out, load_table
 
 # ---------------------------------------------------------------------------
 # Token statistics
@@ -34,7 +34,7 @@ FROM documents
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens, BPE-ish regexp tokens
     (word runs + single symbols), char count, mean token length."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     ws_tokens = F.size(F.split(F.trim("text"), r"\s+"))
     return docs.select(
         "doc_id",
@@ -107,7 +107,7 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language identification by marker-pattern hit counts (stopword
     n-grams + characteristic character classes), with a fixed
     tie-breaking priority so the prediction is deterministic."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     scored = docs.select("doc_id", F.col("lang").alias("labeled_lang"), "text").select(
         "doc_id", "labeled_lang", *_lang_scores_spark()
     )
@@ -160,7 +160,7 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword-ratio features composed into a bounded [0,1] score — the
     quality-gate operator of a training-data pipeline (generalizes the
     reference's content validation ``utils/content_validator.py:61-137``)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     n_chars = F.length("text")
     n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
     n_punct = F.size(F.regexp_extract_all("text", F.lit(r"[^\w\s]"), 0))
@@ -207,7 +207,7 @@ def content_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``utils/content_validator.py:10-137``): byte-size floor, forbidden
     patterns, required valid-page patterns — a struct-returning quality
     gate with a first-matching-rule reason."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     size_ok = F.octet_length(F.encode(F.col("text"), "utf-8")) >= 150
     has_error = F.col("text").rlike("(error|fail)")
     has_marker = F.col("text").rlike("(data|table|row|query)")
@@ -248,7 +248,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: whole-content hash plus a
     rolling-window fingerprint (min-md5 over 4-gram windows — the
     winnowing-style selection that survives local edits)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.trim(F.lower("text")), r"\s+")
     n = 4
     count = F.size(toks) - F.lit(n - 1)
@@ -327,7 +327,7 @@ def clean_text_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     noised text, oracle-checked regex by regex."""
     from leader_graph_spark.functions.scalar import clean_text
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     noisy = F.concat(
         F.lit("<p>"),
         F.substring("text", 1, 60),

@@ -57,3 +57,21 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def fan_out(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Decouple CPU parallelism from input splits for per-row-expensive
+    downstream work (md5 hashing, shingling, SRP projections).
+
+    A 100 TB table arrives in thousands of scan splits and this is a
+    no-op; a small single-file table arrives as ONE split, which would
+    serialize all downstream hash work on one core while 31 idle. When
+    the scan has fewer partitions than the cluster's default
+    parallelism, round-robin-shuffle the (narrow) input once — measured
+    3.5× on the MinHash pipeline at sf0.1. Skipped entirely when the
+    input is already parallel, so it never adds a shuffle at scale.
+    """
+    n = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
