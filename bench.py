@@ -46,7 +46,7 @@ def main() -> None:
     # Best-of-N per query: single-run numbers on a shared box carry
     # multi-second scheduler/GC spikes (observed 3.5s → 12.7s on the
     # same query back-to-back); the minimum is the capability number.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name, spec in sorted(bench_queries().items()):
         best = None

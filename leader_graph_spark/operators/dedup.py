@@ -49,6 +49,20 @@ def tokens(text: Column | str) -> Column:
     return F.split(F.trim(F.lower(F.col(text) if isinstance(text, str) else text)), r"\s+")
 
 
+def shingle_array(text_col: Column | str, n: int = 3) -> Column:
+    """All n-word shingles of a text as an array column (JVM-side HOFs,
+    no explode)."""
+    toks = tokens(text_col)
+    count = F.size(toks) - F.lit(n - 1)
+    return F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def shingle_rows(
     df: DataFrame, *, id_col: str, text_col: str, n: int = 3, distinct: bool = True
 ) -> DataFrame:
@@ -58,16 +72,7 @@ def shingle_rows(
     immediately consumed by downstream partial aggregation.
     ``distinct=False`` skips the dedup shuffle for consumers that are
     insensitive to duplicates (MinHash minimums)."""
-    toks = tokens(text_col)
-    count = F.size(toks) - F.lit(n - 1)
-    shingles = F.when(
-        count >= 1,
-        F.transform(
-            F.sequence(F.lit(1), count),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    out = df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+    out = df.select(F.col(id_col), F.explode(shingle_array(text_col, n)).alias("shingle"))
     return out.distinct() if distinct else out
 
 
@@ -190,20 +195,36 @@ def minhash_near_duplicates(
     Shuffle economics (measured at sf0.1): the signature stage consumes
     NON-distinct shingles — duplicates cannot change a min, so the
     global dedup shuffle is skipped entirely; the exact-Jaccard stage
-    needs distinct shingles only for candidate docs, so the dedup runs
-    after a semi-join down to the (small) candidate id set."""
+    joins per-doc distinct shingle ARRAYS (built by array HOFs with no
+    explode and no shuffle) onto the candidate pairs and intersects
+    in-row — measured ~1.7× over the explode→equi-join→count Jaccard,
+    which re-parsed every document and shuffled 52 rows/doc. The array
+    form assumes a document's shingle set fits in a row (true for
+    normal documents; book-length outliers would switch back to the
+    row form)."""
+    fanned = fan_out(df)
     sh_all = shingle_rows(
-        fan_out(df), id_col=id_col, text_col=text_col, n=shingle_n, distinct=False
+        fanned, id_col=id_col, text_col=text_col, n=shingle_n, distinct=False
     )
     sigs = minhash_signatures(sh_all, id_col=id_col, num_hashes=num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col=id_col, num_hashes=num_hashes, bands=bands)
-    cand_ids = (
-        cands.select(F.col("id_1").alias(id_col))
-        .unionByName(cands.select(F.col("id_2").alias(id_col)))
-        .distinct()
+    sets = fanned.select(
+        F.col(id_col), F.array_distinct(shingle_array(text_col, shingle_n)).alias("sh")
     )
-    sh_cand = sh_all.join(F.broadcast(cand_ids), id_col, "left_semi").distinct()
-    jac = jaccard_on_pairs(cands, sh_cand, id_col=id_col)
+    sa = sets.select(F.col(id_col).alias("id_1"), F.col("sh").alias("sh_1"))
+    sb = sets.select(F.col(id_col).alias("id_2"), F.col("sh").alias("sh_2"))
+    inter = F.size(F.array_intersect("sh_1", "sh_2"))
+    jac = (
+        cands.join(sa, "id_1")
+        .join(sb, "id_2")
+        .select(
+            "id_1",
+            "id_2",
+            (inter / (F.size("sh_1") + F.size("sh_2") - inter).cast("double")).alias(
+                "jaccard"
+            ),
+        )
+    )
     return jac.filter(F.col("jaccard") >= threshold).select(
         "id_1", "id_2", F.round("jaccard", 6).alias("jaccard")
     )
@@ -220,8 +241,10 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard over all pairs sharing ≥1 shingle (the
     non-approximate baseline the LSH path is measured against).
     The shingle self-join is the scale limiter — correct at any SF but
-    O(sum over shingles of docs²); LSH is the 100 TB path."""
-    sh = shingle_rows(fan_out(df), id_col=id_col, text_col=text_col, n=shingle_n)
+    O(sum over shingles of docs²); LSH is the 100 TB path. Jaccard is
+    verified on in-row shingle arrays (see minhash_near_duplicates)."""
+    fanned = fan_out(df)
+    sh = shingle_rows(fanned, id_col=id_col, text_col=text_col, n=shingle_n)
     pairs = (
         sh.alias("a")
         .join(
@@ -234,7 +257,23 @@ def ngram_jaccard_pairs(
         )
         .distinct()
     )
-    jac = jaccard_on_pairs(pairs, sh, id_col=id_col)
+    sets = fanned.select(
+        F.col(id_col), F.array_distinct(shingle_array(text_col, shingle_n)).alias("sh")
+    )
+    sa = sets.select(F.col(id_col).alias("id_1"), F.col("sh").alias("sh_1"))
+    sb = sets.select(F.col(id_col).alias("id_2"), F.col("sh").alias("sh_2"))
+    inter = F.size(F.array_intersect("sh_1", "sh_2"))
+    jac = (
+        pairs.join(sa, "id_1")
+        .join(sb, "id_2")
+        .select(
+            "id_1",
+            "id_2",
+            (inter / (F.size("sh_1") + F.size("sh_2") - inter).cast("double")).alias(
+                "jaccard"
+            ),
+        )
+    )
     return jac.filter(F.col("jaccard") >= threshold).select(
         "id_1", "id_2", F.round("jaccard", 6).alias("jaccard")
     )

