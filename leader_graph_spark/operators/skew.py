@@ -1,0 +1,99 @@
+"""Skew mitigation operators: salted aggregation and salted join.
+
+AQE's skew-join splitting (enabled in ``session.py``) handles most
+runtime skew in joins, but a skewed *aggregation* key — five event
+types over billions of rows, one mega-school in the interval joins —
+still funnels every row of the hot key through one reduce task. The
+classic fix is salting: spread each key over ``n_salts`` sub-keys,
+partially aggregate, then combine. Results are identical to the
+unsalted groupBy for algebraic aggregates (sum/count/min/max are
+associative+commutative, and DECIMAL sums are order-exact), so the
+plain GROUP BY is the oracle.
+
+The same trick for joins replicates the small side once per salt so a
+salted big side still meets every match — the manual fallback for
+engines/paths where AQE's automatic splitting can't kick in (e.g.
+shuffle-hash aggregation, pre-Spark-3 clusters, bucketed tables).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_aggregate(
+    df: DataFrame,
+    *,
+    group_cols: Sequence[str],
+    salt_source: str,
+    n_salts: int = 16,
+    sum_cols: Sequence[str] = (),
+    count: bool = True,
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Two-stage aggregation over salted keys.
+
+    Stage 1 groups by (group_cols…, salt) — the hot key's rows spread
+    over ``n_salts`` reduce tasks; stage 2 combines the ≤ n_salts
+    partial rows per key (trivially small). ``salt_source`` is any
+    roughly-uniform column (a row id); the salt is ``pmod(xxhash64(…),
+    n_salts)``, deterministic so reruns partition identically. Output:
+    group_cols + ``sum_<c>``/``n_rows``/``min_<c>``/``max_<c>``.
+    Averages = ``sum_<c> / n_rows`` downstream; non-algebraic
+    aggregates (medians, collect_list) cannot be salted this way.
+    """
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(salt_source), F.lit(n_salts)))
+    partial_aggs = (
+        [F.sum(c).alias(f"sum_{c}") for c in sum_cols]
+        + ([F.count(F.lit(1)).alias("n_rows")] if count else [])
+        + [F.min(c).alias(f"min_{c}") for c in min_cols]
+        + [F.max(c).alias(f"max_{c}") for c in max_cols]
+    )
+    partial = salted.groupBy(*group_cols, "__salt").agg(*partial_aggs)
+    final_aggs = (
+        [F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols]
+        + ([F.sum("n_rows").alias("n_rows")] if count else [])
+        + [F.min(f"min_{c}").alias(f"min_{c}") for c in min_cols]
+        + [F.max(f"max_{c}").alias(f"max_{c}") for c in max_cols]
+    )
+    return partial.groupBy(*group_cols).agg(*final_aggs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    *,
+    key: str,
+    n_salts: int = 16,
+    salt_source: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``big`` has skewed keys: salt the big side,
+    replicate the small side once per salt value, join on (key, salt).
+
+    Each big row carries exactly one salt, each small row exists under
+    every salt, so every (big, small) match survives exactly once —
+    identical results to the plain join, but the hot key's rows land in
+    ``n_salts`` shuffle partitions instead of one. Cost: small side
+    shuffles n_salts×, so keep it for genuinely skewed big sides where
+    the small side is modest (else broadcast it and skip salting).
+
+    ``salt_source`` must vary per ROW (a row id) — salting by the join
+    key itself would put the whole hot key under one salt again; when
+    omitted, a per-row id is synthesized.
+    """
+    big_s = (
+        big.withColumn("__salt", F.pmod(F.xxhash64(salt_source), F.lit(n_salts)))
+        if salt_source
+        else big.withColumn(
+            "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+        )
+    )
+    small_s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>"))
+    )
+    return big_s.join(small_s, [key, "__salt"], how).drop("__salt")

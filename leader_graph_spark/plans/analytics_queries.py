@@ -367,3 +367,49 @@ def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_qty"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted aggregation (skew mitigation; identical results to plain GROUP BY)
+# ---------------------------------------------------------------------------
+
+_SALTED_AGG_ORACLE = """
+SELECT event_type,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_value,
+       count(*) AS n_rows,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+@query("salted_event_type_totals", _SALTED_AGG_ORACLE, tags=("skew-salted-agg",))
+def salted_event_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation over a pathologically low-cardinality key (5 event
+    types × all rows) through the two-stage salted operator: partial
+    agg on (key, salt) spreads each hot key over 16 reduce tasks, the
+    final stage combines ≤16 partial rows per key. Algebraic aggregates
+    + DECIMAL sums ⇒ bit-identical to the plain GROUP BY, which is the
+    oracle."""
+    from leader_graph_spark.operators.skew import salted_aggregate
+    from leader_graph_spark.sources.tables import load_table as _lt
+
+    events = _lt(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(18,2)")
+    )
+    out = salted_aggregate(
+        events,
+        group_cols=["event_type"],
+        salt_source="event_id",
+        n_salts=16,
+        sum_cols=["value_dec"],
+        min_cols=["value"],
+        max_cols=["value"],
+    )
+    return out.select(
+        "event_type",
+        F.col("sum_value_dec").cast("decimal(28,2)").alias("sum_value"),
+        "n_rows",
+        F.col("min_value").alias("min_value"),
+        F.col("max_value").alias("max_value"),
+    )

@@ -144,3 +144,18 @@ def test_asof_join_backward_semantics(spark):
     assert got[(1, 5)] == (None, None)   # nothing precedes
     assert got[(2, 10)] == (None, None)  # key absent on right
     assert len(got) == 4
+
+
+def test_salted_join_matches_plain(spark):
+    from leader_graph_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(i, i % 3) for i in range(200)], "row_id long, k long"
+    )
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k long, v string")
+    plain = {(r.row_id, r.v) for r in big.join(small, "k").collect()}
+    salted = {
+        (r.row_id, r.v)
+        for r in salted_join(big, small, key="k", n_salts=8, salt_source="row_id").collect()
+    }
+    assert salted == plain and len(plain) == 200
