@@ -101,3 +101,37 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic lag/cumsum sessionization."""
     events = load_table(spark, sf_dir, "events")
     return session_windows(events, gap="5 minutes")
+
+
+_CLICK_PURCHASE_ORACLE = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+       c.ts AS click_ts, p.ts AS purchase_ts
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts <= c.ts AND p.ts >= c.ts - INTERVAL 1 HOUR
+"""
+
+
+@query("clicks_with_recent_purchase", _CLICK_PURCHASE_ORACLE, tags=("streaming-join",))
+def clicks_with_recent_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream join (`streaming/jobs.py:
+    click_purchase_join_stream`): clicks × same-user purchases within
+    the preceding hour. The streaming form carries watermarks on both
+    sides so join state is evictable; the batch form is the same plan
+    without state. Equivalence asserted in tests/test_streaming.py."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") <= F.col("click_ts"))
+        & (F.col("purchase_ts") >= F.expr("click_ts - INTERVAL 1 HOUR")),
+    ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")

@@ -79,14 +79,17 @@ def tumbling_counts_stream(
     return tumbling_counts(events, window=window)
 
 
-def run_available_now(sdf: DataFrame, *, name: str, checkpoint: str) -> DataFrame:
+def run_available_now(
+    sdf: DataFrame, *, name: str, checkpoint: str, output_mode: str = "complete"
+) -> DataFrame:
     """Execute a streaming DataFrame with Trigger.AvailableNow into an
     in-memory sink and return the final result table — the batch-replay
-    mode the reference's incremental reruns map to."""
+    mode the reference's incremental reruns map to. ``complete`` for
+    aggregations; pass ``append`` for joins/projections."""
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
@@ -190,3 +193,43 @@ def run_foreach_batch_to_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def click_purchase_join_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    watermark: str = "2 hours",
+    range_: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: each click joined to the same user's
+    purchases in the preceding ``range_``. Both sides carry watermarks
+    and the join condition bounds event-time distance, so the state
+    store can evict rows older than watermark+range — the canonical
+    bounded-state stream-stream join (without the time bound, state
+    would grow forever). Batch twin: ``clicks_with_recent_purchase``."""
+    events = read_events_stream(spark, sf_dir)
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") <= F.col("click_ts"))
+        & (F.col("purchase_ts") >= F.expr(f"click_ts - INTERVAL {range_}")),
+    ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")

@@ -112,3 +112,23 @@ def test_watermark_drops_late_data(spark, tmp_path):
     run_once()
     rows = {r.ws: r.total for r in spark.read.parquet(out).collect()}
     assert rows[dt.datetime(2024, 1, 1, 0, 0)] == 1.0  # 99.0 dropped as too late
+
+
+def test_stream_stream_join_equals_batch(spark, sf_smoke):
+    import tempfile
+
+    from leader_graph_spark.streaming.jobs import (
+        click_purchase_join_stream,
+        run_available_now,
+    )
+
+    sdf = click_purchase_join_stream(spark, sf_smoke)
+    with tempfile.TemporaryDirectory() as ckpt:
+        streamed = run_available_now(
+            sdf, name="ss_join_test", checkpoint=ckpt, output_mode="append"
+        )
+        batch = REGISTRY["clicks_with_recent_purchase"].spark(spark, sf_smoke)
+        s = {tuple(r) for r in streamed.collect()}
+        b = {tuple(r) for r in batch.collect()}
+        assert s == b
+        assert len(s) > 0
