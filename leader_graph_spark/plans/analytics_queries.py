@@ -413,3 +413,74 @@ def salted_event_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_value").alias("min_value"),
         F.col("max_value").alias("max_value"),
     )
+
+
+_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+@query("lineitem_grouping_sets", _GROUPING_SETS_SQL, tags=("grouping-sets",))
+def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form CUBE/ROLLUP desugar
+    to): per-flag, per-status, and grand-total rows in one pass."""
+    from leader_graph_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+_RANGE_FRAME_ORACLE = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+         PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
+         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS hour_sum
+FROM events
+"""
+
+
+@query("trailing_hour_value_per_user", _RANGE_FRAME_ORACLE, tags=("window-range-frame",))
+def trailing_hour_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (value-based) window frame — each event's trailing-hour
+    value sum per user. Unlike ROWS frames, peers at the same ordering
+    value share a frame, so the result is deterministic without a
+    tie-breaking column; the frame bound is event-time seconds."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_seconds("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("decimal(18,2)")
+        .alias("hour_sum"),
+    )
+
+
+_MEDIAN_ORACLE = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@query("order_price_percentiles", _MEDIAN_ORACLE, tags=("percentile-exact",))
+def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median, p90) per priority —
+    sort-based, identical linear interpolation in Spark and DuckDB.
+    The scale path is ``approx_percentile`` (t-digest, rows-only
+    check); this is its exact yardstick."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+    )
