@@ -157,46 +157,67 @@ def ann_lsh_topk(
     candidates. The candidate join is a plain equi-join on
     (table, bucket) — shuffles O(n·tables·avg_bucket) instead of the
     brute-force O(n²) cross join; recall/compute trades off via
-    (n_planes, n_tables)."""
+    (n_planes, n_tables).
+
+    Verification is a per-bucket vectorized kernel (``applyInPandas``):
+    each (table, bucket) group computes its normalized gram matrix with
+    one BLAS matmul and emits only its in-bucket top-k per vector — a
+    global top-k neighbor is by definition beaten by <k candidates
+    globally, hence by <k within any shared bucket, so in-bucket top-k
+    loses nothing. The shuffle carries n_tables·k rows per vector
+    instead of every candidate pair."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     buckets = srp_lsh_buckets(
         emb, id_col=id_col, vec_col=vec_col, n_planes=n_planes, n_tables=n_tables, dim=dim
     )
-    cands = (
-        buckets.alias("a")
-        .join(
-            buckets.alias("b"),
-            (F.col("a.table") == F.col("b.table"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") != F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id"), F.col("b.id").alias("neighbor_id"))
-        .distinct()
-    )
     vecs = emb.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
-    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"), dim)))
-    # No broadcast hint: AQE auto-broadcasts the vector table while it
-    # fits, and falls back to a shuffle join at real scale.
-    scored = (
-        cands.join(vecs, cands.id == vecs.vid)
-        .withColumnRenamed("v", "va")
-        .withColumnRenamed("nrm", "na")
-        .drop("vid")
-        .join(vecs, cands.neighbor_id == vecs.vid)
-        .withColumnRenamed("v", "vb")
-        .withColumnRenamed("nrm", "nb")
-        .drop("vid")
-        .select(
-            "id",
-            "neighbor_id",
-            F.round(
-                dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")), 6
-            ).alias("cosine_sim"),
+    )
+    joined = buckets.join(vecs, buckets.id == vecs.vid).select("table", "bucket", "id", "v")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", joined.schema["id"].dataType),
+            T.StructField("neighbor_id", joined.schema["id"].dataType),
+            T.StructField("cosine_sim", T.DoubleType()),
+        ]
+    )
+
+    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id": [], "neighbor_id": [], "cosine_sim": []}).astype(
+                {"id": pdf["id"].dtype, "neighbor_id": pdf["id"].dtype, "cosine_sim": float}
+            )
+        V = np.array(pdf["v"].tolist(), dtype=np.float64)
+        ids = pdf["id"].to_numpy()
+        norms = np.sqrt((V * V).sum(axis=1))
+        S = (V @ V.T) / np.outer(norms, norms)
+        np.fill_diagonal(S, -np.inf)
+        kk = min(k, n - 1)
+        nbr = np.argpartition(-S, kth=kk - 1, axis=1)[:, :kk]
+        rows = np.arange(n)[:, None].repeat(kk, axis=1)
+        return pd.DataFrame(
+            {
+                "id": ids[rows.ravel()],
+                "neighbor_id": ids[nbr.ravel()],
+                "cosine_sim": np.round(S[rows.ravel(), nbr.ravel()], 6),
+            }
         )
+
+    cands_topk = joined.groupBy("table", "bucket").applyInPandas(bucket_topk, out_schema)
+    # The same pair can surface from several buckets; keep one row
+    # (max guards against BLAS blocking producing a last-ulp wobble
+    # across bucket shapes before rounding).
+    deduped = cands_topk.groupBy("id", "neighbor_id").agg(
+        F.max("cosine_sim").alias("cosine_sim")
     )
     w = Window.partitionBy("id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        deduped.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("id", "neighbor_id", "cosine_sim", F.col("rank").cast("int").alias("rank"))
     )

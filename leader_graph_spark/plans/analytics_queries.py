@@ -484,3 +484,16 @@ def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
         F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
     )
+
+
+@query("approx_order_price_percentiles", None, tags=("percentile-approx",))
+def approx_order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile — the sketch (single-pass, mergeable, fixed
+    memory) that replaces the exact sort-based percentile at 100 TB.
+    Engine-specific sketch values ⇒ rows-only driver check; accuracy
+    vs the exact form is asserted in tests/test_operators.py."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("median_price"),
+        F.percentile_approx("o_totalprice", F.lit(0.9), F.lit(10000)).alias("p90_price"),
+    )

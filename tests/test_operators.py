@@ -159,3 +159,21 @@ def test_salted_join_matches_plain(spark):
         for r in salted_join(big, small, key="k", n_salts=8, salt_source="row_id").collect()
     }
     assert salted == plain and len(plain) == 200
+
+
+def test_approx_percentile_accuracy(spark, sf_dir):
+    from leader_graph_spark.plans import REGISTRY
+
+    exact = {
+        r.o_orderpriority: (r.median_price, r.p90_price)
+        for r in REGISTRY["order_price_percentiles"].spark(spark, sf_dir).collect()
+    }
+    approx = {
+        r.o_orderpriority: (r.median_price, r.p90_price)
+        for r in REGISTRY["approx_order_price_percentiles"].spark(spark, sf_dir).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for key, (m, p90) in exact.items():
+        am, ap90 = approx[key]
+        assert abs(am - m) / m < 0.01
+        assert abs(ap90 - p90) / p90 < 0.01
