@@ -10,7 +10,7 @@ and octet_length behave identically on this data).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from leader_graph_spark.plans.registry import query
@@ -263,6 +263,114 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))).alias("content_hash"),
         F.array_min(grams).alias("rolling_fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF and heavy hitters (corpus-level term statistics)
+# ---------------------------------------------------------------------------
+
+_TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS INT) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+      FROM scored)
+WHERE rnk <= 3
+"""
+
+
+@query("tfidf_top_terms", _TFIDF_ORACLE, tags=("text-tfidf",))
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document — the canonical corpus-weighted
+    term-importance operator of a training-data pipeline.
+
+    Scale shape: term frequency is a map-side-combinable groupBy on
+    (doc, term); document frequency reduces that to a vocabulary-sized
+    table which AQE broadcasts back onto the tf side (no second big
+    shuffle); the per-doc top-3 window repartitions by doc_id only.
+    The idf constant ln((N+1)/(df+1)) folds doc count in via a 1-row
+    cross join (BroadcastNestedLoopJoin, free)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+_HEAVY_HITTERS_ORACLE = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+)
+SELECT term, n_occurrences
+FROM (SELECT term, count(*) AS n_occurrences,
+             row_number() OVER (ORDER BY count(*) DESC, term) AS rn
+      FROM toks GROUP BY term)
+WHERE rn <= 20
+ORDER BY n_occurrences DESC, term
+"""
+
+
+@query("heavy_hitter_terms", _HEAVY_HITTERS_ORACLE, tags=("text-heavy-hitters",))
+def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global top-20 terms (heavy hitters). Map-side partial
+    counts shrink the shuffle to vocabulary size; the final top-20 is a
+    single-partition sort of the vocab-sized aggregate, which AQE keeps
+    tiny. The approximate scale path is ``frequent_terms_approx``."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"))
+    counts = toks.groupBy("term").agg(F.count("*").alias("n_occurrences"))
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("term"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+        .orderBy(F.desc("n_occurrences"), F.asc("term"))
+    )
+
+
+@query("frequent_terms_approx", None, tags=("text-heavy-hitters", "approx"))
+def frequent_terms_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters via ``freqItems`` (Karp/Shenker/
+    Papadimitriou one-pass counter deltas — fixed memory per partition,
+    no global shuffle of the vocabulary). Guarantee: every term with
+    frequency > support·N appears; false positives allowed ⇒ rows-only
+    driver check, containment vs the exact top-20 is unit-tested."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"))
+    return toks.freqItems(["term"], support=0.02)
 
 
 # ---------------------------------------------------------------------------

@@ -177,3 +177,21 @@ def test_approx_percentile_accuracy(spark, sf_dir):
         am, ap90 = approx[key]
         assert abs(am - m) / m < 0.01
         assert abs(ap90 - p90) / p90 < 0.01
+
+
+def test_freq_items_contains_true_heavy_hitters(spark, sf_smoke):
+    from pyspark.sql import functions as F
+
+    from leader_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    toks = docs.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"))
+    n = toks.count()
+    support = 0.02
+    exact_heavy = {
+        r.term
+        for r in toks.groupBy("term").count().filter(F.col("count") > support * n).collect()
+    }
+    approx = set(toks.freqItems(["term"], support=support).collect()[0][0])
+    # KSP one-pass guarantee: no false negatives above the support threshold.
+    assert exact_heavy <= approx
