@@ -1,0 +1,156 @@
+"""K-means clustering over an embedding column — the IVF-training /
+corpus-partitioning primitive of a training-data pipeline (the offline
+step that produces the centroids ``ann_ivf_topk`` probes).
+
+Like :mod:`leader_graph_spark.graph.algorithms` PageRank, the iterative
+loop runs in **integer micro-units** (``CAST(floor(x·1e6) AS BIGINT)``)
+so every distance, argmin, and centroid mean is exact integer
+arithmetic — order-independent, hence reproducible bit-for-bit by an
+unrolled SQL oracle. Float k-means would hash differently across
+engines because summation order differs per partitioning.
+
+Scale shape per iteration (the Lloyd step GraphX/MLlib also use):
+- centroids are k rows → **broadcast**; assignment is a map-side
+  zip_with fold per (vector, centroid) — no shuffle, no n×k join
+  materialization beyond the projected argmin;
+- the centroid update is one groupBy(cid) over n rows (map-side
+  partial sums of 64-element arrays via posexplode), shuffling at
+  most k·dim·partitions rows;
+- ``localCheckpoint`` truncates lineage so the unrolled plan stays
+  flat across iterations.
+
+Reference parity: the reference has no clustering; this is a
+north-star operator (BASELINE.json: similarity-search scale path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+
+
+def to_fixed_point(vec, scale: int = MICRO):
+    """array<float> → array<bigint> micro-units via floor (floor, not
+    round: HALF_UP vs banker's rounding differs across engines;
+    floor is identical everywhere)."""
+    return F.transform(
+        vec.cast("array<double>"), lambda x: F.floor(x * F.lit(scale)).cast("bigint")
+    )
+
+
+def _sq_dist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_fixed_point(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 2,
+) -> DataFrame:
+    """Lloyd's k-means, exact integer arithmetic, deterministic seeds
+    (the k smallest ids). Returns the final assignment
+    ``(vec_id, cid, sq_dist)`` — ``cid`` is the seed vector's id.
+
+    Ties (equidistant centroids) break toward the smallest cid, and
+    the per-dimension mean uses BIGINT ``div`` (truncation toward
+    zero), both mirrored exactly by the oracle.
+    """
+    vecs = emb.select(
+        F.col(id_col).alias("vid"), to_fixed_point(F.col(vec_col)).alias("v")
+    ).localCheckpoint()
+    centroids = (
+        vecs.orderBy("vid")
+        .limit(k)
+        .select(F.col("vid").alias("cid"), F.col("v").alias("c"))
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("vid").orderBy("dist", "cid")
+    for it in range(iterations):
+        assign = (
+            vecs.crossJoin(F.broadcast(centroids))
+            .select("vid", "v", "cid", _sq_dist(F.col("v"), F.col("c")).alias("dist"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+        if it == iterations - 1:
+            return assign.select(
+                F.col("vid").alias(id_col), "cid", F.col("dist").alias("sq_dist")
+            )
+        # Lloyd update: element-wise integer mean per cluster.
+        centroids = (
+            assign.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.expr("sum(val) div count(1)").alias("cval"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                    lambda s: s.getField("cval"),
+                ).alias("c")
+            )
+            .localCheckpoint()
+        )
+    raise AssertionError("iterations must be >= 1")
+
+
+def kmeans_oracle_sql(*, k: int = 8, iterations: int = 2) -> str:
+    """Unrolled-CTE DuckDB twin of :func:`kmeans_fixed_point`.
+
+    Centroids stay in long format (cid, pos, cval) — a different plan
+    from the Spark broadcast-array implementation, but identical
+    integers, so the driver's value hash matches exactly.
+    """
+    base = f"""
+vecs AS (
+  SELECT vid, u.pos AS pos, u.val AS val FROM (
+    SELECT vec_id AS vid,
+           unnest(list_transform(range(1, len(embedding) + 1),
+                  i -> {{'pos': i - 1, 'val': CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)}})) AS u
+    FROM embeddings)
+),
+seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}),
+cent0 AS (
+  SELECT vid AS cid, pos, val AS cval FROM vecs WHERE vid IN (SELECT vec_id FROM seeds)
+)"""
+    steps = []
+    for it in range(iterations):
+        prev = f"cent{it}"
+        steps.append(
+            f"""
+dist{it} AS (
+  SELECT v.vid, c.cid, sum((v.val - c.cval) * (v.val - c.cval)) AS dist
+  FROM vecs v JOIN {prev} c ON v.pos = c.pos
+  GROUP BY v.vid, c.cid
+),
+assign{it} AS (
+  SELECT vid, cid, dist
+  FROM (SELECT vid, cid, dist,
+               row_number() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn
+        FROM dist{it})
+  WHERE rn = 1
+)"""
+        )
+        if it < iterations - 1:
+            steps.append(
+                f"""
+cent{it + 1} AS (
+  SELECT a.cid, v.pos, sum(v.val) // count(*) AS cval
+  FROM assign{it} a JOIN vecs v ON a.vid = v.vid
+  GROUP BY a.cid, v.pos
+)"""
+            )
+    last = iterations - 1
+    return (
+        "WITH "
+        + ",".join([base] + steps)
+        + f"\nSELECT vid AS vec_id, cid, dist AS sq_dist FROM assign{last}"
+    )

@@ -85,3 +85,17 @@ def ann_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_ivf_topk(emb, id_col="vec_id", vec_col="embedding", k=5, centroid_mod=40)
+
+
+from leader_graph_spark.operators.clustering import kmeans_fixed_point, kmeans_oracle_sql  # noqa: E402
+
+
+@query("kmeans_assignments", kmeans_oracle_sql(k=8, iterations=2), tags=("clustering-kmeans",))
+def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations of k-means (k=8) over the embeddings in
+    integer micro-units — exact arithmetic, so the unrolled-CTE DuckDB
+    oracle reproduces assignments and squared distances bit-for-bit
+    (the PageRank fixed-point trick applied to clustering). Produces
+    the centroid sets that IVF search (``ann_ivf_topk``) probes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_fixed_point(emb, id_col="vec_id", vec_col="embedding", k=8, iterations=2)

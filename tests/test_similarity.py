@@ -85,3 +85,19 @@ def test_news_extraction_fixture(spark):
     assert out.event == "调研"
     assert out.targets == ["集成电路", "人工智能"]
     assert out.accompanying == ["张三", "李四"]
+
+
+def test_kmeans_inertia_nonincreasing(spark, sf_smoke):
+    from pyspark.sql import functions as F
+
+    from leader_graph_spark.operators.clustering import kmeans_fixed_point
+    from leader_graph_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    inertia = []
+    for iters in (1, 2, 3):
+        a = kmeans_fixed_point(emb, k=8, iterations=iters)
+        inertia.append(a.agg(F.sum("sq_dist")).collect()[0][0])
+        assert a.select("cid").distinct().count() <= 8
+    # Lloyd's algorithm: total inertia is non-increasing per iteration.
+    assert inertia[0] >= inertia[1] >= inertia[2]
