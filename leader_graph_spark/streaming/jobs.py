@@ -195,6 +195,27 @@ def run_foreach_batch_to_parquet(
     q.awaitTermination()
 
 
+def deduped_events_stream(
+    spark: SparkSession, landing_dir: str, *, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming ingest dedup via ``dropDuplicatesWithinWatermark``:
+    at-least-once landing (replayed files, producer retries — the
+    reference's requeue-on-failure behavior, ``processor/
+    data_processor.py:331-419``) becomes exactly-once downstream.
+
+    State holds one key per event id seen within the watermark horizon
+    and evicts beyond it — bounded by arrival rate × watermark, not by
+    stream length (plain ``dropDuplicates`` on a stream would keep
+    every key forever)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sdf = spark.readStream.schema(EVENTS_SCHEMA).parquet(landing_dir)
+    return (
+        sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+
+
 def click_purchase_join_stream(
     spark: SparkSession,
     sf_dir: str,

@@ -132,3 +132,26 @@ def test_stream_stream_join_equals_batch(spark, sf_smoke):
         b = {tuple(r) for r in batch.collect()}
         assert s == b
         assert len(s) > 0
+
+
+def test_stream_dedup_within_watermark(spark, sf_smoke):
+    import tempfile
+
+    from leader_graph_spark.sources.tables import load_table
+    from leader_graph_spark.streaming.jobs import deduped_events_stream, run_available_now
+
+    events = load_table(spark, sf_smoke, "events")
+    n_distinct = events.select("event_id").distinct().count()
+    with tempfile.TemporaryDirectory() as tmp:
+        landing = f"{tmp}/landing"
+        # At-least-once delivery: the same batch lands twice.
+        raw = spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_smoke)
+        raw.write.mode("append").parquet(landing)
+        raw.write.mode("append").parquet(landing)
+        assert spark.read.parquet(landing).count() == 2 * n_distinct
+        sdf = deduped_events_stream(spark, landing)
+        out = run_available_now(
+            sdf, name="dedup_stream_test", checkpoint=f"{tmp}/ckpt", output_mode="append"
+        )
+        assert out.count() == n_distinct
+        assert out.select("event_id").distinct().count() == n_distinct
