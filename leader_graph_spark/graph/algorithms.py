@@ -48,22 +48,7 @@ def connected_components(
     sym = symmetrize(edges)
     labels = vertices.select(F.col("id"), F.col("id").alias("component")).localCheckpoint()
     for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym.dst == labels.id)
-            .groupBy(F.col("src").alias("id"))
-            .agg(F.min("component").alias("neighbor_component"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("neighbor_component"), F.col("component")),
-                ).alias("component"),
-            )
-            .localCheckpoint()
-        )
+        new_labels = _min_propagation_round(sym, labels).localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -74,6 +59,36 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    return labels
+
+
+def _min_propagation_round(sym: DataFrame, labels: DataFrame) -> DataFrame:
+    neighbor_min = (
+        sym.join(labels, sym.dst == labels.id)
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.min("component").alias("neighbor_component"))
+    )
+    return labels.join(neighbor_min, "id", "left").select(
+        "id",
+        F.least(
+            F.col("component"),
+            F.coalesce(F.col("neighbor_component"), F.col("component")),
+        ).alias("component"),
+    )
+
+
+def min_propagation(vertices: DataFrame, edges: DataFrame, *, rounds: int) -> DataFrame:
+    """Exactly ``rounds`` min-label propagation rounds with NO
+    convergence check — a deterministic plan an unrolled SQL oracle can
+    reproduce row-for-row (propagation is idempotent once converged, so
+    extra rounds don't change labels). Exact equality to the converged
+    :func:`connected_components` holds iff ``rounds`` ≥ the component
+    diameter — true by construction for near-dup clusters (small,
+    dense), asserted in tests for the shipped data."""
+    sym = symmetrize(edges)
+    labels = vertices.select(F.col("id"), F.col("id").alias("component")).localCheckpoint()
+    for _ in range(rounds):
+        labels = _min_propagation_round(sym, labels).localCheckpoint()
     return labels
 
 

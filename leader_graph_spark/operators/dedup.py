@@ -366,3 +366,50 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_1", "id_2", "hamming")
     )
+
+
+def canonical_near_dup_docs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    rounds: int = 4,
+) -> DataFrame:
+    """The dedup END PRODUCT: cluster near-duplicate pairs into groups
+    and elect one canonical document per group (min id wins).
+
+    MinHash-LSH pairs (:func:`minhash_near_duplicates`) feed a
+    fixed-``rounds`` min-label propagation
+    (:func:`leader_graph_spark.graph.algorithms.min_propagation`) —
+    transitive closure, so A~B~C collapses to ONE kept doc even when
+    (A,C) itself was never a candidate pair. Returns every input doc as
+    ``(id, canonical_id, is_kept)``; the filtered corpus is
+    ``is_kept``.
+
+    Near-dup clusters are small and dense (diameter ≪ rounds), so the
+    fixed unroll equals converged components on real corpora (asserted
+    in tests); the bounded round count is what keeps the whole operator
+    expressible as one deterministic plan — and one SQL oracle."""
+    from leader_graph_spark.graph.algorithms import min_propagation
+
+    pairs = minhash_near_duplicates(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+    )
+    ids = df.select(F.col(id_col).alias("id"))
+    edges = pairs.select(F.col("id_1").alias("src"), F.col("id_2").alias("dst"))
+    labels = min_propagation(ids, edges, rounds=rounds)
+    return labels.select(
+        F.col("id").alias(id_col),
+        F.col("component").alias("canonical_id"),
+        (F.col("id") == F.col("component")).alias("is_kept"),
+    )

@@ -93,8 +93,7 @@ def _band_selects_sql() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
-_MINHASH_ORACLE = f"""
-WITH {_SHINGLES_CTE},
+_MINHASH_CTES = f"""{_SHINGLES_CTE},
 sigs AS (
   SELECT doc_id,
          {_sig_cols_sql()}
@@ -115,7 +114,9 @@ inter AS (
   JOIN sh a ON a.doc_id = c.id_1
   JOIN sh b ON b.doc_id = c.id_2 AND b.shingle = a.shingle
   GROUP BY 1, 2
-)
+)"""
+
+_MINHASH_FINAL = f"""
 SELECT i.id_1, i.id_2,
        round(i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 6) AS jaccard
 FROM inter i
@@ -123,6 +124,8 @@ JOIN sizes sa ON sa.doc_id = i.id_1
 JOIN sizes sb ON sb.doc_id = i.id_2
 WHERE i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= {THRESHOLD}
 """
+
+_MINHASH_ORACLE = f"WITH {_MINHASH_CTES}{_MINHASH_FINAL}"
 
 
 @query("minhash_near_dup_docs", _MINHASH_ORACLE, bench=True, tags=("dedup-minhash-lsh",))
@@ -242,3 +245,52 @@ def simhash_near_dup_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return simhash_near_dup_pairs(docs, id_col="doc_id", text_col="text")
+
+
+def _canonical_oracle_sql(rounds: int = 4) -> str:
+    """Unrolled min-label propagation over the minhash pair CTEs."""
+    parts = [
+        f"pairs AS ({_MINHASH_FINAL})",
+        "sym AS (SELECT id_1 AS src, id_2 AS dst FROM pairs"
+        " UNION ALL SELECT id_2, id_1 FROM pairs)",
+        "lbl0 AS (SELECT doc_id AS id, doc_id AS comp FROM documents)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"""
+lbl{i + 1} AS (
+  SELECT l.id, least(l.comp, coalesce(nm.m, l.comp)) AS comp
+  FROM lbl{i} l LEFT JOIN (
+    SELECT s.src AS id, min(x.comp) AS m
+    FROM sym s JOIN lbl{i} x ON s.dst = x.id
+    GROUP BY s.src
+  ) nm ON l.id = nm.id
+)"""
+        )
+    return (
+        f"WITH {_MINHASH_CTES},\n"
+        + ",\n".join(parts)
+        + f"\nSELECT id AS doc_id, comp AS canonical_id, id = comp AS is_kept FROM lbl{rounds}"
+    )
+
+
+@query("dedup_canonical_docs", _canonical_oracle_sql(4), tags=("dedup-canonical", "graph-cc"))
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs clustered to groups (4 rounds of min-label
+    propagation = transitive closure for small dedup clusters) with a
+    deterministic min-id canonical election — the keep/drop verdict a
+    training-data pipeline actually consumes. Oracle unrolls the
+    propagation over the same minhash pair CTEs."""
+    from leader_graph_spark.operators.dedup import canonical_near_dup_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return canonical_near_dup_docs(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        shingle_n=SHINGLE_N,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        threshold=THRESHOLD,
+        rounds=4,
+    )

@@ -124,3 +124,22 @@ def test_degrees(spark):
     edges = spark.createDataFrame([("a", "b"), ("a", "c")], "src string, dst string")
     out = {r.id: r.degree for r in degrees(edges).collect()}
     assert out == {"a": 2, "b": 1, "c": 1}
+
+
+def test_min_propagation_fixed_rounds_equals_converged(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from leader_graph_spark.graph.algorithms import connected_components, min_propagation
+    from leader_graph_spark.operators.dedup import minhash_near_duplicates
+    from leader_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs, id_col="doc_id", text_col="text")
+    ids = docs.select(F.col("doc_id").alias("id"))
+    edges = pairs.select(F.col("id_1").alias("src"), F.col("id_2").alias("dst"))
+    fixed = {(r.id, r.component) for r in min_propagation(ids, edges, rounds=4).collect()}
+    converged = {
+        (r.id, r.component) for r in connected_components(ids, edges).collect()
+    }
+    # 4 rounds ≥ diameter of every near-dup cluster in this corpus.
+    assert fixed == converged and len(fixed) == docs.count()
