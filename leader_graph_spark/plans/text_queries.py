@@ -295,16 +295,21 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     term-importance operator of a training-data pipeline.
 
     Scale shape: term frequency is a map-side-combinable groupBy on
-    (doc, term); document frequency reduces that to a vocabulary-sized
-    table which AQE broadcasts back onto the tf side (no second big
-    shuffle); the per-doc top-3 window repartitions by doc_id only.
-    The idf constant ln((N+1)/(df+1)) folds doc count in via a 1-row
-    cross join (BroadcastNestedLoopJoin, free)."""
+    (doc, term), materialized ONCE (localCheckpoint — Spark plans
+    trees, not DAGs, and ReuseExchange verifiably does not deduplicate
+    the two consumers, so without it the tokenize+explode+shuffle runs
+    twice); document frequency reduces the materialized tf to a
+    vocabulary-sized table via map-side partial counts — deliberately
+    NOT a count-over-window on term, which would shuffle every tf row
+    to hot-term (stopword) partitions — and AQE broadcasts it back
+    onto the tf side. The per-doc top-3 window repartitions by doc_id
+    only; the idf constant ln((N+1)/(df+1)) folds doc count in via a
+    1-row cross join (BroadcastNestedLoopJoin, free)."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term")
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).localCheckpoint()
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
