@@ -195,3 +195,30 @@ def test_freq_items_contains_true_heavy_hitters(spark, sf_smoke):
     approx = set(toks.freqItems(["term"], support=support).collect()[0][0])
     # KSP one-pass guarantee: no false negatives above the support threshold.
     assert exact_heavy <= approx
+
+
+def test_orc_round_trip(spark, sf_smoke, tmp_path):
+    from leader_graph_spark.sources.files import read_orc, write_orc
+    from leader_graph_spark.sources.tables import load_table
+
+    nation = load_table(spark, sf_smoke, "nation")
+    write_orc(nation, str(tmp_path / "nation_orc"))
+    back = read_orc(spark, str(tmp_path / "nation_orc"))
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in nation.collect()}
+    plan = back.filter(back.n_nationkey == 3)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(n_nationkey), EqualTo(n_nationkey,3)]" in plan
+
+
+def test_compact_dir_small_files(spark, sf_smoke, tmp_path):
+    from leader_graph_spark.sources.files import compact_dir
+    from leader_graph_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_smoke, "orders")
+    frag = str(tmp_path / "fragmented")
+    orders.repartition(40).write.parquet(frag)  # simulate streaming-sink litter
+    assert len(spark.read.parquet(frag).inputFiles()) == 40
+    out = str(tmp_path / "compacted")
+    n = compact_dir(spark, frag, out, target_file_mb=128, sort_cols=["o_orderdate"])
+    files = spark.read.parquet(out).inputFiles()
+    assert len(files) == n == 1  # sf0.001 orders ≪ 128 MB
+    assert spark.read.parquet(out).count() == orders.count()
