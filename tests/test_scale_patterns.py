@@ -111,3 +111,36 @@ def test_filter_pushdown_reaches_scan(spark, sf_smoke):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "GreaterThan(l_quantity,30" in plan
     assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_bloom_filter_join_pruning_at_scale(spark, sf_smoke):
+    """Runtime Bloom-filter join pruning (InjectRuntimeFilter): a
+    selective dimension filter is turned into a bloom filter applied on
+    the fact side BEFORE the join shuffle. Below the 10 GB
+    application-side threshold Spark correctly skips it (local data);
+    with thresholds scaled down, the same plan gains the filter — the
+    behavior a 100 TB fact join relies on to not shuffle dead rows."""
+    from pyspark.sql import functions as F
+
+    from leader_graph_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_smoke, "lineitem")
+    orders = load_table(spark, sf_smoke, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        assert "bloom" not in j._jdf.queryExecution().optimizedPlan().toString().lower()
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j2 = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        assert "bloomfilter" in j2._jdf.queryExecution().optimizedPlan().toString().lower()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
