@@ -447,3 +447,41 @@ def clean_text_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("</p>[1] tail[12-15] \u200b[编辑] x"),
     )
     return docs.select("doc_id", clean_text(noisy).alias("cleaned"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling + train/val/test split
+# ---------------------------------------------------------------------------
+
+_SPLIT_ORACLE = """
+WITH h AS (
+  SELECT doc_id,
+         (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+       + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 204 THEN 'train' WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split,
+       bucket < 26 AS in_10pct_sample
+FROM h
+"""
+
+
+@query("doc_hash_split", _SPLIT_ORACLE, tags=("sampling", "F1"))
+def doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash sampling and train/val/test split
+    (~80/10/10 via md5 buckets 0-255): stable across runs, engines,
+    partitionings, and data re-orderings — the property random
+    ``sample()`` lacks and the reason production pipelines key splits
+    off a hash, not a RNG. Pure map-side, no shuffle, no state."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast("int")
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(F.col("bucket") < 204, "train")
+        .when(F.col("bucket") < 230, "val")
+        .otherwise("test")
+        .alias("split"),
+        (F.col("bucket") < 26).alias("in_10pct_sample"),
+    )
