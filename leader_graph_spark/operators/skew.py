@@ -97,3 +97,28 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>"))
     )
     return big_s.join(small_s, [key, "__salt"], how).drop("__salt")
+
+
+def merge_algebraic_state(state: DataFrame, delta: DataFrame, *, keys: list[str]) -> DataFrame:
+    """Incremental aggregation maintenance: merge a stored aggregate
+    state with the aggregate of newly arrived rows — the pattern that
+    keeps a 100 TB metric table fresh without rescanning history.
+
+    Works for ALGEBRAIC aggregates (count/sum/min/max, and avg as
+    sum+count): state ⊕ delta is itself a groupBy over the union of two
+    aggregate tables — associative and commutative, so daily partial
+    states can merge in any order (unlike holistic aggregates like
+    exact median, which need the sketch route; see
+    ``approx_order_price_percentiles``).
+
+    Expects both inputs to carry columns n (count) and total (sum)."""
+    return (
+        state.unionByName(delta)
+        .groupBy(*keys)
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("total").cast("decimal(28,6)").alias("total"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        )
+    )

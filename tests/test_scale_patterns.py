@@ -144,3 +144,35 @@ def test_bloom_filter_join_pruning_at_scale(spark, sf_smoke):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+
+
+def test_incremental_agg_merge_equals_full_recompute(spark, sf_smoke):
+    """state ⊕ delta == full recompute for algebraic aggregates: the
+    history partition is aggregated once, new-day rows aggregate
+    separately, and the merged state matches aggregating everything
+    from scratch — no history rescan."""
+    from pyspark.sql import functions as F
+
+    from leader_graph_spark.operators.skew import merge_algebraic_state
+    from leader_graph_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_smoke, "orders")
+    cutoff = "1999-01-01"
+
+    def agg(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(28,6)").alias("total"),
+            F.min("o_totalprice").alias("min_v"),
+            F.max("o_totalprice").alias("max_v"),
+        )
+
+    state = agg(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = agg(orders.filter(F.col("o_orderdate") >= cutoff))
+    assert orders.filter(F.col("o_orderdate") >= cutoff).count() > 0
+    merged = {
+        tuple(r)
+        for r in merge_algebraic_state(state, delta, keys=["o_orderpriority"]).collect()
+    }
+    full = {tuple(r) for r in agg(orders).collect()}
+    assert merged == full
