@@ -607,3 +607,32 @@ def first_of_packed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").alias("first_order_price"),
         )
     )
+
+
+_VARIANT_ORACLE = """
+SELECT event_type,
+       sum(CAST(props ->> '$.k' AS BIGINT)) AS sum_k,
+       count(*) AS n,
+       min(CAST(props ->> '$.k' AS INT)) AS min_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("json_props_variant", _VARIANT_ORACLE, tags=("F18", "variant"))
+def json_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON via Spark 4's VARIANT type: ``parse_json``
+    once, typed ``variant_get`` paths after — the open-schema path for
+    heterogeneous props (binary-encoded, no per-row re-parse per
+    field, unlike repeated ``get_json_object`` on the raw string).
+    Twin of ``json_props_extract``; oracle uses DuckDB's JSON
+    extraction operators."""
+    events = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return events.select("event_type", F.try_variant_get(v, "$.k", "int").alias("k")).groupBy(
+        "event_type"
+    ).agg(
+        F.sum(F.col("k").cast("bigint")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("k").alias("min_k"),
+    )

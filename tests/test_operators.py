@@ -222,3 +222,31 @@ def test_compact_dir_small_files(spark, sf_smoke, tmp_path):
     files = spark.read.parquet(out).inputFiles()
     assert len(files) == n == 1  # sf0.001 orders ≪ 128 MB
     assert spark.read.parquet(out).count() == orders.count()
+
+
+def test_write_json_per_key_partitions(spark, sf_smoke, tmp_path):
+    import os
+
+    from leader_graph_spark.sources.files import write_json_per_key
+    from leader_graph_spark.sources.tables import load_table
+
+    nation = load_table(spark, sf_smoke, "nation").limit(5)
+    out = str(tmp_path / "per_key")
+    write_json_per_key(nation, out, key_col="n_nationkey")
+    dirs = {d for d in os.listdir(out) if d.startswith("n_nationkey=")}
+    assert len(dirs) == 5
+    back = spark.read.json(out)
+    assert back.count() == 5
+
+
+def test_safe_filename_and_truncate(spark):
+    from pyspark.sql import functions as F
+
+    from leader_graph_spark.functions.scalar import safe_filename, truncate_chars
+
+    df = spark.createDataFrame([("a b/c:d*e.txt", "x" * 100)], "fn string, body string")
+    r = df.select(
+        safe_filename(F.col("fn")).alias("fn"),
+        F.length(truncate_chars(F.col("body"), 10)).alias("n"),
+    ).collect()[0]
+    assert r.fn == "a_b_c_d_e.txt" and r.n == 10
