@@ -497,3 +497,134 @@ def approx_order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
         F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("median_price"),
         F.percentile_approx("o_totalprice", F.lit(0.9), F.lit(10000)).alias("p90_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series regularization: hourly scaffold + gap fill
+# ---------------------------------------------------------------------------
+
+_GAP_FILL_ORACLE = """
+WITH hourly AS (
+  SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS hour,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS hour_value
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY 1),
+scaffold AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM span
+)
+SELECT s.user_id, s.hour, h.hour_value,
+       last_value(h.hour_value IGNORE NULLS)
+         OVER (PARTITION BY s.user_id ORDER BY s.hour) AS filled_value,
+       h.hour_value IS NULL AS is_gap
+FROM scaffold s
+LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour
+"""
+
+
+@query("hourly_gap_filled_series", _GAP_FILL_ORACLE, tags=("timeseries-resample", "W1"))
+def hourly_gap_filled_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Irregular events → regular hourly series per user: per-user
+    hour scaffold (sequence+explode over the user's own span — no
+    global calendar cross join), left join of actual hourly sums,
+    forward-filled last-known value, gap flag. The feature-engineering
+    regularization step for any time-series model input. Scaffold
+    size is users × span-hours, independent of event count; the fill
+    is one partitioned window, no driver loop."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("hour_value")
+    )
+    span = hourly.groupBy("user_id").agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    scaffold = span.select(
+        "user_id", F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    w = Window.partitionBy("user_id").orderBy("hour")
+    return (
+        scaffold.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            "hour_value",
+            F.last("hour_value", ignorenulls=True).over(w).alias("filled_value"),
+            F.col("hour_value").isNull().alias("is_gap"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Histogram binning
+# ---------------------------------------------------------------------------
+
+_HISTOGRAM_ORACLE = """
+SELECT CAST(least(floor(o_totalprice / 30000.0), 19) AS INT) AS bucket,
+       count(*) AS n,
+       CAST(min(o_totalprice) AS DECIMAL(18,2)) AS min_price,
+       CAST(max(o_totalprice) AS DECIMAL(18,2)) AS max_price
+FROM orders
+GROUP BY 1
+"""
+
+
+@query("order_price_histogram", _HISTOGRAM_ORACLE, tags=("histogram",))
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order prices (20 bins of 30k, top bin
+    open) — single map-side-combinable aggregation; the profiling
+    primitive behind data-quality dashboards. Bin edges are explicit
+    arithmetic so the oracle bins identically."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 30000.0), F.lit(19)).cast("int")
+    return orders.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").cast("decimal(18,2)").alias("min_price"),
+        F.max("o_totalprice").cast("decimal(18,2)").alias("max_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Table content checksum (migration/anti-entropy validation)
+# ---------------------------------------------------------------------------
+
+_CHECKSUM_ORACLE = """
+SELECT count(*) AS n_rows,
+       sum((instr('0123456789abcdef', substr(md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus)), 1, 1)) - 1) * 268435456
+         + (instr('0123456789abcdef', substr(md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus)), 2, 1)) - 1) * 16777216
+         + (instr('0123456789abcdef', substr(md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus)), 3, 1)) - 1) * 1048576
+         + (instr('0123456789abcdef', substr(md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus)), 4, 1)) - 1) * 65536
+         + (instr('0123456789abcdef', substr(md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus)), 5, 1)) - 1) * 4096
+         + (instr('0123456789abcdef', substr(md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus)), 6, 1)) - 1) * 256
+         + (instr('0123456789abcdef', substr(md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus)), 7, 1)) - 1) * 16
+         + (instr('0123456789abcdef', substr(md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus)), 8, 1)) - 1)) AS content_checksum
+FROM orders
+"""
+
+
+@query("orders_table_checksum", _CHECKSUM_ORACLE, tags=("checksum", "F1"))
+def orders_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table content checksum: per-row md5 of the
+    canonical key projection, summed (commutative, so partitioning and
+    row order never matter) — how you validate a 100 TB copy landed
+    bit-identical without sorting either side. String-typed columns
+    only (numeric→text formatting is engine-defined for floats)."""
+    orders = load_table(spark, sf_dir, "orders")
+    row_h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_custkey").cast("string"),
+                    F.col("o_orderstatus"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum(row_h).alias("content_checksum")
+    )
