@@ -47,9 +47,9 @@ def supplier_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RUNNING_ORACLE = """
 SELECT event_id, user_id, ts,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
          PARTITION BY user_id ORDER BY ts, event_id
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_value
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS running_value
 FROM events
 """
 
@@ -71,6 +71,7 @@ def running_total_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,2)"))
         .over(w)
         .cast("decimal(18,2)")
+        .cast("double")
         .alias("running_value"),
     )
 
@@ -104,7 +105,7 @@ def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CUBE_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
        count(*) AS n
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -117,7 +118,10 @@ def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent DECIMAL sums."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_qty"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("sum_qty"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -352,7 +356,7 @@ def clicks_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ROLLUP_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
        count(*) AS n
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -364,7 +368,10 @@ def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy subtotals (flag → flag+status → grand total)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_qty"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("sum_qty"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -375,7 +382,7 @@ def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SALTED_AGG_ORACLE = """
 SELECT event_type,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_value,
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_value,
        count(*) AS n_rows,
        min(value) AS min_value,
        max(value) AS max_value
@@ -408,7 +415,7 @@ def salted_event_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "event_type",
-        F.col("sum_value_dec").cast("decimal(28,2)").alias("sum_value"),
+        F.col("sum_value_dec").cast("decimal(28,2)").cast("double").alias("sum_value"),
         "n_rows",
         F.col("min_value").alias("min_value"),
         F.col("max_value").alias("max_value"),
@@ -417,7 +424,7 @@ def salted_event_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GROUPING_SETS_SQL = """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
        count(*) AS n
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -436,9 +443,9 @@ def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RANGE_FRAME_ORACLE = """
 SELECT event_id, user_id,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
          PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
-         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS hour_sum
+         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS hour_sum
 FROM events
 """
 
@@ -461,6 +468,7 @@ def trailing_hour_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,2)"))
         .over(w)
         .cast("decimal(18,2)")
+        .cast("double")
         .alias("hour_sum"),
     )
 
@@ -506,7 +514,7 @@ def approx_order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
 _GAP_FILL_ORACLE = """
 WITH hourly AS (
   SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS hour,
-         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS hour_value
+         CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS hour_value
   FROM events GROUP BY 1, 2
 ),
 span AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY 1),
@@ -535,7 +543,10 @@ def hourly_gap_filled_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = events.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("hour")
     ).agg(
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("hour_value")
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("hour_value")
     )
     span = hourly.groupBy("user_id").agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
     scaffold = span.select(
@@ -561,8 +572,8 @@ def hourly_gap_filled_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HISTOGRAM_ORACLE = """
 SELECT CAST(least(floor(o_totalprice / 30000.0), 19) AS INT) AS bucket,
        count(*) AS n,
-       CAST(min(o_totalprice) AS DECIMAL(18,2)) AS min_price,
-       CAST(max(o_totalprice) AS DECIMAL(18,2)) AS max_price
+       CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS DOUBLE) AS min_price,
+       CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS DOUBLE) AS max_price
 FROM orders
 GROUP BY 1
 """
@@ -578,8 +589,8 @@ def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.least(F.floor(F.col("o_totalprice") / 30000.0), F.lit(19)).cast("int")
     return orders.groupBy(bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.min("o_totalprice").cast("decimal(18,2)").alias("min_price"),
-        F.max("o_totalprice").cast("decimal(18,2)").alias("max_price"),
+        F.min("o_totalprice").cast("decimal(18,2)").cast("double").alias("min_price"),
+        F.max("o_totalprice").cast("decimal(18,2)").cast("double").alias("max_price"),
     )
 
 
@@ -589,14 +600,14 @@ def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHECKSUM_ORACLE = """
 SELECT count(*) AS n_rows,
-       sum((instr('0123456789abcdef', substr(md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus)), 1, 1)) - 1) * 268435456
+       CAST(sum((instr('0123456789abcdef', substr(md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus)), 1, 1)) - 1) * 268435456
          + (instr('0123456789abcdef', substr(md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus)), 2, 1)) - 1) * 16777216
          + (instr('0123456789abcdef', substr(md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus)), 3, 1)) - 1) * 1048576
          + (instr('0123456789abcdef', substr(md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus)), 4, 1)) - 1) * 65536
          + (instr('0123456789abcdef', substr(md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus)), 5, 1)) - 1) * 4096
          + (instr('0123456789abcdef', substr(md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus)), 6, 1)) - 1) * 256
          + (instr('0123456789abcdef', substr(md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus)), 7, 1)) - 1) * 16
-         + (instr('0123456789abcdef', substr(md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus)), 8, 1)) - 1)) AS content_checksum
+         + (instr('0123456789abcdef', substr(md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus)), 8, 1)) - 1)) AS BIGINT) AS content_checksum
 FROM orders
 """
 

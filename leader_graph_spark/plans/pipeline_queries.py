@@ -112,7 +112,8 @@ _CHECKS_SQL = """list_filter([
 
 _QUARANTINE_ORACLE = f"""
 WITH {_SYNTH_EVENTS_SQL}
-SELECT event_id, event_type, {_CHECKS_SQL} AS violations
+SELECT event_id, event_type,
+       array_to_string(list_sort({_CHECKS_SQL}), ',') AS violations
 FROM synth
 WHERE len({_CHECKS_SQL}) > 0
 """
@@ -122,9 +123,16 @@ WHERE len({_CHECKS_SQL}) > 0
 def event_validation_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reject-mode schema validation (the GPT path,
     ``leader/bio_processor.py:449-455``): rows with ≥1 violated rule go
-    to quarantine with the violated-rule list attached."""
+    to quarantine with the violated-rule list attached. The rule list is
+    emitted as a sorted comma-joined scalar so the driver's pandas-based
+    hasher can canonicalize it (raw array columns are unhashable there);
+    the full array form stays available via ``validate_events_reject``."""
     _, quarantine = validate_events_reject(_synth_events(spark, sf_dir))
-    return quarantine.select("event_id", "event_type", "violations")
+    return quarantine.select(
+        "event_id",
+        "event_type",
+        F.array_join(F.array_sort("violations"), ",").alias("violations"),
+    )
 
 
 @query("career_structuring_pipeline", None, tags=("X8", "X11", "F18"))

@@ -147,9 +147,9 @@ def flagship_colleagues_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PRICING_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(28,6)) AS sum_disc_price,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_disc_price,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-12-01'
@@ -162,21 +162,28 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped aggregation with pushed-down filter (the reference's
     COUNT/GROUP aggregates A1-A4, ``leader/update_c_org_leader_info.py:326-328``,
     generalized to the TPC-H Q1 shape). DECIMAL sums keep the result
-    independent of float summation order."""
+    independent of float summation order; the FINAL projection casts to
+    DOUBLE so both engines hand the driver the same float64 column
+    (the exact decimal→nearest-double step is deterministic)."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_qty"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("sum_qty"),
             F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
             .cast("decimal(18,2)")
+            .cast("double")
             .alias("sum_base_price"),
             F.sum(
                 F.col("l_extendedprice").cast("decimal(18,2)")
                 * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
             )
             .cast("decimal(28,6)")
+            .cast("double")
             .alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
