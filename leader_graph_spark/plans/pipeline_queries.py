@@ -135,6 +135,103 @@ def event_validation_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# X1 HTML extraction, driver-checked: deterministic page synthesis →
+# real parse (mapInPandas, stdlib html.parser) → posexplode of sections.
+# The oracle reconstructs the EXPECTED extraction output by string
+# construction from the same residues — it never parses HTML — so any
+# drift in the parser (title suffix strip, citation-marker cleaning,
+# summary assembly, section order) breaks the hash.
+# ---------------------------------------------------------------------------
+
+_SECTIONS_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+         'About doc ' || CAST(doc_id AS VARCHAR) AS description,
+         CASE WHEN doc_id % 5 = 0 THEN '' ELSE 'Intro for doc ' || CAST(doc_id AS VARCHAR) || '.' END AS summary
+  FROM documents
+)
+SELECT doc_id, title, description, summary,
+       CAST(0 AS INT) AS sec_pos,
+       'Overview ' || CAST(doc_id AS VARCHAR) AS heading,
+       'Alpha content ' || CAST(doc_id AS VARCHAR) AS content
+FROM base
+UNION ALL
+SELECT doc_id, title, description, summary,
+       CAST(1 AS INT) AS sec_pos,
+       'Career' AS heading,
+       'Worked at Org' || CAST(doc_id % 10 AS VARCHAR) || ' since 199' || CAST(doc_id % 10 AS VARCHAR) AS content
+FROM base WHERE doc_id % 2 = 0
+"""
+
+
+def _synth_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HTML pages keyed off doc_id residues: suffix-bearing
+    <title>, meta description, optional pre-heading summary text, an
+    always-present section with a citation marker the cleaner must strip,
+    and an even-doc-only second section."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        d,
+        F.lit("_百度百科</title><meta name=\"description\" content=\"About doc "),
+        d,
+        F.lit("\"/></head><body>"),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit("")
+        ).otherwise(F.concat(F.lit("<p>Intro for doc "), d, F.lit(".</p>"))),
+        F.lit("<h1>Overview "),
+        d,
+        F.lit("</h1><p>Alpha   content "),
+        d,
+        F.lit(" [3]</p>"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("<h2>Career</h2><p>Worked at Org"),
+                (F.col("doc_id") % 10).cast("string"),
+                F.lit("​ since 199"),
+                (F.col("doc_id") % 10).cast("string"),
+                F.lit("</p>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
+@query("extracted_sections_explode", _SECTIONS_ORACLE, tags=("X1", "X6", "F2", "W5"))
+def extracted_sections_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 page→content-struct extraction over synthesized HTML
+    (``html_extractor/extract_content_from_remark.py:85-703``): real
+    DOM-event parse via Arrow-batched mapInPandas, then one row per
+    section in document order (posexplode — W5). Exercises the title
+    suffix strip (F10), citation-marker/zero-width cleaning cascade
+    (F2-F5) and the summary-before-first-heading rule against an oracle
+    that rebuilds the expected output from the synthesis residues."""
+    from leader_graph_spark.extract.html import parse_pages
+
+    pages = _synth_pages(spark, sf_dir)
+    parsed = parse_pages(pages, id_col="doc_id", html_col="html")
+    return parsed.select(
+        "doc_id",
+        "title",
+        "description",
+        "summary",
+        F.posexplode("sections").alias("sec_pos", "sec"),
+    ).select(
+        "doc_id",
+        "title",
+        "description",
+        "summary",
+        F.col("sec_pos").cast("int").alias("sec_pos"),
+        F.col("sec.heading").alias("heading"),
+        F.col("sec.content").alias("content"),
+    )
+
+
 @query("career_structuring_pipeline", None, tags=("X8", "X11", "F18"))
 def career_structuring_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end X8→X11 pipeline: per-customer career text synthesized
