@@ -24,6 +24,11 @@ from leader_graph_spark.plans import bench_queries
 from leader_graph_spark.session import DEFAULT_SF_DIR, get_spark
 from leader_graph_spark.sources.tables import load_table
 
+BASELINE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json"
+)
+BASELINE_SF = 0.1
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
@@ -59,17 +64,36 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    # Regression guard: per-query ratios vs the committed in-repo
+    # baseline (best-of-3 at sf0.1, 32 cores). Ratios only make sense
+    # at the baseline's scale factor; timings bounce ±0.5s/query run to
+    # run, so read sustained >1.3× as a regression, not noise.
+    if os.path.exists(BASELINE_PATH) and out["sf"] == BASELINE_SF:
+        with open(BASELINE_PATH) as f:
+            base = json.load(f)
+        ratios = {
+            q: round(t / base["queries"][q], 2)
+            for q, t in timings.items()
+            if base["queries"].get(q)
+        }
+        if ratios:
+            out["vs_r01"] = {
+                "total_ratio": round(
+                    sum(timings[q] for q in ratios)
+                    / sum(base["queries"][q] for q in ratios),
+                    3,
+                ),
+                "queries": ratios,
             }
-        )
-    )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -120,16 +120,23 @@ def structured_extraction(
     cost_limit: float | None = None,
 ) -> DataFrame:
     """X8/X9: free text → typed event array via a pluggable batch
-    backend. Returns (id, text, events array<struct>, cost).
+    backend. Returns (id, events array<struct>, cost, status).
 
-    The cost cap is enforced per-partition via the backend's
-    ``cost_per_row`` (driver-side budget checks between micro-batches
-    belong to the streaming variant)."""
+    ``cost_limit`` is a PER-PARTITION budget enforced via the backend's
+    ``cost_per_row`` (each of N partitions may spend up to the cap, so
+    the global ceiling is ``n_partitions × cost_limit``; a global
+    driver-side budget check between micro-batches belongs to the
+    streaming variant). Rows skipped by the circuit breaker are NOT
+    dropped: they come back with ``status='skipped_budget'`` and a null
+    event array, mirroring the DLQ pattern, so consumers can split
+    unprocessed rows from genuinely-empty extractions and re-drive them
+    via the P5 anti-join."""
     out_schema = T.StructType(
         [
             df.schema[id_col],
             T.StructField("events_json", T.StringType()),
             T.StructField("cost", T.DoubleType()),
+            T.StructField("status", T.StringType()),
         ]
     )
 
@@ -141,13 +148,19 @@ def structured_extraction(
             out_rows = []
             for rid, text in zip(pdf[id_col], pdf[text_col]):
                 if cost_limit is not None and spent >= cost_limit:
-                    break  # circuit breaker: stop spending, rows stay pending
+                    # circuit breaker: stop spending; emit as skipped.
+                    out_rows.append((rid, None, 0.0, "skipped_budget"))
+                    continue
                 if bucket:
                     bucket.acquire()
                 events = backend.extract(text)
                 spent += backend.cost_per_row
-                out_rows.append((rid, json.dumps({"events": events}), backend.cost_per_row))
-            yield pd.DataFrame(out_rows, columns=[id_col, "events_json", "cost"])
+                out_rows.append(
+                    (rid, json.dumps({"events": events}), backend.cost_per_row, "ok")
+                )
+            yield pd.DataFrame(
+                out_rows, columns=[id_col, "events_json", "cost", "status"]
+            )
 
     extracted = df.select(id_col, text_col).mapInPandas(run, out_schema)
     return extracted.select(
@@ -156,6 +169,7 @@ def structured_extraction(
             F.get_json_object("events_json", "$.events"), EVENTS_SCHEMA
         ).alias(output_col),
         "cost",
+        "status",
     )
 
 

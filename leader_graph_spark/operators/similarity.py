@@ -42,7 +42,10 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k neighbors per vector via self cross-join.
 
-    O(n²·d) — the correctness baseline. The self-norm ``sqrt(v·v)`` is
+    O(n²·d) — the correctness baseline; do NOT run at scale. The 100 TB
+    entry points are :func:`ann_lsh_topk` (SRP-LSH buckets) and
+    :func:`ann_ivf_topk` (inverted lists), measured against this for
+    recall. The self-norm ``sqrt(v·v)`` is
     precomputed once per vector (same sequential fold → bit-identical
     to computing it per pair), so each pair costs one dot product
     instead of three. Ranking is on the rounded score with the neighbor

@@ -85,7 +85,19 @@ def salted_join(
     ``salt_source`` must vary per ROW (a row id) — salting by the join
     key itself would put the whole hot key under one salt again; when
     omitted, a per-row id is synthesized.
+
+    Only ``inner`` and ``left`` are supported: the small side is
+    replicated once per salt, so right/full outer joins would emit each
+    UNMATCHED small-side row n_salts times (matched rows are fine).
+    Flip the operands (skew lives on the probe side anyway) or dedup
+    unmatched rows before reaching for an outer form.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "replicating the small side would duplicate unmatched rows "
+            "under right/full outer semantics"
+        )
     big_s = (
         big.withColumn("__salt", F.pmod(F.xxhash64(salt_source), F.lit(n_salts)))
         if salt_source

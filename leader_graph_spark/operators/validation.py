@@ -69,7 +69,7 @@ def event_violations(df: DataFrame) -> Column:
     return F.filter(arr, lambda x: x.isNotNull())
 
 
-def validate_events_reject(df: DataFrame) -> DataFrame:
+def validate_events_reject(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Reject mode: split into (valid, quarantine). Mirrors the GPT
     path where any violation voids the extraction."""
     flagged = df.withColumn("violations", event_violations(df))

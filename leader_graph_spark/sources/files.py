@@ -86,7 +86,13 @@ def write_json_per_key(df: DataFrame, path: str, *, key_col: str) -> None:
 
 def write_json_single(df: DataFrame, path: str) -> None:
     """K4: consolidated JSON dump (driver-side collect avoided; coalesce
-    keeps one output file)."""
+    keeps one output file).
+
+    ``coalesce(1)`` funnels the entire write through ONE task — correct
+    for the reference's single-file boundary dump it reproduces, but a
+    deliberate serialization point: at 100 TB use the plain partitioned
+    ``df.write.json(path)`` (or :func:`write_json_per_key`) and let the
+    sink stay parallel."""
     df.coalesce(1).write.mode("overwrite").json(path)
 
 

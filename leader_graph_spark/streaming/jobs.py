@@ -176,13 +176,19 @@ def run_foreach_batch_to_parquet(
 ) -> None:
     """Micro-batch sink via foreachBatch — the consumer side of the
     reference's producer/consumer pipeline (``processor/data_processor.py:
-    262-316``): each batch lands idempotently (overwrite by batch id
-    partition)."""
+    262-316``): each batch lands idempotently. foreachBatch is
+    at-least-once (a batch can replay after failure/restart with the
+    same batch_id), so the sink partitions by ``_batch_id`` and
+    dynamically overwrites ONLY that partition — a replayed batch
+    replaces its own output instead of appending duplicates, restoring
+    exactly-once at the sink."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         (
             batch_df.withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
             .parquet(out_dir)
         )
 

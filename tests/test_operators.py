@@ -92,9 +92,16 @@ def test_cost_cap_circuit_breaker(spark):
     ).coalesce(1)
     out = structured_extraction(
         df, id_col="id", text_col="career", cost_limit=0.0005
-    )
-    # 0.0005 budget / 0.0001 per row → only ~5 rows processed, rest pending
-    assert out.count() <= 6
+    ).cache()
+    # Skipped rows are emitted with a status marker, never dropped.
+    assert out.count() == 50
+    processed = out.filter(F.col("status") == "ok")
+    skipped = out.filter(F.col("status") == "skipped_budget")
+    # 0.0005 budget / 0.0001 per row → only ~5 rows processed
+    assert processed.count() <= 6
+    assert skipped.count() >= 44
+    assert skipped.filter(F.col("events").isNotNull()).count() == 0
+    out.unpersist()
 
 
 def test_retry_dlq_split(spark):
@@ -250,3 +257,47 @@ def test_safe_filename_and_truncate(spark):
         F.length(truncate_chars(F.col("body"), 10)).alias("n"),
     ).collect()[0]
     assert r.fn == "a_b_c_d_e.txt" and r.n == 10
+
+
+# ---------------------------------------------------------------------------
+# JDBC edge adapter (connectionless parts; live round-trip only when a
+# database URL + driver jar are provided)
+# ---------------------------------------------------------------------------
+
+
+def test_jdbc_option_construction():
+    from leader_graph_spark.sources.jdbc import jdbc_options
+
+    opts = jdbc_options(
+        "jdbc:mysql://db:3306/lake",
+        "orders",
+        properties={"driver": "com.mysql.cj.jdbc.Driver", "user": "etl"},
+    )
+    assert opts["url"].startswith("jdbc:mysql://")
+    assert opts["dbtable"] == "orders"
+    assert int(opts["fetchsize"]) >= 1000  # never the row-at-a-time default
+    assert opts["driver"] == "com.mysql.cj.jdbc.Driver"
+
+
+def test_jdbc_partitioned_read_requires_bounds(spark):
+    from leader_graph_spark.sources.jdbc import read_jdbc_table
+
+    with pytest.raises(ValueError, match="lower_bound"):
+        read_jdbc_table(
+            spark, "jdbc:mysql://db/lake", "orders", partition_column="o_orderkey"
+        )
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_JDBC_URL"),
+    reason="no live JDBC endpoint (set SPARK_GRAFT_JDBC_URL + driver jar)",
+)
+def test_jdbc_round_trip_live(spark, sf_smoke):
+    from leader_graph_spark.sources.jdbc import read_jdbc_table, write_jdbc
+    from leader_graph_spark.sources.tables import load_table
+
+    url = os.environ["SPARK_GRAFT_JDBC_URL"]
+    nation = load_table(spark, sf_smoke, "nation")
+    write_jdbc(nation, url, "nation_rt", mode="overwrite")
+    back = read_jdbc_table(spark, url, "nation_rt")
+    assert back.count() == nation.count()

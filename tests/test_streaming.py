@@ -60,8 +60,18 @@ def test_foreach_batch_sink(spark, sf_smoke, tmp_path):
     sdf = tumbling_counts_stream(spark, sf_smoke)
     run_foreach_batch_to_parquet(sdf, out_dir=out, checkpoint=ckpt)
     landed = spark.read.parquet(out)
-    assert landed.count() > 0
+    n1 = landed.count()
+    assert n1 > 0
     assert "_batch_id" in landed.columns
+    # Replay the same micro-batch (fresh checkpoint → batch ids restart
+    # at 0): the dynamic partition overwrite must replace the batch's
+    # own partition, not append duplicates.
+    run_foreach_batch_to_parquet(
+        tumbling_counts_stream(spark, sf_smoke),
+        out_dir=out,
+        checkpoint=str(tmp_path / "ckpt_replay"),
+    )
+    assert spark.read.parquet(out).count() == n1
 
 
 def test_watermark_drops_late_data(spark, tmp_path):
