@@ -1,0 +1,111 @@
+"""Sequence packing — grouping documents into fixed token budgets.
+
+LLM pre-training consumes fixed-length sequences; feeding one short
+document per sequence wastes most of the context window, so pipelines
+PACK documents: concatenate whole documents into groups whose token
+total approaches a budget (e.g. 4096). Two distributed forms:
+
+- :func:`pack_by_cumsum` — deterministic contiguous packing in a total
+  key order: pack_id = floor(preceding_cumsum / budget). One window
+  over one sort; a pack can overshoot the budget by at most one
+  document (the straddler starts the next pack's count but stays in
+  its floor-assigned pack). Fully expressible in ANSI SQL → the
+  oracle-checked form, and the one to use at 100 TB (a single shuffle
+  by the sort key; no state, no driver loop).
+- :func:`pack_greedy_partitions` — exact no-overflow first-fit packing
+  per partition via ``applyInPandas``: packs never exceed the budget
+  (oversized documents get a singleton pack), at the cost of
+  engine-specific pack numbering (pack ids are unique per partition
+  key, not globally ordered) → rows-only checkable.
+
+Both keep documents whole; chunk-splitting long documents is the
+upstream truncation step, not packing's job.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def pack_by_cumsum(
+    df: DataFrame,
+    *,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Contiguous packing: documents in ``order_col`` order (default:
+    ``id_col``) are assigned ``pack_id = floor(tokens_before /
+    budget)``.
+
+    The single global sort is the scale cost — identical to any
+    ORDER-BY query — and Spark's range-partitioned sort handles it
+    without a single-reducer bottleneck. Output adds ``pack_id`` and
+    ``pack_offset`` (the document's token start inside its pack run).
+    """
+    order = order_col or id_col
+    w = (
+        Window.orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return df.select(
+        "*",
+        (before.cast("bigint") / budget).cast("bigint").alias("pack_id"),
+        F.pmod(before.cast("bigint"), F.lit(budget)).alias("pack_offset"),
+    )
+
+
+_PACK_SCHEMA_SUFFIX = [
+    T.StructField("pack_id", T.LongType()),
+    T.StructField("pack_tokens", T.LongType()),
+]
+
+
+def pack_greedy_partitions(
+    df: DataFrame,
+    *,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    partition_col: str,
+) -> DataFrame:
+    """Exact first-fit packing within each ``partition_col`` group:
+    documents stream in id order, a pack closes when the next document
+    would overflow ``budget``. No pack exceeds the budget unless a
+    single document alone does (it becomes a singleton pack).
+
+    Pack ids are ``hash_prefix × 2^32 + local_counter`` so they are
+    globally unique without cross-partition coordination — the pattern
+    for any per-group id assignment at scale."""
+    out_schema = T.StructType(list(df.schema.fields) + _PACK_SCHEMA_SUFFIX)
+
+    def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        base = (
+            int.from_bytes(
+                hashlib.md5(repr(tuple(key)).encode()).digest()[:4], "big"
+            )
+            & 0x7FFFFFFF
+        ) << 32
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        local, used = 0, 0
+        first = True
+        pack_ids, pack_used = [], []
+        for tok in pdf[token_col]:
+            tok = int(tok)
+            if not first and used + tok > budget:
+                local += 1
+                used = 0
+            first = False
+            used += tok
+            pack_ids.append(base + local)
+            pack_used.append(used)
+        return pdf.assign(pack_id=pack_ids, pack_tokens=pack_used)
+
+    return df.groupBy(partition_col).applyInPandas(pack, out_schema)

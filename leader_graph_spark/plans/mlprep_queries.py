@@ -1,0 +1,90 @@
+"""Training-data preparation queries: sequence packing and
+deterministic stratified sampling over the ``documents`` table.
+
+Registered AFTER the core modules (see ``plans/__init__``) so the
+round-2 sweep window stays reserved for queries still awaiting a
+driver verdict; these get their rows in the following sweep (they pass
+the identical local replay in ``tests/test_parity.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from leader_graph_spark.operators.packing import pack_by_cumsum, pack_greedy_partitions
+from leader_graph_spark.operators.sampling import stratified_sample_exact
+from leader_graph_spark.plans.registry import query
+from leader_graph_spark.sources.tables import fan_out, load_table
+
+_PACK_BUDGET = 50_000  # chars per pack; n_chars is the token proxy
+
+_PACKS_ORACLE = f"""
+WITH c AS (
+  SELECT doc_id, n_chars,
+         COALESCE(sum(n_chars) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       before // {_PACK_BUDGET} AS pack_id,
+       before % {_PACK_BUDGET} AS pack_offset
+FROM c
+"""
+
+
+@query("token_budget_packs", _PACKS_ORACLE, tags=("packing", "mlprep"))
+def token_budget_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing: documents in doc_id order assigned
+    to fixed-token-budget packs via one prefix-sum window
+    (pack_id = tokens_before // budget). The straddle form — a pack may
+    overshoot by at most one document — which is what keeps it a single
+    sort + window at 100 TB; the exact no-overflow variant is
+    ``pack_greedy_partitions`` (rows-only check)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select("doc_id", "n_chars")
+    return pack_by_cumsum(
+        docs, id_col="doc_id", token_col="n_chars", budget=_PACK_BUDGET
+    )
+
+
+@query("greedy_packs_no_overflow", None, tags=("packing", "mlprep"))
+def greedy_packs_no_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact first-fit packing per language partition (applyInPandas):
+    no pack exceeds the budget unless a single document alone does.
+    Per-partition pack numbering is engine-specific → rows-only driver
+    check; the no-overflow invariant is asserted in
+    tests/test_operators.py."""
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "n_chars"
+    )
+    return pack_greedy_partitions(
+        docs, id_col="doc_id", token_col="n_chars", budget=_PACK_BUDGET,
+        partition_col="lang",
+    )
+
+
+_STRATIFIED_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('sample|' || CAST(doc_id AS VARCHAR)), doc_id) AS _rk,
+         count(*) OVER (PARTITION BY lang) AS _n
+  FROM documents
+)
+SELECT doc_id, lang, n_chars FROM ranked WHERE _rk <= ceil(_n * 0.1)
+"""
+
+
+@query("stratified_doc_sample", _STRATIFIED_ORACLE, tags=("sampling", "mlprep"))
+def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10%-per-language sample chosen by md5 rank — deterministic
+    across engines, partitionings and row orders (``df.sample`` is
+    none of these), with every stratum hitting its quota exactly.
+    One shuffle on the stratum key."""
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "n_chars"
+    )
+    return stratified_sample_exact(
+        docs, strata_col="lang", key_col="doc_id", fraction=0.1
+    )

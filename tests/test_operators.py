@@ -301,3 +301,122 @@ def test_jdbc_round_trip_live(spark, sf_smoke):
     write_jdbc(nation, url, "nation_rt", mode="overwrite")
     back = read_jdbc_table(spark, url, "nation_rt")
     assert back.count() == nation.count()
+
+
+# ---------------------------------------------------------------------------
+# S6 keyed point lookup via hash-bucketed, key-sorted layout
+# ---------------------------------------------------------------------------
+
+
+def test_keyed_point_lookup_prunes_partitions(spark, sf_smoke, tmp_path):
+    from leader_graph_spark.sources.lookup import point_lookup, write_keyed_layout
+    from leader_graph_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_smoke, "orders")
+    layout = str(tmp_path / "orders_by_key")
+    write_keyed_layout(orders, layout, key_col="o_orderkey", n_buckets=16)
+
+    target = orders.select("o_orderkey").limit(1).first()["o_orderkey"]
+    hit = point_lookup(spark, layout, key_col="o_orderkey", value=target, n_buckets=16)
+    rows = hit.collect()
+    assert [r.o_orderkey for r in rows] == [target]
+
+    # The "index" is the layout: the bucket equality must land in the
+    # scan's PartitionFilters (directory pruning → 1/n_buckets of the
+    # files listed) and the key equality in PushedFilters (row-group
+    # stat pruning inside the sorted bucket) — not post-scan Filters.
+    plan = hit._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "_key_bucket" in plan.split("PartitionFilters")[1].split("]")[0]
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    assert "EqualTo(o_orderkey" in pushed
+
+    # A missing key reads one bucket and returns nothing.
+    assert point_lookup(
+        spark, layout, key_col="o_orderkey", value=-999999, n_buckets=16
+    ).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Training-data prep: sequence packing + deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+def test_pack_by_cumsum_straddle_bound(spark):
+    from leader_graph_spark.operators.packing import pack_by_cumsum
+
+    df = spark.createDataFrame(
+        [(i, 30 + (i * 37) % 50) for i in range(100)], "doc_id long, toks long"
+    )
+    out = pack_by_cumsum(df, id_col="doc_id", token_col="toks", budget=100).collect()
+    rows = sorted(out, key=lambda r: r.doc_id)
+    # pack ids are non-decreasing in order and offsets stay under budget
+    assert all(r.pack_offset < 100 for r in rows)
+    assert all(a.pack_id <= b.pack_id for a, b in zip(rows, rows[1:]))
+    # every pack except possibly the last holds ≥ budget tokens once its
+    # straddler is counted: total tokens of docs STARTING in pack p plus
+    # the carry-in reaches the budget
+    by_pack = {}
+    for r in rows:
+        by_pack.setdefault(r.pack_id, []).append(r)
+    for pid, members in by_pack.items():
+        if pid == max(by_pack):
+            continue
+        assert members[0].pack_offset + sum(m.toks for m in members) >= 100
+
+
+def test_pack_greedy_never_overflows(spark):
+    from leader_graph_spark.operators.packing import pack_greedy_partitions
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b"][i % 2], 30 + (i * 37) % 60) for i in range(200)],
+        "doc_id long, grp string, toks long",
+    )
+    out = pack_greedy_partitions(
+        df, id_col="doc_id", token_col="toks", budget=100, partition_col="grp"
+    )
+    agg = out.groupBy("grp", "pack_id").agg(
+        F.sum("toks").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    # every doc here is ≤ budget, so NO pack may exceed it
+    assert agg.filter(F.col("total") > 100).count() == 0
+    # determinism: same input → identical pack ids
+    a = {(r.doc_id, r.pack_id) for r in out.collect()}
+    b = {(r.doc_id, r.pack_id) for r in pack_greedy_partitions(
+        df, id_col="doc_id", token_col="toks", budget=100, partition_col="grp"
+    ).collect()}
+    assert a == b
+    # an oversized doc becomes a singleton pack, never dropped
+    big = spark.createDataFrame([(1, "a", 500), (2, "a", 10)], "doc_id long, grp string, toks long")
+    got = pack_greedy_partitions(
+        big, id_col="doc_id", token_col="toks", budget=100, partition_col="grp"
+    ).collect()
+    assert len(got) == 2 and len({r.pack_id for r in got}) == 2
+
+
+def test_sampling_determinism_and_quota(spark, sf_smoke):
+    from leader_graph_spark.operators.sampling import hash_sample, stratified_sample_exact
+    from leader_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "lang")
+    s1 = {r.doc_id for r in hash_sample(docs, key_col="doc_id", fraction=0.2).collect()}
+    # partition-layout independence: same membership after repartition
+    s2 = {
+        r.doc_id
+        for r in hash_sample(docs.repartition(7), key_col="doc_id", fraction=0.2).collect()
+    }
+    assert s1 == s2 and 0 < len(s1) < docs.count()
+    # append-stability: sample of a superset contains sample of the subset
+    half = docs.filter(F.col("doc_id") < 250)
+    sh = {r.doc_id for r in hash_sample(half, key_col="doc_id", fraction=0.2).collect()}
+    assert sh == {d for d in s1 if d < 250}
+
+    strat = stratified_sample_exact(
+        docs, strata_col="lang", key_col="doc_id", fraction=0.1
+    )
+    got = {r.lang: r.n for r in strat.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    want = {
+        r.lang: -(-r.n // 10)  # ceil(n * 0.1)
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
