@@ -37,26 +37,50 @@ def pack_by_cumsum(
     token_col: str,
     budget: int,
     order_col: str | None = None,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Contiguous packing: documents in ``order_col`` order (default:
-    ``id_col``) are assigned ``pack_id = floor(tokens_before /
-    budget)``.
+    ``id_col``, must be a total order) are assigned
+    ``pack_id = floor(tokens_before / budget)``.
 
-    The single global sort is the scale cost — identical to any
-    ORDER-BY query — and Spark's range-partitioned sort handles it
-    without a single-reducer bottleneck. Output adds ``pack_id`` and
+    A bare ``Window.orderBy`` prefix sum would move EVERY row to one
+    reducer — the classic global-window trap — so this runs the
+    distributed two-phase form instead: range-partition by the sort
+    key, prefix-sum within each partition, then add each partition's
+    carry-in offset (the per-partition totals are one row per
+    partition — metadata-sized — aggregated once and joined back via
+    broadcast). Identical output to the naive form at any partition
+    count; scales as an ordinary sort. Output adds ``pack_id`` and
     ``pack_offset`` (the document's token start inside its pack run).
     """
     order = order_col or id_col
-    w = (
-        Window.orderBy(order)
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, F.col(order)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    before = F.coalesce(F.sum(token_col).over(w), F.lit(0))
-    return df.select(
-        "*",
-        (before.cast("bigint") / budget).cast("bigint").alias("pack_id"),
-        F.pmod(before.cast("bigint"), F.lit(budget)).alias("pack_offset"),
+    local_before = F.coalesce(F.sum(token_col).over(w_local), F.lit(0)).cast("bigint")
+    # Carry-in per partition: exclusive prefix sum of partition totals.
+    # n rows total — broadcast back onto the data.
+    totals = ranged.groupBy("_pid").agg(F.sum(token_col).cast("bigint").alias("_ptotal"))
+    w_carry = (
+        Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = totals.select(
+        "_pid", F.coalesce(F.sum("_ptotal").over(w_carry), F.lit(0)).alias("_carry")
+    )
+    before = (F.col("_carry") + local_before).alias("_before")
+    return (
+        ranged.join(F.broadcast(carry), "_pid")
+        .select(
+            *[c for c in df.columns],
+            (before.cast("bigint") / budget).cast("bigint").alias("pack_id"),
+            F.pmod(before.cast("bigint"), F.lit(budget)).alias("pack_offset"),
+        )
     )
 
 

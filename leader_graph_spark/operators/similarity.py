@@ -280,8 +280,13 @@ def ann_ivf_topk(
     vecs = fan_out(emb).select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
-    sim_c = dot(F.col("v"), F.col("cvec")) / (
-        F.col("nrm") * F.sqrt(dot(F.col("cvec"), F.col("cvec")))
+    # csim is rounded to 6 decimals BEFORE the assignment ranking: the
+    # double fold is engine-portable bit-for-bit, and rounding collapses
+    # any sub-1e-6 centroid race onto the deterministic id tie-break.
+    sim_c = F.round(
+        dot(F.col("v"), F.col("cvec"))
+        / (F.col("nrm") * F.sqrt(dot(F.col("cvec"), F.col("cvec")))),
+        6,
     )
     w_assign = Window.partitionBy("id").orderBy(F.desc("csim"), F.asc("centroid_id"))
     assigned = (

@@ -51,6 +51,13 @@ def ingest_orgs(raw: DataFrame) -> DataFrame:
     - first-wins dedup on the content-derived uuid (A5);
     - md5 surrogate keys, parent-scoped for same-name orgs (F1).
     Input columns: row_seq, parent_dept, dept, url.
+
+    The forward-fill window is deliberately global (single partition):
+    the input is a hand-maintained org-chart FILE — thousands of rows,
+    not a fact table — and carrying the fill across the whole ingest
+    order is the semantics. For billion-row forward-fill see
+    ``forward_fill_events`` (per-key partitioned) or the two-phase
+    carry pattern in ``operators/packing.py:pack_by_cumsum``.
     """
     valid_parent = F.when(
         F.col("parent_dept").isNotNull() & ~F.col("parent_dept").isin("", "/"),

@@ -232,14 +232,32 @@ def extracted_sections_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("career_structuring_pipeline", None, tags=("X8", "X11", "F18"))
+_CAREER_ORACLE = """
+SELECT o_custkey,
+       'work' AS event_type,
+       CAST(year(o_orderdate) AS INT) AS start_year,
+       CAST(month(o_orderdate) AS INT) AS start_month,
+       CAST(year(o_orderdate) + 1 AS INT) AS end_year,
+       CAST(month(o_orderdate) AS INT) AS end_month,
+       TRUE AS is_end,
+       TRUE AS has_end_date,
+       CAST(NULL AS VARCHAR) AS school,
+       'worked as clerk at Store' || CAST(o_orderkey AS VARCHAR) AS place,
+       'worked as clerk at Store' || CAST(o_orderkey AS VARCHAR) AS position
+FROM orders
+"""
+
+
+@query("career_structuring_pipeline", _CAREER_ORACLE, tags=("X8", "X11", "F18"))
 def career_structuring_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end X8→X11 pipeline: per-customer career text synthesized
     from order history, structured into typed events by the
     deterministic stub backend (mapInPandas — the LLM seam), validated
-    in reject mode, exploded to one row per valid event. Non-SQL
-    (mapInPandas) → rows-only check; exact parsing is unit-tested in
-    tests/test_extract.py."""
+    in reject mode, exploded to one row per valid event. The career
+    lines derive from orders by fixed formatting and the stub parses by
+    rule, so the oracle reconstructs every expected event field straight
+    from orders — line parsing, date math, study/work classification and
+    validation survival are all under the value hash."""
     orders = load_table(spark, sf_dir, "orders")
     lines = orders.select(
         "o_custkey",

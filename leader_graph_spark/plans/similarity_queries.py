@@ -76,11 +76,49 @@ def ann_lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivf_topk", None, tags=("similarity-ann-ivf",))
+_IVF_TOPK_ORACLE = """
+WITH centroids AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id % 40 = 0
+),
+cand AS (
+  SELECT a.vec_id AS id, a.embedding AS v,
+         sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+         c.centroid_id,
+         round(
+           list_sum(list_transform(list_zip(a.embedding, c.cvec), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS csim
+  FROM embeddings a CROSS JOIN centroids c
+),
+assigned AS (
+  SELECT id, v, nrm, centroid_id FROM (
+    SELECT id, v, nrm, centroid_id,
+           row_number() OVER (PARTITION BY id ORDER BY csim DESC, centroid_id) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT a.id, b.id AS neighbor_id,
+         round(list_sum(list_transform(list_zip(a.v, b.v), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (a.nrm * b.nrm), 6) AS cosine_sim
+  FROM assigned a JOIN assigned b ON a.centroid_id = b.centroid_id AND a.id <> b.id
+)
+SELECT id, neighbor_id, cosine_sim, rank FROM (
+  SELECT id, neighbor_id, cosine_sim,
+         CAST(row_number() OVER (PARTITION BY id ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@query("ann_ivf_topk", _IVF_TOPK_ORACLE, tags=("similarity-ann-ivf",))
 def ann_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-probe approximate top-5 (search within the assigned centroid
     partition only) — the inverted-file complement to the SRP-LSH path.
-    Rows-only check; structure validated in tests/test_similarity.py."""
+    Fully oracle-checked: assignment (rounded csim + id tie-break) and
+    the within-list exact search are both plain fold arithmetic the
+    oracle reproduces; recall structure additionally validated in
+    tests/test_similarity.py."""
     from leader_graph_spark.operators.similarity import ann_ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -351,19 +351,16 @@ ORDER BY n_occurrences DESC, term
 @query("heavy_hitter_terms", _HEAVY_HITTERS_ORACLE, tags=("text-heavy-hitters",))
 def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact global top-20 terms (heavy hitters). Map-side partial
-    counts shrink the shuffle to vocabulary size; the final top-20 is a
-    single-partition sort of the vocab-sized aggregate, which AQE keeps
-    tiny. The approximate scale path is ``frequent_terms_approx``."""
+    counts shrink the shuffle to vocabulary size; the final top-20 is
+    ``orderBy().limit()`` so Spark plans TakeOrderedAndProject — each
+    partition keeps its own 20, the driver merges 20 × n_partitions
+    rows — instead of funneling the whole vocabulary through a
+    single-partition rank window. The approximate scale path is
+    ``frequent_terms_approx``."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = docs.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"))
     counts = toks.groupBy("term").agg(F.count("*").alias("n_occurrences"))
-    w = Window.orderBy(F.desc("n_occurrences"), F.asc("term"))
-    return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
-        .drop("rn")
-        .orderBy(F.desc("n_occurrences"), F.asc("term"))
-    )
+    return counts.orderBy(F.desc("n_occurrences"), F.asc("term")).limit(20)
 
 
 @query("frequent_terms_approx", None, tags=("text-heavy-hitters", "approx"))

@@ -348,7 +348,12 @@ def test_pack_by_cumsum_straddle_bound(spark):
     df = spark.createDataFrame(
         [(i, 30 + (i * 37) % 50) for i in range(100)], "doc_id long, toks long"
     )
-    out = pack_by_cumsum(df, id_col="doc_id", token_col="toks", budget=100).collect()
+    packed = pack_by_cumsum(df, id_col="doc_id", token_col="toks", budget=100)
+    # scale guard: the full-data prefix sum must ride a range partition,
+    # not a global single-reducer window (the carry window over one row
+    # per partition is metadata-sized and exempt).
+    assert "rangepartitioning" in packed._jdf.queryExecution().executedPlan().toString()
+    out = packed.collect()
     rows = sorted(out, key=lambda r: r.doc_id)
     # pack ids are non-decreasing in order and offsets stay under budget
     assert all(r.pack_offset < 100 for r in rows)
