@@ -413,3 +413,71 @@ def canonical_near_dup_docs(
         F.col("component").alias("canonical_id"),
         (F.col("id") == F.col("component")).alias("is_kept"),
     )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    ratio_threshold: float = 0.05,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose word
+    n-gram shingles overlap an evaluation/benchmark corpus. The
+    standard pretraining hygiene step — any doc sharing enough n-grams
+    with a held-out benchmark leaks test data into training.
+
+    Scale design: benchmark sets are tiny next to the corpus (thousands
+    of prompts vs billions of docs), so the benchmark's distinct
+    shingle set is BROADCAST and the probe is a map-side broadcast
+    equi-join — the corpus never shuffles on shingle, only the
+    per-doc hit counts aggregate (keyed by doc id, map-side
+    combinable, no skew surface).
+
+    Output per training doc: (doc_id, n_shingles, n_hits,
+    contamination_ratio, is_contaminated). Ratio = hits over the doc's
+    DISTINCT shingles, rounded to 6 (single double division —
+    engine-portable); docs too short to have any n-gram get ratio 0.
+    """
+    empty = F.array().cast("array<string>")
+    base = fan_out(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(F.array_distinct(shingle_array(F.col(text_col), n)), empty).alias(
+            "sh"
+        ),
+    )
+    bench_shingles = (
+        benchmark.select(
+            F.explode(
+                F.coalesce(F.array_distinct(shingle_array(F.col(text_col), n)), empty)
+            ).alias("shingle")
+        )
+        .distinct()
+    )
+    hits = (
+        base.select("doc_id", F.explode("sh").alias("shingle"))
+        .join(F.broadcast(bench_shingles), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    n_sh = F.col("n_shingles").cast("double")
+    return (
+        base.select("doc_id", F.size("sh").alias("n_shingles"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("int").alias("n_shingles"),
+            F.coalesce("n_hits", F.lit(0)).cast("int").alias("n_hits"),
+            F.when(F.col("n_shingles") == 0, F.lit(0.0))
+            .otherwise(F.round(F.coalesce("n_hits", F.lit(0)) / n_sh, 6))
+            .alias("contamination_ratio"),
+            (
+                F.when(F.col("n_shingles") == 0, F.lit(0.0)).otherwise(
+                    F.round(F.coalesce("n_hits", F.lit(0)) / n_sh, 6)
+                )
+                >= ratio_threshold
+            ).alias("is_contaminated"),
+        )
+    )

@@ -1,0 +1,133 @@
+"""Corpus-hygiene operators for training-data pipelines: Gopher-style
+repetition signals and PII redaction.
+
+Beyond the reference surface (its quality gates are per-field name and
+content validity checks, ``leader/bio_processor.py``); these are the
+document-level quality signals a 100 TB pretraining corpus needs
+(repetition filtering following the Gopher/MassiveText rules, adapted
+to word n-grams; regex PII scrubbing).
+
+Scale design: everything is keyed by document id — n-gram counting is
+a (doc_id, gram) groupBy with map-side partial aggregation and no
+cross-document state, so there is no skew surface and no global stage;
+PII redaction is a pure map-side regexp cascade inside whole-stage
+codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from leader_graph_spark.operators.dedup import shingle_array, tokens
+from leader_graph_spark.sources.tables import fan_out
+
+# Redaction patterns — kept inside the Java-regex/RE2 common subset
+# (character classes, bounded repeats, ASCII \b) so the DuckDB oracle
+# evaluates the identical expressions.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+\d[\d -]{6,}\d"
+IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def repetition_signals(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition ratios (the Gopher repetition rules on
+    word n-grams — the test corpus has no line structure):
+
+    - ``dup_word_ratio``: 1 − distinct/total words;
+    - ``top_2gram`` / ``top_2gram_ratio``: the most frequent word
+      2-gram (count-desc, gram-asc tie-break) and the fraction of the
+      document's characters its occurrences cover;
+    - ``dup_5gram_ratio``: fraction of characters covered by 5-grams
+      that occur more than once.
+
+    Character coverage is ``count × length(gram)`` over ``length(text)``
+    — occurrences may overlap, so ratios can exceed 1 on degenerate
+    docs; the signal is monotone in repetition either way, which is
+    what the filter thresholds need. All ratios round to 6 decimals
+    (single double division → engine-portable).
+    """
+    base = fan_out(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.length(text_col).cast("double").alias("n_chars"),
+        tokens(text_col).alias("toks"),
+    )
+    words = base.select(
+        "doc_id",
+        "n_chars",
+        F.size("toks").alias("n_words"),
+        F.size(F.array_distinct("toks")).alias("n_distinct_words"),
+    )
+    g2 = base.select(
+        "doc_id", "n_chars", F.explode(shingle_array(F.col("text"), 2)).alias("gram")
+    )
+    c2 = g2.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("cnt"), F.first("n_chars").alias("n_chars")
+    )
+    w_top = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("gram"))
+    top2 = (
+        c2.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("gram").alias("top_2gram"),
+            F.round(F.col("cnt") * F.length("gram") / F.col("n_chars"), 6).alias(
+                "top_2gram_ratio"
+            ),
+        )
+    )
+    g5 = base.select(
+        "doc_id", F.explode(shingle_array(F.col("text"), 5)).alias("gram")
+    )
+    c5 = g5.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    dup5 = c5.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("gram")).otherwise(0)
+        ).alias("dup_chars")
+    )
+    return (
+        words.join(top2, "doc_id", "left")
+        .join(dup5, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("int").alias("n_words"),
+            F.round(
+                F.lit(1.0) - F.col("n_distinct_words") / F.col("n_words").cast("double"),
+                6,
+            ).alias("dup_word_ratio"),
+            F.coalesce("top_2gram", F.lit("")).alias("top_2gram"),
+            F.coalesce("top_2gram_ratio", F.lit(0.0)).alias("top_2gram_ratio"),
+            F.round(
+                F.coalesce(F.col("dup_chars"), F.lit(0)) / F.col("n_chars"), 6
+            ).alias("dup_5gram_ratio"),
+        )
+    )
+
+
+def redact_pii(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Scrub emails, phone numbers, and IPv4 addresses from a text
+    column, counting each redaction type. Counts are measured on the
+    original text; the redaction cascade applies email → IP → phone so
+    the placeholder tokens cannot be re-matched by a later pattern.
+    Pure map-side (regexp inside codegen) — no shuffle, no UDF.
+    Output: (doc_id, redacted_text, n_emails, n_phones, n_ips)."""
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), IP_RE, "<IP>"
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return fan_out(df).select(
+        F.col(id_col).alias("doc_id"),
+        redacted.alias("redacted_text"),
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_RE)).cast("int").alias("n_phones"),
+        F.regexp_count(t, F.lit(IP_RE)).cast("int").alias("n_ips"),
+    )

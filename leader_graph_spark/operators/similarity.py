@@ -258,6 +258,93 @@ def embedding_near_duplicates(
     )
 
 
+def srp_plane_literals(
+    *, n_planes: int = 4, n_tables: int = 4, dim: int = 64
+) -> list[tuple[int, int, list[float]]]:
+    """(table, bit_weight, components) for every SRP hyperplane —
+    shared by the Spark plan and the DuckDB oracle so both hash vectors
+    into identical buckets."""
+    return [
+        (t, 1 << p, _hyperplane(t * 1000 + p, dim))
+        for t in range(n_tables)
+        for p in range(n_planes)
+    ]
+
+
+def srp_near_duplicates(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via SRP-LSH buckets — the scale
+    path for :func:`embedding_near_duplicates` (which is O(n²) by
+    design). Candidate pairs share a sign-random-projection bucket in
+    at least one of ``n_tables`` tables; exact cosine then verifies
+    each candidate, so false positives are impossible — the
+    approximation only loses pairs whose buckets never collide.
+    For cosine ≥ 0.95 the per-bit collision rate is 1 − arccos(0.95)/π
+    ≈ 0.90, so a 4-bit bucket matches with p ≈ 0.65 and 4 OR-ed tables
+    reach ≈ 0.985 expected recall (unit-tested against the exact form).
+
+    Everything stays JVM-side whole-stage codegen: bucket bits are
+    sign(fold-dot(v, plane)) with the md5-derived planes inlined as
+    array literals — the same sequential fold the oracle reproduces
+    with ``list_sum`` — so unlike the numpy-batched
+    :func:`srp_lsh_buckets` path this operator is fully
+    value-hash-checkable. Per the measured rule (carrying vectors
+    through the bucket join loses), the bucket join carries only ids;
+    vectors re-join after pair-distinct."""
+    from leader_graph_spark.sources.tables import fan_out
+
+    vecs = fan_out(emb).select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    sig_structs = []
+    by_table: dict[int, Column] = {}
+    for t, w, comps in srp_plane_literals(n_planes=n_planes, n_tables=n_tables, dim=dim):
+        plane = F.array(*[F.lit(c) for c in comps])
+        bit = F.when(dot(F.col("v"), plane) > 0, F.lit(w)).otherwise(F.lit(0))
+        by_table[t] = bit if t not in by_table else by_table[t] + bit
+    for t in sorted(by_table):
+        sig_structs.append(
+            F.struct(F.lit(t).alias("table"), by_table[t].cast("int").alias("bucket"))
+        )
+    sigs = vecs.select("id", F.explode(F.array(*sig_structs)).alias("s")).select(
+        "id", F.col("s.table").alias("table"), F.col("s.bucket").alias("bucket")
+    )
+    a = sigs.select("table", "bucket", F.col("id").alias("id_1"))
+    b = sigs.select("table", "bucket", F.col("id").alias("id_2"))
+    pairs = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+    va = vecs.select(F.col("id").alias("id_1"), F.col("v").alias("va")).withColumn(
+        "na", F.sqrt(dot(F.col("va"), F.col("va")))
+    )
+    vb = vecs.select(F.col("id").alias("id_2"), F.col("v").alias("vb")).withColumn(
+        "nb", F.sqrt(dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        pairs.join(va, "id_1")
+        .join(vb, "id_2")
+        .select(
+            "id_1",
+            "id_2",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def ann_ivf_topk(
     emb: DataFrame,
     *,

@@ -52,7 +52,9 @@ _VERIFIED_PRIOR_ROUNDS: tuple[str, ...] = (
     "nation_triangle_counts",
     "pagerank_membership",
     "event_validation_repair",
-    "career_structuring_pipeline",
+    # career_structuring_pipeline deliberately NOT here: its round-1 row
+    # was rows-only; round 2 added a full oracle, so it re-queues for a
+    # value-hashed verdict.
     "flagship_colleagues_interval",
     "flagship_colleagues_bucketed",
     "org_hierarchy_edges",
@@ -69,8 +71,19 @@ _VERIFIED_PRIOR_ROUNDS: tuple[str, ...] = (
 
 
 def _rotate_verified_to_back() -> None:
+    """Order the registry: unverified oracle-bearing queries first (they
+    can earn a full value-hash verdict), then unverified no-oracle
+    queries (rows-only check — weaker, so they spend sweep budget last
+    among the pending set), then previously-verified queries."""
     back = [n for n in _VERIFIED_PRIOR_ROUNDS if n in REGISTRY]
-    ordered = {n: s for n, s in REGISTRY.items() if n not in set(back)}
+    back_set = set(back)
+    pending_oracle = {
+        n: s for n, s in REGISTRY.items() if n not in back_set and s.oracle is not None
+    }
+    pending_rows_only = {
+        n: s for n, s in REGISTRY.items() if n not in back_set and s.oracle is None
+    }
+    ordered = {**pending_oracle, **pending_rows_only}
     ordered.update({n: REGISTRY[n] for n in back})
     REGISTRY.clear()
     REGISTRY.update(ordered)

@@ -46,20 +46,83 @@ def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, id_col="vec_id", vec_col="embedding", k=5)
 
 
+# Threshold note: the synthetic embeddings are near-random (max
+# pairwise cosine ≈ 0.51 at sf0.01), so a production-style 0.95 cutoff
+# returns the empty set and the driver's value hash would pass
+# trivially. 0.35 sits at the ~99.9th percentile of the pair
+# distribution — ~125 surviving pairs at sf0.01 — so the hash covers
+# real values. Production use keeps the 0.95 default on the operator.
 _NEARDUP_ORACLE = f"""
 SELECT a.vec_id AS id_1, b.vec_id AS id_2, {_COS_SQL} AS cosine_sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {_COS_SQL} >= 0.95
+WHERE {_COS_SQL} >= 0.35
 """
 
 
 @query("embedding_near_dup", _NEARDUP_ORACLE, tags=("dedup-embedding-cosine",))
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (semantic dedup): unordered
-    pairs with cosine ≥ 0.95."""
+    pairs with cosine ≥ threshold (0.35 here — see threshold note)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_duplicates(
-        emb, id_col="vec_id", vec_col="embedding", threshold=0.95
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.35
+    )
+
+
+def _srp_neardup_oracle() -> str:
+    """Reproduce the SRP bucket hashing in DuckDB: the md5-derived
+    hyperplanes inline as DOUBLE[] literals (repr round-trips the exact
+    float64), bucket bits are the sign of the identical sequential
+    fold, and the exact-cosine verification reuses the proven parity
+    form. CAST to DOUBLE[] matters — a bare list literal parses as
+    DECIMAL[] and would round differently than Spark's doubles."""
+    from leader_graph_spark.operators.similarity import srp_plane_literals
+
+    rows = ",\n    ".join(
+        f"({t}, {w}, CAST([{', '.join(repr(c) for c in comps)}] AS DOUBLE[]))"
+        for t, w, comps in srp_plane_literals(n_planes=4, n_tables=4, dim=64)
+    )
+    return f"""
+WITH planes(tbl, w, comps) AS (
+  VALUES
+    {rows}
+),
+sigs AS (
+  SELECT e.vec_id AS id, pl.tbl,
+         CAST(sum(CASE WHEN list_sum(list_transform(list_zip(e.embedding, pl.comps),
+                         x -> CAST(x[1] AS DOUBLE) * x[2])) > 0
+                  THEN pl.w ELSE 0 END) AS INT) AS bucket
+  FROM embeddings e CROSS JOIN planes pl
+  GROUP BY e.vec_id, pl.tbl
+),
+pairs AS (
+  SELECT DISTINCT s1.id AS id_1, s2.id AS id_2
+  FROM sigs s1 JOIN sigs s2 ON s1.tbl = s2.tbl AND s1.bucket = s2.bucket AND s1.id < s2.id
+)
+SELECT p.id_1, p.id_2, {_COS_SQL} AS cosine_sim
+FROM pairs p
+JOIN embeddings a ON a.vec_id = p.id_1
+JOIN embeddings b ON b.vec_id = p.id_2
+WHERE {_COS_SQL} >= 0.35
+"""
+
+
+@query("embedding_near_dup_lsh", _srp_neardup_oracle(), tags=("dedup-embedding-cosine", "similarity-ann-lsh"))
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH-bucketed embedding near-dup pairs — the 100 TB scale
+    path for ``embedding_near_dup``: bucket equi-join candidates, exact
+    cosine-threshold verification, no all-pairs stage (threshold 0.35
+    here per the threshold note above; production keeps the operator's
+    0.95 default, where SRP recall ≈ 0.985). Fully oracle-checked (the
+    oracle reproduces the bucket hashing from the same inlined
+    hyperplanes); recall vs the exact form is additionally unit-tested
+    in tests/test_similarity.py."""
+    from leader_graph_spark.operators.similarity import srp_near_duplicates
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return srp_near_duplicates(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.35,
+        n_planes=4, n_tables=4, dim=64,
     )
 
 

@@ -482,3 +482,179 @@ def doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("split"),
         (F.col("bucket") < 26).alias("in_10pct_sample"),
     )
+
+
+_REPETITION_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, CAST(length(text) AS DOUBLE) AS n_chars,
+         string_split_regex(trim(lower(text)), '\\s+') AS tokens
+  FROM documents
+),
+g2 AS (
+  SELECT doc_id, n_chars,
+         unnest(list_transform(range(1, len(tokens)), i -> array_to_string(tokens[i:i+1], ' '))) AS gram
+  FROM toks
+),
+c2 AS (SELECT doc_id, gram, count(*) AS cnt, any_value(n_chars) AS n_chars FROM g2 GROUP BY doc_id, gram),
+top2 AS (
+  SELECT doc_id, gram AS top_2gram, round(cnt * length(gram) / n_chars, 6) AS top_2gram_ratio
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn FROM c2)
+  WHERE rn = 1
+),
+g5 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tokens) - 3), i -> array_to_string(tokens[i:i+4], ' '))) AS gram
+  FROM toks
+),
+c5 AS (SELECT doc_id, gram, count(*) AS cnt FROM g5 GROUP BY doc_id, gram),
+dup5 AS (
+  SELECT doc_id, sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS dup_chars
+  FROM c5 GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(tokens) AS INT) AS n_words,
+       round(1.0 - CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens), 6) AS dup_word_ratio,
+       COALESCE(top_2gram, '') AS top_2gram,
+       COALESCE(top_2gram_ratio, 0.0) AS top_2gram_ratio,
+       round(COALESCE(dup_chars, 0) / n_chars, 6) AS dup_5gram_ratio
+FROM toks t
+LEFT JOIN top2 USING (doc_id)
+LEFT JOIN dup5 USING (doc_id)
+"""
+
+
+@query("doc_repetition_signals", _REPETITION_ORACLE, tags=("quality-repetition",))
+def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: duplicate
+    word ratio, dominant 2-gram character coverage, duplicated 5-gram
+    character coverage. All counting is keyed by doc_id (map-side
+    combinable, no skew surface); the oracle reproduces every ratio
+    through single double divisions."""
+    from leader_graph_spark.operators.quality import repetition_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_signals(docs, id_col="doc_id", text_col="text")
+
+
+_DECONTAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tokens FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(tokens) - 1), i -> array_to_string(tokens[i:i+2], ' '))) AS shingle
+    FROM toks
+  )
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+counts AS (
+  SELECT s.doc_id, count(*) AS n_shingles,
+         sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+  FROM sh s LEFT JOIN bench b USING (shingle)
+  WHERE s.doc_id % 20 <> 0
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(c.n_shingles, 0) AS INT) AS n_shingles,
+       CAST(COALESCE(c.n_hits, 0) AS INT) AS n_hits,
+       CASE WHEN COALESCE(c.n_shingles, 0) = 0 THEN 0.0
+            ELSE round(COALESCE(c.n_hits, 0) / CAST(c.n_shingles AS DOUBLE), 6) END
+         AS contamination_ratio,
+       (CASE WHEN COALESCE(c.n_shingles, 0) = 0 THEN 0.0
+             ELSE round(COALESCE(c.n_hits, 0) / CAST(c.n_shingles AS DOUBLE), 6) END) >= 0.05
+         AS is_contaminated
+FROM documents d LEFT JOIN counts c USING (doc_id)
+WHERE d.doc_id % 20 <> 0
+"""
+
+
+@query("benchmark_decontamination", _DECONTAM_ORACLE, tags=("quality-decontamination",))
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/benchmark decontamination: every doc_id % 20 == 0 document
+    plays the held-out benchmark; the remaining corpus is scored by
+    3-gram shingle overlap against the BROADCAST benchmark shingle set
+    (the corpus never shuffles on shingle — the scale-defining property
+    of this operator)."""
+    from leader_graph_spark.operators.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return decontaminate(
+        train, bench, id_col="doc_id", text_col="text", n=3, ratio_threshold=0.05
+    )
+
+
+def _pii_oracle() -> str:
+    from leader_graph_spark.operators.quality import EMAIL_RE, IP_RE, PHONE_RE
+
+    return f"""
+WITH pii AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' call +1 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                 ELSE '' END
+           AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '{EMAIL_RE}', '<EMAIL>', 'g'),
+         '{IP_RE}', '<IP>', 'g'),
+         '{PHONE_RE}', '<PHONE>', 'g') AS redacted_text,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS INT) AS n_phones,
+       CAST(len(regexp_extract_all(text, '{IP_RE}')) AS INT) AS n_ips
+FROM pii
+"""
+
+
+@query("pii_redaction", _pii_oracle(), tags=("quality-pii",))
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over deterministic synthesized contact blocks
+    (emails on even ids, phones on ids % 3, IPv4 on ids % 5 — the raw
+    corpus has no digits, so the synthesis makes every count and every
+    replacement site value-checked). The redaction cascade and counts
+    run the identical Java-regex/RE2-common patterns on both engines."""
+    from leader_graph_spark.operators.quality import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@mail.example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" call +1 555-01"),
+                    F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit("."),
+                    ((F.col("doc_id") * 7) % 256).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return redact_pii(pii, id_col="doc_id", text_col="text")

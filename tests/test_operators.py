@@ -425,3 +425,55 @@ def test_sampling_determinism_and_quota(spark, sf_smoke):
         for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want
+
+
+def test_repetition_signals_planted(spark):
+    from leader_graph_spark.operators.quality import repetition_signals
+
+    rep = "the cat sat " * 10  # heavy 2- and 5-gram repetition
+    clean = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame([(1, rep.strip()), (2, clean)], "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert out[1].top_2gram in ("the cat", "cat sat", "sat the")
+    assert out[1].dup_5gram_ratio > 0.5
+    assert out[1].dup_word_ratio > 0.8
+    assert out[2].dup_5gram_ratio == 0.0
+    assert out[2].dup_word_ratio == 0.0
+
+
+def test_decontaminate_planted_overlap(spark):
+    from leader_graph_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france paris obviously")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "filler words then what is the capital of france paris obviously end"),
+            (2, "completely unrelated training text about spark partitions and shuffles"),
+            (3, "hi"),  # too short for any 3-gram
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in decontaminate(train, bench, n=3).collect()}
+    assert out[1].is_contaminated and out[1].n_hits >= 6
+    assert out[2].n_hits == 0 and not out[2].is_contaminated
+    assert out[3].n_shingles == 0 and out[3].contamination_ratio == 0.0
+
+
+def test_redact_pii_counts_and_text(spark):
+    from leader_graph_spark.operators.quality import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c.d+x@e.org call +1 555-0100 server 192.168.1.1 ok"),
+            (2, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert out[1].n_emails == 2 and out[1].n_phones == 1 and out[1].n_ips == 1
+    assert out[1].redacted_text == "mail <EMAIL> and <EMAIL> call <PHONE> server <IP> ok"
+    assert out[2].redacted_text == "no pii here at all"
+    assert (out[2].n_emails, out[2].n_phones, out[2].n_ips) == (0, 0, 0)

@@ -101,3 +101,42 @@ def test_kmeans_inertia_nonincreasing(spark, sf_smoke):
         assert a.select("cid").distinct().count() <= 8
     # Lloyd's algorithm: total inertia is non-increasing per iteration.
     assert inertia[0] >= inertia[1] >= inertia[2]
+
+
+def test_srp_near_dup_high_threshold_recall(spark, sf_dir):
+    """Planted near-duplicates (v + tiny perturbation => cosine ~0.999)
+    must survive SRP bucketing at the production 0.95 threshold: at that
+    similarity the 4-plane/4-table collision probability is ~0.997 per
+    pair, and verification guarantees zero false positives."""
+    from leader_graph_spark.operators.similarity import (
+        embedding_near_duplicates,
+        srp_near_duplicates,
+    )
+
+    base = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(100)
+    )
+    # near-dup twin of every vector: flip the last component's sign bit
+    # a little (id offset 100000 keeps ids disjoint)
+    twin = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x + F.when(i == 0, F.lit(1e-3)).otherwise(F.lit(0.0))
+        ).cast("array<float>").alias("embedding"),
+    )
+    both = base.unionByName(twin)
+    exact = {
+        (r.id_1, r.id_2)
+        for r in embedding_near_duplicates(both, threshold=0.95).collect()
+    }
+    approx = {
+        (r.id_1, r.id_2)
+        for r in srp_near_duplicates(both, threshold=0.95).collect()
+    }
+    assert approx <= exact, "LSH must not invent pairs (exact verification)"
+    assert len(exact) >= 100, "every planted twin is a near-dup"
+    assert len(approx & exact) / len(exact) >= 0.95, (
+        f"recall {len(approx & exact)}/{len(exact)}"
+    )
