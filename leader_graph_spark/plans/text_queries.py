@@ -376,45 +376,18 @@ def frequent_terms_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# P6 — name-validity predicate
+# F2-F6 cleaning cascade + P6 name-validity predicate (merged query: the two
+# surfaces were near-duplicate round-1 sweep entries; one registry slot now
+# drives the full cascade AND the validity heuristic)
 # ---------------------------------------------------------------------------
 
-_NAME_FILTER_ORACLE = """
-SELECT c_custkey, c_name,
-       (length(replace(regexp_replace(c_name, '（[^）]*）|\\([^)]*\\)', '', 'g'), ' ', '')) <= 18
-        AND NOT regexp_matches(c_name, '(Test|Dummy|Invalid|00000000)')) AS is_valid_name
-FROM customer
-"""
-
-
-@query("valid_name_filter", _NAME_FILTER_ORACLE, tags=("P6", "F6"))
-def valid_name_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's person-name validity heuristic
-    (``leader/update_c_org_leader_info.py:15-73``): paren-stripped
-    length ceiling AND no blacklist keyword — as a pure column
-    predicate."""
-    customer = load_table(spark, sf_dir, "customer")
-    cleaned = F.replace(
-        F.regexp_replace(F.col("c_name"), r"（[^）]*）|\([^)]*\)", ""),
-        F.lit(" "),
-        F.lit(""),
-    )
-    blacklist = F.col("c_name").rlike("(Test|Dummy|Invalid|00000000)")
-    return customer.select(
-        "c_custkey",
-        "c_name",
-        ((F.length(cleaned) <= 18) & ~blacklist).alias("is_valid_name"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# F2-F5 cleaning cascade over deterministically noised text
-# ---------------------------------------------------------------------------
-
-_CLEAN_ORACLE = """
+_CLEAN_VALIDATE_ORACLE = """
 WITH noised AS (
   SELECT doc_id,
-         '<p>' || substr(text, 1, 60) || '</p>[1] tail[12-15] ' || chr(8203) || '[编辑] x' AS noisy
+         '<p>' || substr(text, 1, 60) || '</p>[1] tail[12-15] ' || chr(8203) || '[编辑] x' AS noisy,
+         substr(text, 1, 20)
+           || CASE WHEN doc_id % 7 = 0 THEN ' (deputy director, acting)' ELSE '' END
+           || CASE WHEN doc_id % 13 = 0 THEN ' Test' ELSE '' END AS name_like
   FROM documents
 )
 SELECT doc_id,
@@ -424,17 +397,27 @@ SELECT doc_id,
              regexp_replace(noisy, '\\[\\d+(-\\d+)?\\]|\\[编辑\\]|\\[详情\\]', '', 'g'),
              '<[^>]+>', '', 'g'),
            '[\u200b\u200c\u200d\ufeff\u00a0]', '', 'g'),
-         '\\s+', ' ', 'g')) AS cleaned
+         '\\s+', ' ', 'g')) AS cleaned,
+       (length(replace(regexp_replace(name_like, '（[^）]*）|\\([^)]*\\)', '', 'g'), ' ', '')) <= 18
+        AND NOT regexp_matches(name_like, '(Test|Dummy|Invalid|00000000)')) AS is_valid_name
 FROM noised
 """
 
 
-@query("clean_text_cascade", _CLEAN_ORACLE, tags=("F2", "F3", "F4", "F5"))
-def clean_text_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query(
+    "clean_and_validate_text",
+    _CLEAN_VALIDATE_ORACLE,
+    tags=("P6", "F2", "F3", "F4", "F5", "F6"),
+)
+def clean_and_validate_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's standard text-cleaning cascade (citation marks →
     HTML tags → zero-width chars → whitespace collapse,
-    ``parser/baike_parser.py:197-205``) applied to deterministically
-    noised text, oracle-checked regex by regex."""
+    ``parser/baike_parser.py:197-205``) PLUS its person-name validity
+    heuristic (paren-stripped length ceiling AND no blacklist keyword,
+    ``leader/update_c_org_leader_info.py:15-73``), both over
+    deterministically noised document text so every regex stage and both
+    predicate branches are value-checked (ids %7 get a paren suffix,
+    ids %13 a blacklist token)."""
     from leader_graph_spark.functions.scalar import clean_text
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
@@ -443,7 +426,24 @@ def clean_text_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("text", 1, 60),
         F.lit("</p>[1] tail[12-15] \u200b[编辑] x"),
     )
-    return docs.select("doc_id", clean_text(noisy).alias("cleaned"))
+    name_like = F.concat(
+        F.substring("text", 1, 20),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" (deputy director, acting)")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(" Test")).otherwise(F.lit("")),
+    )
+    stripped = F.replace(
+        F.regexp_replace(name_like, r"（[^）]*）|\([^)]*\)", ""),
+        F.lit(" "),
+        F.lit(""),
+    )
+    blacklist = name_like.rlike("(Test|Dummy|Invalid|00000000)")
+    return docs.select(
+        "doc_id",
+        clean_text(noisy).alias("cleaned"),
+        ((F.length(stripped) <= 18) & ~blacklist).alias("is_valid_name"),
+    )
 
 
 # ---------------------------------------------------------------------------
