@@ -117,12 +117,14 @@ def minhash_signatures(
     return shingles.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def lsh_band_buckets(
     signatures: DataFrame, *, id_col: str, num_hashes: int = 16, bands: int = 4
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` bands of
-    ``num_hashes/bands`` rows, bucket-join docs sharing any band key.
-    Output: distinct (id_1, id_2) candidate pairs with id_1 < id_2."""
+    ``num_hashes/bands`` rows and emit one (id, band, key) bucket row
+    per band. This is the persistable dedup-index artifact: a corpus's
+    bucket table is written once and incremental batches probe it (see
+    :func:`incremental_near_dup`)."""
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -130,9 +132,19 @@ def lsh_candidate_pairs(
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("key"))
         )
-    buckets = signatures.select(
+    return signatures.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, *, id_col: str, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """LSH banding candidate pairs: bucket-join docs sharing any band
+    key. Output: distinct (id_1, id_2) candidate pairs with id_1 < id_2."""
+    buckets = lsh_band_buckets(
+        signatures, id_col=id_col, num_hashes=num_hashes, bands=bands
+    )
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
@@ -227,6 +239,95 @@ def minhash_near_duplicates(
     )
     return jac.filter(F.col("jaccard") >= threshold).select(
         "id_1", "id_2", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def incremental_near_dup(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental MinHash-LSH dedup: score a NEW batch of documents
+    against an EXISTING corpus without re-pairing the corpus with
+    itself — the steady-state shape of a production ingest pipeline,
+    where each day's crawl is deduped against everything already kept.
+
+    Scale design: only the cross join (new-bucket × index-bucket on the
+    band key) is computed — never index × index, so cost is
+    O(new · collisions), independent of corpus size. In production the
+    index side's band buckets (:func:`lsh_band_buckets`) and distinct
+    shingle arrays are precomputed artifacts persisted with the corpus
+    (bucket-partitioned parquet); here they are derived inline so the
+    oracle can reproduce every stage. The candidate join carries only
+    ids; shingle arrays attach afterward for exact-Jaccard
+    verification, so false positives are impossible.
+
+    Output, one row per NEW doc: (doc_id, is_duplicate, dup_of,
+    jaccard) where dup_of is the best-matching index doc (highest
+    Jaccard ≥ threshold, min-id tie-break; NULL when none).
+    """
+    from pyspark.sql import Window
+
+    new_f, idx_f = fan_out(new_df), fan_out(index_df)
+    sig_new = minhash_signatures(
+        shingle_rows(new_f, id_col=id_col, text_col=text_col, n=shingle_n, distinct=False),
+        id_col=id_col,
+        num_hashes=num_hashes,
+    )
+    sig_idx = minhash_signatures(
+        shingle_rows(idx_f, id_col=id_col, text_col=text_col, n=shingle_n, distinct=False),
+        id_col=id_col,
+        num_hashes=num_hashes,
+    )
+    b_new = lsh_band_buckets(
+        sig_new, id_col=id_col, num_hashes=num_hashes, bands=bands
+    ).select(F.col(id_col).alias("doc_id"), "band", "key")
+    b_idx = lsh_band_buckets(
+        sig_idx, id_col=id_col, num_hashes=num_hashes, bands=bands
+    ).select(F.col(id_col).alias("dup_of"), "band", "key")
+    cands = b_new.join(b_idx, ["band", "key"]).select("doc_id", "dup_of").distinct()
+    sets_new = new_f.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(shingle_array(text_col, shingle_n)).alias("sh_1"),
+    )
+    sets_idx = idx_f.select(
+        F.col(id_col).alias("dup_of"),
+        F.array_distinct(shingle_array(text_col, shingle_n)).alias("sh_2"),
+    )
+    inter = F.size(F.array_intersect("sh_1", "sh_2"))
+    verified = (
+        cands.join(sets_new, "doc_id")
+        .join(sets_idx, "dup_of")
+        .select(
+            "doc_id",
+            "dup_of",
+            (inter / (F.size("sh_1") + F.size("sh_2") - inter).cast("double")).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("jaccard"), F.asc("dup_of"))
+    best = (
+        verified.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "dup_of", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return (
+        new_f.select(F.col(id_col).alias("doc_id"))
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("dup_of").isNotNull().alias("is_duplicate"),
+            "dup_of",
+            F.coalesce("jaccard", F.lit(0.0)).alias("jaccard"),
+        )
     )
 
 

@@ -107,6 +107,69 @@ def repetition_signals(
     )
 
 
+def remove_boilerplate_lines(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_doc_frequency: int = 10,
+) -> DataFrame:
+    """CCNet/C4-style line-level dedup: drop every line that occurs in
+    at least ``min_doc_frequency`` distinct documents (navigation bars,
+    cookie banners, boilerplate footers), preserving the remaining
+    lines in document order.
+
+    Scale design: the line-frequency table is vocabulary-sized, but the
+    BLOCKLIST — lines repeated across ≥ ``min_doc_frequency`` docs — is
+    tiny by construction (boilerplate is few distinct strings repeated
+    massively), so it is broadcast and the removal pass is a map-side
+    broadcast anti-join on the line hash; the corpus lines never
+    shuffle for the removal. The only full shuffles are the
+    (line-hash → distinct-doc-count) aggregation (map-side combinable)
+    and the per-doc reassembly groupBy. Lines are keyed by
+    ``md5(trim(lower(line)))`` so shuffle keys stay 32 bytes regardless
+    of line length.
+
+    Output: (doc_id, cleaned_text, n_lines, n_removed).
+    """
+    base = fan_out(df).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    lines = base.select(
+        "doc_id", F.posexplode(F.split("text", sep)).alias("pos", "line")
+    ).withColumn("lh", F.md5(F.trim(F.lower("line"))))
+    blocklist = (
+        lines.groupBy("lh")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_doc_frequency)
+        .select("lh")
+    )
+    kept = lines.join(F.broadcast(blocklist), "lh", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.line,
+            ),
+            sep,
+        ).alias("cleaned_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        base.select("doc_id", F.size(F.split("text", sep)).alias("n_lines"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+            F.col("n_lines").cast("int").alias("n_lines"),
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+        )
+    )
+
+
 def redact_pii(
     df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -146,6 +146,75 @@ def minhash_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Incremental dedup: docs with doc_id % 3 == 0 play the existing corpus
+# index; the rest are the incoming batch scored against it.
+_INCR_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+sigs AS (
+  SELECT doc_id,
+         {_sig_cols_sql()}
+  FROM sh GROUP BY doc_id
+),
+buckets AS (
+{_band_selects_sql()}
+),
+cands AS (
+  SELECT DISTINCT n.doc_id AS doc_id, i.doc_id AS dup_of
+  FROM buckets n JOIN buckets i ON n.band = i.band AND n.key = i.key
+  WHERE n.doc_id % 3 <> 0 AND i.doc_id % 3 = 0
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_id, c.dup_of, count(*) AS inter
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.doc_id
+  JOIN sh b ON b.doc_id = c.dup_of AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT i.doc_id, i.dup_of,
+         round(i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 6) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_id
+  JOIN sizes sb ON sb.doc_id = i.dup_of
+  WHERE i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= {THRESHOLD}
+),
+best AS (
+  SELECT doc_id, dup_of, jaccard FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, dup_of) AS rn
+    FROM verified
+  ) WHERE rn = 1
+)
+SELECT d.doc_id,
+       b.dup_of IS NOT NULL AS is_duplicate,
+       b.dup_of,
+       COALESCE(b.jaccard, 0.0) AS jaccard
+FROM documents d LEFT JOIN best b USING (doc_id)
+WHERE d.doc_id % 3 <> 0
+"""
+
+
+@query("incremental_near_dup_batch", _INCR_ORACLE, tags=("dedup-minhash-lsh", "incremental"))
+def incremental_near_dup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: the new batch (doc_id % 3 != 0) scored
+    against the existing corpus index (doc_id % 3 == 0) — new×index
+    bucket collisions only, never index×index. The oracle reproduces
+    signatures, banding, and the best-match selection end-to-end."""
+    from leader_graph_spark.operators.dedup import incremental_near_dup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_near_dup(
+        docs.filter(F.col("doc_id") % 3 != 0),
+        docs.filter(F.col("doc_id") % 3 == 0),
+        id_col="doc_id",
+        text_col="text",
+        shingle_n=SHINGLE_N,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        threshold=THRESHOLD,
+    )
+
+
 _NGRAM_ORACLE = f"""
 WITH {_SHINGLES_CTE},
 pairs AS (

@@ -658,3 +658,80 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return redact_pii(pii, id_col="doc_id", text_col="text")
+
+
+# ---------------------------------------------------------------------------
+# CCNet/C4-style line-level dedup (boilerplate removal)
+# ---------------------------------------------------------------------------
+
+_LINE_DEDUP_ORACLE = """
+WITH docs AS (
+  SELECT doc_id,
+         text || chr(10) || 'subscribe to our newsletter today' || chr(10)
+              || CASE WHEN doc_id % 4 = 0 THEN 'all rights reserved'
+                      ELSE 'powered by example engine' END
+              || CASE WHEN doc_id % 50 = 0
+                      THEN chr(10) || 'special offer code ' || CAST((doc_id // 50) % 5 AS VARCHAR)
+                      ELSE '' END
+           AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, u.pos AS pos, u.line AS line, md5(trim(lower(u.line))) AS lh
+  FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, chr(10))) + 1),
+          i -> {'pos': i - 1, 'line': string_split(text, chr(10))[i]})) AS u
+    FROM docs
+  )
+),
+block AS (
+  SELECT lh FROM (SELECT lh, count(DISTINCT doc_id) AS n_docs FROM lines GROUP BY lh)
+  WHERE n_docs >= 10
+),
+kept AS (
+  SELECT l.* FROM lines l LEFT JOIN block b USING (lh) WHERE b.lh IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, array_to_string(list(line ORDER BY pos), chr(10)) AS cleaned_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(r.cleaned_text, '') AS cleaned_text,
+       CAST(len(string_split(d.text, chr(10))) AS INT) AS n_lines,
+       CAST(len(string_split(d.text, chr(10))) - COALESCE(r.n_kept, 0) AS INT) AS n_removed
+FROM docs d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+@query("boilerplate_line_dedup", _LINE_DEDUP_ORACLE, tags=("quality-line-dedup",))
+def boilerplate_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/C4-style line-level dedup over deterministically planted
+    boilerplate: every doc gains a newsletter line plus one of two
+    rotating footers (all cross ≥10 docs → removed), and ids % 50 gain
+    a rare promo line (< 10 docs → kept), so the removed, kept-rare,
+    and unique-line paths are all value-checked. The blocklist of
+    repeated lines is broadcast; removal is a map-side anti-join."""
+    from leader_graph_spark.operators.quality import remove_boilerplate_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nsubscribe to our newsletter today\n"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("all rights reserved")).otherwise(
+                F.lit("powered by example engine")
+            ),
+            F.when(
+                F.col("doc_id") % 50 == 0,
+                F.concat(
+                    F.lit("\nspecial offer code "),
+                    (F.expr("doc_id div 50") % 5).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return remove_boilerplate_lines(
+        synth, id_col="doc_id", text_col="text", min_doc_frequency=10
+    )

@@ -477,3 +477,43 @@ def test_redact_pii_counts_and_text(spark):
     assert out[1].redacted_text == "mail <EMAIL> and <EMAIL> call <PHONE> server <IP> ok"
     assert out[2].redacted_text == "no pii here at all"
     assert (out[2].n_emails, out[2].n_phones, out[2].n_ips) == (0, 0, 0)
+
+
+def test_incremental_near_dup_planted(spark):
+    from leader_graph_spark.operators.dedup import incremental_near_dup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    index = spark.createDataFrame(
+        [(100, base), (101, "completely different index content about warehouse shelving units")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, base),  # exact dup of 100 -> jaccard 1.0
+            (2, base + " extra"),  # near dup of 100
+            (3, "unrelated fresh document describing spark adaptive query execution"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in incremental_near_dup(new, index, threshold=0.5).collect()}
+    assert out[1].is_duplicate and out[1].dup_of == 100 and out[1].jaccard == 1.0
+    assert out[2].is_duplicate and out[2].dup_of == 100 and 0.5 <= out[2].jaccard < 1.0
+    assert not out[3].is_duplicate and out[3].dup_of is None and out[3].jaccard == 0.0
+
+
+def test_remove_boilerplate_lines_planted(spark):
+    from leader_graph_spark.operators.quality import remove_boilerplate_lines
+
+    rows = [(i, f"unique line {i}\ncommon footer\nmore unique {i}") for i in range(12)]
+    rows.append((99, "common footer"))  # doc that is ONLY boilerplate
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_boilerplate_lines(df, min_doc_frequency=10).collect()}
+    assert out[0].cleaned_text == "unique line 0\nmore unique 0"  # order preserved
+    assert out[0].n_lines == 3 and out[0].n_removed == 1
+    assert out[99].cleaned_text == "" and out[99].n_removed == 1  # fully-boilerplate doc survives as a row
+    # below-threshold repetition is kept: 12 < threshold would keep, verify with higher bar
+    kept_all = {
+        r.doc_id: r
+        for r in remove_boilerplate_lines(df, min_doc_frequency=20).collect()
+    }
+    assert kept_all[0].n_removed == 0 and kept_all[0].cleaned_text == rows[0][1]
