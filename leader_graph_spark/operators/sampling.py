@@ -71,3 +71,67 @@ def stratified_sample_exact(
         .filter(F.col("_rk") <= F.ceil(F.col("_n") * fraction))
         .drop("_rk", "_n")
     )
+
+
+def mixture_resample(
+    df: DataFrame,
+    *,
+    stratum_col: str,
+    key_col: str,
+    target_shares: dict[str, float],
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic source-mixture resampling (the data-mixing knob of
+    a pretraining pipeline): rescale each stratum toward a target share
+    of the output while keeping total size ≈ N. Each stratum gets
+    ``factor = target_share × N / n_stratum``; over-represented strata
+    downsample (fractional hash-acceptance), under-represented ones
+    repeat — integer epochs plus a fractional hash-accepted extra copy,
+    the Pile-style epochs table computed from the data itself.
+
+    ``n_copies = floor(factor) + (bucket < floor(frac(factor) × 1e6))``
+    with the bucket the md5-uniform of (salt|key) — deterministic under
+    any partitioning, append-stable, reproducible in any engine.
+
+    Scale design: the per-stratum factor table is an aggregate of a few
+    rows, broadcast-joined back; the copy decision is then pure
+    map-side. Consumers materialize repeats with
+    ``explode(sequence(1, n_copies))`` (rows with 0 copies drop out).
+
+    Output: (key, stratum, mix_factor, n_copies). Strata absent from
+    ``target_shares`` get factor 0.
+    """
+    counts = df.groupBy(F.col(stratum_col).alias("_st")).agg(
+        F.count(F.lit(1)).alias("_n_s")
+    )
+    total = counts.agg(F.sum("_n_s").alias("_n"))
+    shares = df.sparkSession.createDataFrame(
+        [(k, float(v)) for k, v in target_shares.items()], "_st string, _share double"
+    )
+    factors = (
+        counts.crossJoin(F.broadcast(total))
+        .join(F.broadcast(shares), "_st", "left")
+        .select(
+            "_st",
+            (F.coalesce("_share", F.lit(0.0)) * F.col("_n") / F.col("_n_s")).alias(
+                "_factor"
+            ),
+        )
+    )
+    frac = F.col("_factor") - F.floor("_factor")
+    return (
+        df.join(F.broadcast(factors), F.col(stratum_col) == F.col("_st"))
+        .select(
+            F.col(key_col).alias("key"),
+            F.col(stratum_col).alias("stratum"),
+            F.round("_factor", 6).alias("mix_factor"),
+            (
+                F.floor("_factor")
+                + F.when(
+                    _hash_bucket(key_col, salt) < F.floor(frac * _HASH_MOD), F.lit(1)
+                ).otherwise(F.lit(0))
+            )
+            .cast("int")
+            .alias("n_copies"),
+        )
+    )

@@ -407,3 +407,81 @@ def ann_ivf_topk(
         .filter(F.col("rank") <= k)
         .select("id", "neighbor_id", "cosine_sim", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def quantize_embeddings(
+    emb: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the embedding STORAGE
+    scale path: float32 → int8 cuts vector bytes (and every downstream
+    shuffle that carries them) 4×, at ~0.4% relative error for
+    near-uniform vectors. ``scale = max|v|/127``;
+    ``q_i = floor(v_i/scale + 0.5)`` — floor(+0.5) instead of round()
+    because engines disagree on round-half semantics while floor is
+    IEEE-portable, making the quantized bytes oracle-checkable.
+
+    Output: (id, scale, qvec array<int>); dequantize as ``q_i·scale``.
+    Zero vectors get scale 0 and an all-zero qvec.
+    """
+    from leader_graph_spark.sources.tables import fan_out
+
+    v = F.col(vec_col).cast("array<double>")
+    base = fan_out(emb).select(
+        F.col(id_col), v.alias("v"),
+        (F.array_max(F.transform(v, lambda x: F.abs(x))) / 127.0).alias("scale"),
+    )
+    qvec = F.transform(
+        "v",
+        lambda x: F.when(
+            F.col("scale") > 0, F.floor(x / F.col("scale") + 0.5)
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    return base.select(id_col, "scale", qvec.alias("qvec"), "v")
+
+
+def quantization_report(
+    emb: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector int8 quantization fidelity report, all-scalar output
+    (no array columns — the driver's canonicalizer requires hashable
+    cells): the quantized bytes are value-checked through an md5
+    checksum of the comma-joined qvec, plus max abs reconstruction
+    error, MSE, and the cosine between the original and dequantized
+    vector. Pure map-side (array HOFs inside codegen) — no shuffle.
+    """
+    q = quantize_embeddings(emb, id_col=id_col, vec_col=vec_col)
+    dq = F.zip_with("v", "qvec", lambda x, qi: qi * F.col("scale"))
+    err = F.zip_with("v", "qvec", lambda x, qi: F.abs(x - qi * F.col("scale")))
+    sqerr = F.zip_with(
+        "v", "qvec", lambda x, qi: (x - qi * F.col("scale")) * (x - qi * F.col("scale"))
+    )
+    norm_v = F.sqrt(F.aggregate(
+        F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    ))
+    norm_dq = F.sqrt(F.aggregate(
+        F.transform(dq, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    ))
+    dot_vdq = F.aggregate(
+        F.zip_with("v", dq, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    # NOTE: the rounded scale must NOT be aliased "scale" inside the same
+    # select — Spark 4 resolves lateral column aliases implicitly, so the
+    # error lambdas below would silently rebind to the ROUNDED scale
+    # (DuckDB prefers the base column; the engines then disagree in the
+    # 6th decimal of max_abs_err). Round in a second projection instead.
+    return q.select(
+        id_col,
+        F.col("scale"),
+        F.md5(
+            F.array_join(F.transform("qvec", lambda qi: qi.cast("string")), ",")
+        ).alias("qvec_checksum"),
+        F.round(F.array_max(err), 6).alias("max_abs_err"),
+        F.round(
+            F.aggregate(sqerr, F.lit(0.0), lambda a, x: a + x) / F.size("v"), 6
+        ).alias("mse"),
+        F.when(norm_dq > 0, F.round(dot_vdq / (norm_v * norm_dq), 6))
+        .otherwise(F.lit(0.0))
+        .alias("cos_fidelity"),
+    ).withColumn("scale", F.round("scale", 6))

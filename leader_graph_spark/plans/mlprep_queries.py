@@ -88,3 +88,47 @@ def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample_exact(
         docs, strata_col="lang", key_col="doc_id", fraction=0.1
     )
+
+
+def _hash_bucket_sql(key_expr: str, salt: str) -> str:
+    """DuckDB twin of ``operators.sampling._hash_bucket``: the leading
+    8 md5 hex chars as an integer, mod 1e6 (DuckDB has no ``conv``;
+    instr arithmetic digit by digit, value equality verified)."""
+    md5 = f"md5('{salt}|' || {key_expr})"
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substr({md5}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"(({terms}) % 1000000)"
+
+
+_MIXTURE_ORACLE = f"""
+WITH counts AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY lang),
+tot AS (SELECT sum(n_s) AS n FROM counts),
+factors AS (SELECT lang, 0.2 * n / n_s AS factor FROM counts, tot)
+SELECT d.doc_id AS key, d.lang AS stratum,
+       round(f.factor, 6) AS mix_factor,
+       CAST(floor(f.factor)
+            + CASE WHEN {_hash_bucket_sql("CAST(d.doc_id AS VARCHAR)", "mix")}
+                        < floor((f.factor - floor(f.factor)) * 1000000)
+                   THEN 1 ELSE 0 END AS INT) AS n_copies
+FROM documents d JOIN factors f USING (lang)
+"""
+
+
+@query("mixture_resample_by_lang", _MIXTURE_ORACLE, tags=("sampling", "mixing", "mlprep"))
+def mixture_resample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture resampling toward an equal 20% share per
+    language: over-represented languages hash-downsample, minority ones
+    repeat (integer epochs + fractional hash-accepted copy), all
+    deterministic from md5(doc_id). The per-language factor table is a
+    broadcast of five rows; the copy decision is map-side."""
+    from leader_graph_spark.operators.sampling import mixture_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_resample(
+        fan_out(docs),
+        stratum_col="lang",
+        key_col="doc_id",
+        target_shares={k: 0.2 for k in ("en", "de", "es", "fr", "zh")},
+    )

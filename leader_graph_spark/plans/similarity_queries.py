@@ -200,3 +200,42 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     the centroid sets that IVF search (``ann_ivf_topk``) probes."""
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_fixed_point(emb, id_col="vec_id", vec_col="embedding", k=8, iterations=2)
+
+
+_QUANT_ORACLE = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+  FROM embeddings
+),
+qq AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> CAST(CASE WHEN scale > 0 THEN floor(x / scale + 0.5) ELSE 0 END AS INT)) AS qvec
+  FROM q
+)
+SELECT vec_id,
+       round(scale, 6) AS scale,
+       md5(array_to_string(qvec, ',')) AS qvec_checksum,
+       round(list_max(list_transform(list_zip(v, qvec), p -> abs(p[1] - p[2] * scale))), 6) AS max_abs_err,
+       round(list_sum(list_transform(list_zip(v, qvec), p -> (p[1] - p[2] * scale) * (p[1] - p[2] * scale))) / len(v), 6) AS mse,
+       CASE WHEN sqrt(list_sum(list_transform(qvec, y -> (y * scale) * (y * scale)))) > 0
+            THEN round(list_sum(list_transform(list_zip(v, qvec), p -> p[1] * p[2] * scale)) /
+                       (sqrt(list_sum(list_transform(v, x -> x * x)))
+                        * sqrt(list_sum(list_transform(qvec, y -> (y * scale) * (y * scale))))), 6)
+            ELSE 0.0 END AS cos_fidelity
+FROM qq
+"""
+
+
+@query("embedding_quantization_report", _QUANT_ORACLE, tags=("similarity-quantization",))
+def embedding_quantization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization fidelity, per vector: checksum of
+    the quantized bytes (scalar, so the driver can hash it), max abs
+    reconstruction error, MSE, and original-vs-dequantized cosine.
+    floor(x/scale + 0.5) quantization is engine-portable, so the oracle
+    reproduces the exact int8 planes. Pure map-side."""
+    from leader_graph_spark.operators.similarity import quantization_report
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantization_report(emb, id_col="vec_id", vec_col="embedding")

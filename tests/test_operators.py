@@ -517,3 +517,52 @@ def test_remove_boilerplate_lines_planted(spark):
         for r in remove_boilerplate_lines(df, min_doc_frequency=20).collect()
     }
     assert kept_all[0].n_removed == 0 and kept_all[0].cleaned_text == rows[0][1]
+
+
+def test_mixture_resample_factors_and_copies(spark):
+    from leader_graph_spark.operators.sampling import mixture_resample
+
+    rows = [(i, "big") for i in range(80)] + [(i + 1000, "small") for i in range(10)]
+    rows += [(9999, "untargeted")]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = mixture_resample(
+        df, stratum_col="src", key_col="doc_id",
+        target_shares={"big": 0.5, "small": 0.5},
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.stratum, []).append(r)
+    # big: factor = 0.5*91/80 ≈ 0.569 -> every row 0 or 1 copies
+    assert all(r.n_copies in (0, 1) for r in by["big"])
+    assert abs(by["big"][0].mix_factor - round(0.5 * 91 / 80, 6)) < 1e-9
+    # small: factor = 0.5*91/10 = 4.55 -> 4 or 5 copies each
+    assert all(r.n_copies in (4, 5) for r in by["small"])
+    # stratum absent from targets: zero copies
+    assert all(r.n_copies == 0 and r.mix_factor == 0.0 for r in by["untargeted"])
+    # deterministic: second run identical
+    out2 = mixture_resample(
+        df, stratum_col="src", key_col="doc_id",
+        target_shares={"big": 0.5, "small": 0.5},
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_quantize_embeddings_reconstruction(spark):
+    from leader_graph_spark.operators.similarity import (
+        quantization_report,
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    q = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    # scale = 1/127; floor(x/scale + 0.5) rounds halves toward +inf, so
+    # -0.5 -> floor(-63.5 + 0.5) = -63
+    assert q[1].qvec == [127, -63, 32, 0]
+    assert q[2].qvec == [0, 0, 0, 0] and q[2].scale == 0.0
+    rep = {r.vec_id: r for r in quantization_report(df).collect()}
+    assert rep[1].max_abs_err <= q[1].scale / 2 + 1e-12
+    assert rep[1].cos_fidelity > 0.999
+    assert rep[2].cos_fidelity == 0.0  # zero vector guard
