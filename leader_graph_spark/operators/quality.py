@@ -194,3 +194,79 @@ def redact_pii(
         F.regexp_count(t, F.lit(PHONE_RE)).cast("int").alias("n_phones"),
         F.regexp_count(t, F.lit(IP_RE)).cast("int").alias("n_ips"),
     )
+
+
+def unigram_lm_scores(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """CCNet-style language-model quality scoring with a unigram LM
+    trained on the corpus itself: each document is scored by the mean
+    corpus probability of its tokens plus its out-of-vocabulary ratio —
+    low-probability / high-OOV docs are the gibberish a pretraining
+    corpus filters out.
+
+    The LM is the top-``vocab_size`` tokens by corpus frequency
+    (count-desc, token-asc tie-break); out-of-vocab tokens get the
+    floor probability 1/total. Probabilities are fixed-pointed to
+    nano-units (``floor(p × 1e9)`` — single IEEE multiply+floor, so
+    both engines agree bit-for-bit) BEFORE the per-doc sum: summing
+    BIGINTs is order-independent, which is what makes a distributed
+    aggregation of irrational-ish doubles value-hashable. (Log-space
+    scoring would hit engine-specific ``ln`` rounding; the arithmetic
+    mean keeps the same ordering signal for filtering.)
+
+    Scale design: token counting is a map-side-combinable groupBy; the
+    vocabulary is a top-K over the (small) distinct-token table and is
+    BROADCAST for the scoring join, so the corpus tokens never shuffle
+    on token — only the per-doc aggregation shuffles, keyed by doc id.
+
+    Output: (doc_id, n_tokens, oov_ratio, avg_token_prob_nano).
+    The mean probability stays in integer nano-units (floor of the
+    single sum/count double division) — a 9-decimal round sits exactly
+    at double noise and trips engine round-half differences.
+    """
+    base = fan_out(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(text_col)).alias("token"),
+    )
+    counts = base.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # top-K then a K-row merge) — never a single-partition sort of the
+    # full vocabulary, unlike a global row_number window
+    vocab = (
+        counts.orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(vocab_size)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            F.floor(F.col("cnt") / F.col("total") * 1e9)
+            .cast("bigint")
+            .alias("p_nano"),
+        )
+    )
+    floor_nano = F.floor(F.lit(1.0) / F.col("total") * 1e9).cast("bigint")
+    scored = (
+        base.join(F.broadcast(vocab), "token", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            # distinct alias: reusing "p_nano" would trip Spark 4's
+            # implicit lateral column aliasing for the is_oov reference
+            F.coalesce("p_nano", floor_nano).alias("p_nano_eff"),
+            F.col("p_nano").isNull().cast("int").alias("is_oov"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        F.round(F.sum("is_oov") / F.count(F.lit(1)).cast("double"), 6).alias(
+            "oov_ratio"
+        ),
+        F.floor(F.sum("p_nano_eff") / F.count(F.lit(1)).cast("double"))
+        .cast("bigint")
+        .alias("avg_token_prob_nano"),
+    )

@@ -735,3 +735,47 @@ def boilerplate_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_boilerplate_lines(
         synth, id_col="doc_id", text_col="text", min_doc_frequency=10
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style unigram-LM quality scoring
+# ---------------------------------------------------------------------------
+
+_UNIGRAM_LM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents
+),
+counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+tot AS (SELECT sum(cnt) AS total FROM counts),
+vocab AS (
+  SELECT token, CAST(floor(cnt / total * 1e9) AS BIGINT) AS p_nano
+  FROM counts, tot ORDER BY cnt DESC, token LIMIT 20
+),
+scored AS (
+  SELECT t.doc_id,
+         COALESCE(v.p_nano, CAST(floor(1.0 / tot.total * 1e9) AS BIGINT)) AS p_nano_eff,
+         CASE WHEN v.p_nano IS NULL THEN 1 ELSE 0 END AS is_oov
+  FROM toks t LEFT JOIN vocab v USING (token), tot
+)
+SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+       round(sum(is_oov) / CAST(count(*) AS DOUBLE), 6) AS oov_ratio,
+       CAST(floor(sum(p_nano_eff) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS avg_token_prob_nano
+FROM scored GROUP BY doc_id
+"""
+
+
+@query("unigram_lm_quality", _UNIGRAM_LM_ORACLE, tags=("quality-lm",))
+def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scores (CCNet-style): every document scored
+    by the mean corpus probability of its tokens against a top-K LM
+    trained on the corpus itself, plus its OOV ratio (K=20 here — the
+    synthetic corpus has only 31 distinct tokens, so a production-sized
+    vocabulary would never exercise the OOV path).
+    Probabilities are fixed-pointed to nano-units before the per-doc
+    sum so the distributed aggregation is order-independent and
+    value-hashable."""
+    from leader_graph_spark.operators.quality import unigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_lm_scores(docs, id_col="doc_id", text_col="text", vocab_size=20)

@@ -566,3 +566,31 @@ def test_quantize_embeddings_reconstruction(spark):
     assert rep[1].max_abs_err <= q[1].scale / 2 + 1e-12
     assert rep[1].cos_fidelity > 0.999
     assert rep[2].cos_fidelity == 0.0  # zero vector guard
+
+
+def test_unigram_lm_scores_planted(spark):
+    from leader_graph_spark.operators.quality import unigram_lm_scores
+
+    # corpus: "common" appears 8x, "mid" 4x, "rare1/rare2" once each.
+    df = spark.createDataFrame(
+        [
+            (1, "common common common common mid mid"),
+            (2, "common common common common mid mid rare1 rare2"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in unigram_lm_scores(df, vocab_size=2).collect()}
+    # total=14; vocab = {common: 8/14, mid: 4/14}; floor prob = 1/14
+    assert out[1].oov_ratio == 0.0
+    assert out[2].oov_ratio == 0.25  # 2 of 8 tokens OOV
+    # doc 1 mean prob: (4*(8/14) + 2*(4/14))/6 nano-floored
+    import math
+    p_common = math.floor(8 / 14 * 1e9)
+    p_mid = math.floor(4 / 14 * 1e9)
+    p_oov = math.floor(1 / 14 * 1e9)
+    assert out[1].avg_token_prob_nano == math.floor((4 * p_common + 2 * p_mid) / 6)
+    assert out[2].avg_token_prob_nano == math.floor(
+        (4 * p_common + 2 * p_mid + 2 * p_oov) / 8
+    )
+    # higher-quality (no OOV) doc scores higher
+    assert out[1].avg_token_prob_nano > out[2].avg_token_prob_nano
