@@ -194,3 +194,23 @@ def truncate_chars(c: Column | str, n: int = 65000) -> Column:
     """Emulate the MySQL TEXT overflow fallback
     (``org/update_c_org_info_remark.py:263-273``)."""
     return F.substring(c, 1, n)
+
+
+# ---------------------------------------------------------------------------
+# Run timestamps (F19)
+# ---------------------------------------------------------------------------
+
+
+def run_timestamp(run_ts: str | None = None) -> Column:
+    """The run-stamp column every reference write attaches
+    (``utils/db_utils.py`` now()-default audit columns,
+    ``org/create_c_org_info.py`` created/updated stamps).
+
+    ``current_timestamp()`` is fixed once per QUERY at plan time, so
+    all rows of one run share a single stamp — correct semantics — but
+    reruns differ, which breaks reproducible releases and value-hash
+    checking (the F19 "boundary concern"). Pass ``run_ts`` (ISO-8601
+    string, UTC session) to pin it: backfills, CI, and the correctness
+    gate inject a constant; live production omits it.
+    """
+    return F.to_timestamp(F.lit(run_ts)) if run_ts else F.current_timestamp()

@@ -1,0 +1,106 @@
+"""Property-based tests (hypothesis) for the scalar function library:
+invariants that must hold for ARBITRARY input text, not just the
+fixture corpus — idempotence of the cleaning cascade, character-class
+guarantees of sanitizers, round-trips of the packed-list codec.
+
+Each hypothesis example sends a whole batch of generated strings
+through one Spark job to keep the suite fast."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from leader_graph_spark.functions import scalar
+
+_SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+texts = st.lists(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=80
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _apply(spark, values, expr_fn):
+    df = spark.createDataFrame([(v,) for v in values], "x string")
+    return [r.y for r in df.select(expr_fn(F.col("x")).alias("y")).collect()]
+
+
+@settings(**_SETTINGS)
+@given(texts)
+def test_clean_text_idempotent(spark, vals):
+    once = _apply(spark, vals, scalar.clean_text)
+    twice = _apply(spark, once, scalar.clean_text)
+    assert once == twice
+
+
+@settings(**_SETTINGS)
+@given(texts)
+def test_safe_filename_charset(spark, vals):
+    import re
+
+    for out in _apply(spark, vals, scalar.safe_filename):
+        assert re.fullmatch(r"[\w\-\.]*", out), out
+
+
+@settings(**_SETTINGS)
+@given(texts)
+def test_strip_name_parens_no_spaces(spark, vals):
+    for out in _apply(spark, vals, scalar.strip_name_parens):
+        assert " " not in out and "\t" not in out
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    blacklist_categories=("Cs",), blacklist_characters=","
+                ),
+                min_size=1,
+                max_size=20,
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_pack_unpack_roundtrip(spark, lists):
+    df = spark.createDataFrame([(l,) for l in lists], "arr array<string>")
+    back = [
+        r.back
+        for r in df.select(
+            scalar.unpack_list(scalar.pack_list("arr")).alias("back")
+        ).collect()
+    ]
+    assert back == lists
+
+
+@settings(**_SETTINGS)
+@given(texts)
+def test_truncate_is_bounding_prefix(spark, vals):
+    outs = _apply(spark, vals, lambda c: scalar.truncate_chars(c, 10))
+    for orig, out in zip(vals, outs):
+        assert len(out) <= 10 and orig.startswith(out)
+
+
+def test_run_timestamp_injectable(spark):
+    df = spark.range(3)
+    pinned = df.withColumn("run_ts", scalar.run_timestamp("2024-01-02 03:04:05"))
+    vals = {r.run_ts for r in pinned.collect()}
+    assert len(vals) == 1
+    assert str(next(iter(vals))) == "2024-01-02 03:04:05"
+    live = df.withColumn("run_ts", scalar.run_timestamp())
+    assert len({r.run_ts for r in live.collect()}) == 1  # one stamp per run
