@@ -457,3 +457,49 @@ def returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 historization of the per-user event-type state
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+runs AS (
+  SELECT user_id, ts, event_type,
+         sum(CASE WHEN rn = 1 OR prev IS DISTINCT FROM event_type THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY rn) AS version
+  FROM o
+),
+g AS (
+  SELECT user_id AS key, version, min(event_type) AS attr, min(ts) AS valid_from,
+         CAST(count(*) AS INT) AS n_events
+  FROM runs GROUP BY user_id, version
+)
+SELECT key, CAST(version AS INT) AS version, attr, valid_from,
+       lead(valid_from) OVER (PARTITION BY key ORDER BY version) AS valid_to,
+       n_events,
+       (lead(valid_from) OVER (PARTITION BY key ORDER BY version) IS NULL) AS is_current
+FROM g
+"""
+
+
+@query("user_state_scd2", _SCD2_ORACLE, tags=("K2", "scd2", "historization"))
+def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 historization of each user's event-type state: consecutive
+    equal values collapse into version rows with validity intervals —
+    the historized form of the reference's REPLACE-INTO latest-state
+    upserts (K2). One shuffle on the key; all windows share the same
+    partitioning."""
+    from leader_graph_spark.operators.scd import scd2_collapse
+
+    events = load_table(spark, sf_dir, "events")
+    return scd2_collapse(
+        events, key_col="user_id", attr_col="event_type", ts_col="ts",
+        tie_col="event_id",
+    )
