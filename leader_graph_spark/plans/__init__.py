@@ -23,68 +23,79 @@ from leader_graph_spark.plans import mlprep_queries  # noqa: E402,F401
 # with a finite per-round budget (50 entries observed in round 1), so
 # queries that already have a green CORRECTNESS row are rotated to the
 # back: everything still awaiting a driver verdict — plus anything whose
-# output changed since its last sweep — iterates first.
-_VERIFIED_PRIOR_ROUNDS: tuple[str, ...] = (
-    # round 1 green rows (full pass, or rows-only pass for no-oracle ops)
-    "supplier_rank_in_nation",
-    "top3_orders_per_customer",
-    "order_status_pivot",
-    "nations_customers_and_rich_suppliers",
-    "ivf_centroid_assignment",
-    "url_normalization_cascade",
-    "clicks_asof_last_purchase",
-    "order_price_percentiles",
-    "approx_order_price_percentiles",
-    "exact_dedup_docs",
-    "minhash_near_dup_docs",
-    "ngram_jaccard_dup_docs",
-    "simhash_fingerprints",
-    "simhash_near_dup_pairs",
-    "dedup_canonical_docs",
-    "same_nation_supplier_pairs",
-    "schoolmates_shared_part",
-    "current_colleague_customers",
-    "schoolmate_edges_dedup_antijoin",
-    "supplier_nation_reach",
-    "graph_vertices",
-    "vertex_degrees",
-    "connected_components_membership",
-    "nation_triangle_counts",
-    "pagerank_membership",
-    "event_validation_repair",
-    # career_structuring_pipeline deliberately NOT here: its round-1 row
-    # was rows-only; round 2 added a full oracle, so it re-queues for a
-    # value-hashed verdict.
-    "flagship_colleagues_interval",
-    "flagship_colleagues_bucketed",
-    "org_hierarchy_edges",
-    "customer_region_lookup",
-    "first_order_per_customer",
-    "forward_fill_events",
-    "customers_without_finished_orders",
-    "big_spender_customers_semi",
-    "md5_surrogate_keys",
-    "packed_status_list",
-    "packed_list_explode",
-    "json_props_extract",
+# output contract changed since its last sweep (e.g. an op that was
+# rows-only but has since gained an oracle) — iterates first.
+
+import json as _json
+import pathlib as _pathlib
+
+
+def _verified_names() -> set[str]:
+    """Names already green in any prior round's CORRECTNESS_r*.json.
+
+    A query counts as verified only against its CURRENT contract: an
+    oracle-bearing query needs a hash_match:true row; a rows-only query
+    needs a completed no_oracle row. A query that had a rows-only pass
+    but has since gained an oracle re-queues for the stronger verdict.
+    """
+    root = _pathlib.Path(__file__).resolve().parents[2]
+    ok: set[str] = set()
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            rows = _json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, r in rows.items():
+            spec = REGISTRY.get(name)
+            if spec is None or not isinstance(r, dict):
+                continue
+            if spec.oracle is not None:
+                if r.get("hash_match") is True:
+                    ok.add(name)
+            elif r.get("err") == "no_oracle" and r.get("spark_rows") is not None:
+                ok.add(name)
+    return ok
+
+
+# Queries first registered in round 2: they defer behind the round-1-era
+# backlog inside the pending block, so the older queries (flagged by the
+# round-1 verdict as driver-unverified) spend the sweep budget first.
+# Harmless once verified — the CORRECTNESS rotation moves them to the
+# back regardless of this set.
+_REGISTERED_R2: frozenset[str] = frozenset(
+    {
+        "extracted_sections_explode",
+        "career_structuring_pipeline",  # rows-only in r1; oracle added in r2
+        "embedding_near_dup_lsh",
+        "clean_and_validate_text",
+        "doc_repetition_signals",
+        "benchmark_decontamination",
+        "pii_redaction",
+        "incremental_near_dup_batch",
+        "boilerplate_line_dedup",
+        "unigram_lm_quality",
+        "mixture_resample_by_lang",
+        "embedding_quantization_report",
+        "user_state_scd2",
+        "token_budget_packs",
+        "stratified_doc_sample",
+    }
 )
 
 
 def _rotate_verified_to_back() -> None:
     """Order the registry: unverified oracle-bearing queries first (they
-    can earn a full value-hash verdict), then unverified no-oracle
-    queries (rows-only check — weaker, so they spend sweep budget last
-    among the pending set), then previously-verified queries."""
-    back = [n for n in _VERIFIED_PRIOR_ROUNDS if n in REGISTRY]
-    back_set = set(back)
-    pending_oracle = {
-        n: s for n, s in REGISTRY.items() if n not in back_set and s.oracle is not None
-    }
-    pending_rows_only = {
-        n: s for n, s in REGISTRY.items() if n not in back_set and s.oracle is None
-    }
-    ordered = {**pending_oracle, **pending_rows_only}
-    ordered.update({n: REGISTRY[n] for n in back})
+    can earn a full value-hash verdict; round-1-era backlog ahead of
+    round-2 additions), then unverified no-oracle queries (rows-only
+    check — weaker, so they spend sweep budget last among the pending
+    set), then previously-verified queries."""
+    back_set = _verified_names()
+    pending = [n for n in REGISTRY if n not in back_set]
+    pending_oracle = [n for n in pending if REGISTRY[n].oracle is not None]
+    pending_oracle.sort(key=lambda n: n in _REGISTERED_R2)  # stable
+    pending_rows_only = [n for n in pending if REGISTRY[n].oracle is None]
+    back = [n for n in REGISTRY if n in back_set]
+    ordered = {n: REGISTRY[n] for n in pending_oracle + pending_rows_only + back}
     REGISTRY.clear()
     REGISTRY.update(ordered)
 
