@@ -102,12 +102,12 @@ def kmeans_fixed_point(
     raise AssertionError("iterations must be >= 1")
 
 
-def kmeans_oracle_sql(*, k: int = 8, iterations: int = 2) -> str:
-    """Unrolled-CTE DuckDB twin of :func:`kmeans_fixed_point`.
-
-    Centroids stay in long format (cid, pos, cval) — a different plan
-    from the Spark broadcast-array implementation, but identical
-    integers, so the driver's value hash matches exactly.
+def kmeans_oracle_ctes(*, k: int = 8, iterations: int = 2) -> tuple[str, str]:
+    """The unrolled-CTE body shared by :func:`kmeans_oracle_sql` and
+    downstream composites (semantic dedup builds its pair pruning on
+    top of the same assignment CTEs). Returns ``(with_body,
+    final_assign_name)`` — callers prepend ``WITH `` and select from
+    the named CTE (``vecs`` holds the long-format fixed-point vectors).
     """
     base = f"""
 vecs AS (
@@ -148,9 +148,15 @@ cent{it + 1} AS (
   GROUP BY a.cid, v.pos
 )"""
             )
-    last = iterations - 1
-    return (
-        "WITH "
-        + ",".join([base] + steps)
-        + f"\nSELECT vid AS vec_id, cid, dist AS sq_dist FROM assign{last}"
-    )
+    return ",".join([base] + steps), f"assign{iterations - 1}"
+
+
+def kmeans_oracle_sql(*, k: int = 8, iterations: int = 2) -> str:
+    """Unrolled-CTE DuckDB twin of :func:`kmeans_fixed_point`.
+
+    Centroids stay in long format (cid, pos, cval) — a different plan
+    from the Spark broadcast-array implementation, but identical
+    integers, so the driver's value hash matches exactly.
+    """
+    body, last = kmeans_oracle_ctes(k=k, iterations=iterations)
+    return f"WITH {body}\nSELECT vid AS vec_id, cid, dist AS sq_dist FROM {last}"

@@ -582,3 +582,138 @@ def decontaminate(
             ).alias("is_contaminated"),
         )
     )
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    """Exact BIGINT dot product of two fixed-point vectors (sequential
+    fold — order-fixed, so identical on any partitioning and in the
+    oracle's sum over sorted positions)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 2,
+    tau2_num: int = 49,
+    tau2_den: int = 400,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means the embedding space, then compare pairs
+    ONLY within a cluster and drop every vector that has a smaller-id
+    in-cluster neighbor with cosine ≥ τ (τ² = tau2_num/tau2_den; the
+    default 49/400 is τ=0.35 — see the threshold note on
+    ``embedding_near_dup``: the synthetic vectors are near-random, a
+    production corpus would use τ≈0.95 with the same plan).
+
+    Exactness: vectors go to integer micro-units
+    (:func:`leader_graph_spark.operators.clustering.to_fixed_point`),
+    and ``cos(a,b) ≥ τ`` is evaluated as the integer inequality
+    ``dot>0 AND den·dot² ≥ num·|a|²·|b|²`` in DECIMAL(38,0) — no
+    floating point anywhere, so the DuckDB oracle (HUGEINT twin)
+    reproduces the kept set bit-for-bit, k-means assignment included.
+
+    Scale shape — this is the whole point of SemDeDup: the O(n²)
+    semantic-pair problem becomes Σ|cluster|² via the cluster blocking,
+    and the pair comparison is an equi-join on cid. At corpus scale k
+    grows with n (fixed target cluster size, e.g. 10-50k vectors), so
+    per-cluster work is bounded and the cid join key is high-
+    cardinality (no skew surface). The k-means step itself is the
+    broadcast-centroid Lloyd loop of
+    :func:`~leader_graph_spark.operators.clustering.kmeans_fixed_point`.
+    Drop rule is "dominated by ANY smaller-id in-cluster neighbor" —
+    one EXISTS semi-join, deterministic, no iterative chain.
+
+    Output: ``(id_col, cid, kept)`` for every input vector.
+    """
+    from leader_graph_spark.operators.clustering import (
+        kmeans_fixed_point,
+        to_fixed_point,
+    )
+
+    assign = kmeans_fixed_point(
+        emb, id_col=id_col, vec_col=vec_col, k=k, iterations=iterations
+    ).select(F.col(id_col).alias("vid"), "cid")
+    vecs = emb.select(
+        F.col(id_col).alias("vid"), to_fixed_point(F.col(vec_col)).alias("v")
+    )
+    pts = vecs.join(assign, "vid").withColumn("n2", _int_dot(F.col("v"), F.col("v")))
+    a = pts.select(
+        "cid",
+        F.col("vid").alias("a_vid"),
+        F.col("v").alias("a_v"),
+        F.col("n2").alias("a_n2"),
+    )
+    b = pts.select(
+        "cid",
+        F.col("vid").alias("b_vid"),
+        F.col("v").alias("b_v"),
+        F.col("n2").alias("b_n2"),
+    )
+    dec = "decimal(38,0)"
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("a_vid") < F.col("b_vid"))
+        .withColumn("dot", _int_dot(F.col("a_v"), F.col("b_v")))
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.lit(tau2_den).cast(dec)
+                * F.col("dot").cast(dec)
+                * F.col("dot").cast(dec)
+                >= F.lit(tau2_num).cast(dec)
+                * F.col("a_n2").cast(dec)
+                * F.col("b_n2").cast(dec)
+            )
+        )
+        .select(F.col("b_vid").alias("vid"))
+        .distinct()
+    )
+    return (
+        pts.join(dropped.withColumn("is_dup", F.lit(True)), "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "cid",
+            F.coalesce(~F.col("is_dup"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
+def semantic_dedup_oracle_sql(
+    *, k: int = 8, iterations: int = 2, tau2_num: int = 49, tau2_den: int = 400
+) -> str:
+    """DuckDB twin of :func:`semantic_dedup`: the unrolled k-means CTEs
+    (shared with ``kmeans_assignments``), then the same integer cosine
+    inequality in HUGEINT."""
+    from leader_graph_spark.operators.clustering import kmeans_oracle_ctes
+
+    body, last = kmeans_oracle_ctes(k=k, iterations=iterations)
+    return f"""WITH {body},
+pts AS (SELECT vid, cid FROM {last}),
+norms AS (SELECT vid, sum(val * val) AS n2 FROM vecs GROUP BY vid),
+dots AS (
+  SELECT pa.vid AS a_vid, pb.vid AS b_vid, sum(va.val * vb.val) AS dot
+  FROM pts pa JOIN pts pb ON pa.cid = pb.cid AND pa.vid < pb.vid
+  JOIN vecs va ON va.vid = pa.vid
+  JOIN vecs vb ON vb.vid = pb.vid AND vb.pos = va.pos
+  GROUP BY pa.vid, pb.vid
+),
+dropped AS (
+  SELECT DISTINCT d.b_vid AS vid
+  FROM dots d
+  JOIN norms na ON na.vid = d.a_vid
+  JOIN norms nb ON nb.vid = d.b_vid
+  WHERE d.dot > 0
+    AND {tau2_den} * (CAST(d.dot AS HUGEINT) * d.dot)
+        >= {tau2_num} * (CAST(na.n2 AS HUGEINT) * nb.n2)
+)
+SELECT p.vid AS vec_id, p.cid AS cid, (dr.vid IS NULL) AS kept
+FROM pts p LEFT JOIN dropped dr ON p.vid = dr.vid
+"""

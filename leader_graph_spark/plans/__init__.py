@@ -77,6 +77,7 @@ _REGISTERED_R2: frozenset[str] = frozenset(
         "mixture_resample_by_lang",
         "embedding_quantization_report",
         "user_state_scd2",
+        "semantic_dedup_clusters",
         "token_budget_packs",
         "stratified_doc_sample",
     }

@@ -202,6 +202,28 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_fixed_point(emb, id_col="vec_id", vec_col="embedding", k=8, iterations=2)
 
 
+from leader_graph_spark.operators.dedup import (  # noqa: E402
+    semantic_dedup,
+    semantic_dedup_oracle_sql,
+)
+
+
+@query(
+    "semantic_dedup_clusters",
+    semantic_dedup_oracle_sql(k=8, iterations=2),
+    tags=("dedup-semantic", "clustering-kmeans"),
+)
+def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-then-compare semantic dedup): k-means blocks
+    the embedding space so near-duplicate pruning is Σ|cluster|²
+    within-cluster work instead of O(n²) all-pairs; a vector is dropped
+    when a smaller-id cluster-mate sits at cosine ≥ 0.35. All integer
+    arithmetic (fixed-point vectors, DECIMAL cosine inequality), so the
+    unrolled-CTE oracle reproduces the kept set exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, id_col="vec_id", vec_col="embedding", k=8, iterations=2)
+
+
 _QUANT_ORACLE = """
 WITH q AS (
   SELECT vec_id,

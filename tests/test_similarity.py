@@ -140,3 +140,32 @@ def test_srp_near_dup_high_threshold_recall(spark, sf_dir):
     assert len(approx & exact) / len(exact) >= 0.95, (
         f"recall {len(approx & exact)}/{len(exact)}"
     )
+
+
+def test_semantic_dedup_crafted_duplicates(spark):
+    """Two semantic duplicate groups + one singleton, k=2 clusters:
+    min-id wins within each duplicate set; cross-cluster similarity is
+    never compared (the SemDeDup blocking contract)."""
+    from leader_graph_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0, 0.0]),   # ~dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.01, 0.995, 0.0, 0.0]),  # ~dup of 2
+        (4, [0.0, 0.0, 1.0, 0.0]),     # singleton direction
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    # τ² = 81/100 (τ=0.9) — well above any cross-group cosine here.
+    out = {
+        r.vec_id: r.kept
+        for r in semantic_dedup(
+            df, k=2, iterations=2, tau2_num=81, tau2_den=100
+        ).collect()
+    }
+    assert len(out) == 5
+    assert out[0] and out[2] and out[4]          # group minima + singleton survive
+    dropped = {vid for vid, kept in out.items() if not kept}
+    assert dropped <= {1, 3} and len(dropped) >= 1
+    # Whichever of 1/3 shares a cluster with its group minimum is dropped;
+    # with k=2 seeds (ids 0,1) at least one group collapses.
