@@ -136,3 +136,41 @@ def pagerank_fixed_point(
             .localCheckpoint()
         )
     return ranks
+
+
+def khop_distances(
+    edges: DataFrame, sources: DataFrame, *, k: int
+) -> DataFrame:
+    """Multi-source BFS over the undirected view: shortest hop distance
+    (≤ ``k``) from ANY source vertex — the "everyone within N hops of
+    X" reachability query of a leadership/social graph.
+
+    Pregel-style frontier expansion, exactly ``k`` fixed rounds (no
+    convergence action, so an unrolled SQL oracle reproduces it): each
+    round joins the current frontier to the edge list (shuffle keyed by
+    vertex id — the BFS shape GraphFrames/GraphX compile to), and an
+    anti-join against the visited set keeps every vertex's FIRST
+    (= minimum) hop count and stops re-expansion, so total work is
+    O(edges within k hops), not O(walks). ``localCheckpoint`` truncates
+    lineage per round. An empty frontier makes remaining rounds no-ops
+    (joins against zero rows), keeping the plan deterministic for the
+    oracle rather than data-dependent.
+
+    Returns (id, dist) for every vertex reachable within k hops;
+    sources themselves are dist 0.
+    """
+    sym = symmetrize(edges)
+    visited = sources.select("id", F.lit(0).alias("dist")).localCheckpoint()
+    frontier = visited.select("id")
+    for r in range(1, k + 1):
+        frontier = (
+            sym.join(frontier, sym.src == frontier.id)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited, "id", "left_anti")
+            .localCheckpoint()
+        )
+        visited = visited.unionByName(
+            frontier.select("id", F.lit(r).alias("dist"))
+        ).localCheckpoint()
+    return visited

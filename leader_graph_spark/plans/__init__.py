@@ -78,6 +78,7 @@ _REGISTERED_R2: frozenset[str] = frozenset(
         "embedding_quantization_report",
         "user_state_scd2",
         "semantic_dedup_clusters",
+        "membership_khop_distances",
         "token_budget_packs",
         "stratified_doc_sample",
     }

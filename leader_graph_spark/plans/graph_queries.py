@@ -429,3 +429,55 @@ def pagerank_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     from leader_graph_spark.graph.algorithms import pagerank_fixed_point
 
     return pagerank_fixed_point(build_membership_edges(spark, sf_dir), iterations=8)
+
+
+# ---------------------------------------------------------------------------
+# Multi-source k-hop reachability (BFS)
+# ---------------------------------------------------------------------------
+
+_KHOP_ORACLE = """
+WITH edges AS (
+  SELECT md5(concat('nation', '_', n_name)) AS src,
+         md5(concat('region', '_', r_name)) AS dst
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+  UNION ALL
+  SELECT md5(concat('customer', '_', c_name)),
+         md5(concat('nation', '_', n_name))
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+), sym AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+  )
+), d0 AS (
+  SELECT md5(concat('region', '_', r_name)) AS id, 0 AS dist FROM region
+), c1 AS (
+  SELECT DISTINCT s.dst AS id, 1 AS dist FROM sym s JOIN d0 ON s.src = d0.id
+), c2 AS (
+  SELECT DISTINCT s.dst AS id, 2 AS dist FROM sym s JOIN c1 ON s.src = c1.id
+), c3 AS (
+  SELECT DISTINCT s.dst AS id, 3 AS dist FROM sym s JOIN c2 ON s.src = c2.id
+)
+SELECT id, CAST(min(dist) AS INT) AS dist FROM (
+  SELECT * FROM d0 UNION ALL SELECT * FROM c1
+  UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3
+) GROUP BY id
+"""
+
+
+@query("membership_khop_distances", _KHOP_ORACLE, tags=("graph-iterative", "bfs"))
+def membership_khop_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source k-hop BFS: shortest hop distance from the region
+    hubs over the membership graph ("everyone within 3 hops of a
+    leader" — the reachability shape of the reference's leader graph).
+    Nations land at hop 1, customers at hop 2; the hop-3 frontier is
+    empty, exercising the fixed-round no-op contract. The oracle takes
+    min-over-walk-candidates per unrolled round — same minimum the
+    anti-join frontier keeps, without needing BFS in SQL."""
+    from leader_graph_spark.functions.scalar import md5_key
+    from leader_graph_spark.graph.algorithms import khop_distances
+
+    edges = build_membership_edges(spark, sf_dir)
+    sources = load_table(spark, sf_dir, "region").select(
+        md5_key(F.lit("region"), "r_name").alias("id")
+    )
+    return khop_distances(edges, sources, k=3)

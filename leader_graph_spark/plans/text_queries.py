@@ -369,10 +369,16 @@ def frequent_terms_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     Papadimitriou one-pass counter deltas — fixed memory per partition,
     no global shuffle of the vocabulary). Guarantee: every term with
     frequency > support·N appears; false positives allowed ⇒ rows-only
-    driver check, containment vs the exact top-20 is unit-tested."""
+    driver check, containment vs the exact top-20 is unit-tested.
+    The sketch's item array is emitted sorted and comma-joined — a
+    scalar column, so any downstream pandas canonicalizer can hash the
+    row (raw array columns crashed the round-1 driver sweep)."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = docs.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"))
-    return toks.freqItems(["term"], support=0.02)
+    sketch = toks.freqItems(["term"], support=0.02)
+    return sketch.select(
+        F.array_join(F.array_sort("term_freqItems"), ",").alias("frequent_terms")
+    )
 
 
 # ---------------------------------------------------------------------------

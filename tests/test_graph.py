@@ -143,3 +143,26 @@ def test_min_propagation_fixed_rounds_equals_converged(spark, sf_dir):
     }
     # 4 rounds ≥ diameter of every near-dup cluster in this corpus.
     assert fixed == converged and len(fixed) == docs.count()
+
+
+def test_khop_distance_strata(spark, sf_smoke):
+    """BFS distances over the membership graph: regions are roots
+    (dist 0), nations one hop, customers two; nothing is three hops
+    out, and every reachable vertex appears exactly once."""
+    from pyspark.sql import functions as F
+
+    from leader_graph_spark.functions.scalar import md5_key
+    from leader_graph_spark.graph.algorithms import khop_distances
+    from leader_graph_spark.graph.build import build_membership_edges
+    from leader_graph_spark.sources.tables import load_table
+
+    edges = build_membership_edges(spark, sf_smoke)
+    sources = load_table(spark, sf_smoke, "region").select(
+        md5_key(F.lit("region"), "r_name").alias("id")
+    )
+    out = khop_distances(edges, sources, k=3)
+    assert out.count() == out.select("id").distinct().count()
+    by_dist = {r.dist: r.n for r in out.groupBy("dist").agg(F.count("*").alias("n")).collect()}
+    assert set(by_dist) == {0, 1, 2}
+    assert by_dist[0] == load_table(spark, sf_smoke, "region").count()
+    assert by_dist[1] == load_table(spark, sf_smoke, "nation").select("n_name").distinct().count()
