@@ -176,3 +176,33 @@ def test_incremental_agg_merge_equals_full_recompute(spark, sf_smoke):
     }
     full = {tuple(r) for r in agg(orders).collect()}
     assert merged == full
+
+
+SHUFFLE_BUDGETS = {
+    # Committed plan-shape budgets for the headline bench queries:
+    # count of non-broadcast Exchange nodes in the executed plan.
+    # A failure here means a rewrite added a shuffle the 100 TB story
+    # doesn't account for — justify and update the budget, don't bump
+    # it casually.
+    "ann_lsh_topk": 4,
+    "events_tumbling_hourly": 1,
+    "flagship_colleagues_interval": 2,
+    "local_supplier_volume": 1,
+    "minhash_near_dup_docs": 6,
+    "pricing_summary": 1,
+    "schoolmates_shared_part": 2,
+    "shipping_priority_top10": 1,
+    "supplier_nation_reach": 2,
+}
+
+
+@pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGETS))
+def test_bench_query_shuffle_budget(spark, sf_smoke, name):
+    from leader_graph_spark.plans import bench_queries
+
+    spec = bench_queries()[name]
+    plan = spec.spark(spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= SHUFFLE_BUDGETS[name], (
+        f"{name}: {shuffles} shuffles > budget {SHUFFLE_BUDGETS[name]}"
+    )
