@@ -12,11 +12,13 @@ total approaches a budget (e.g. 4096). Two distributed forms:
   its floor-assigned pack). Fully expressible in ANSI SQL → the
   oracle-checked form, and the one to use at 100 TB (a single shuffle
   by the sort key; no state, no driver loop).
-- :func:`pack_greedy_partitions` — exact no-overflow first-fit packing
+- :func:`pack_greedy_partitions` — exact no-overflow next-fit packing
   per partition via ``applyInPandas``: packs never exceed the budget
-  (oversized documents get a singleton pack), at the cost of
-  engine-specific pack numbering (pack ids are unique per partition
-  key, not globally ordered) → rows-only checkable.
+  (oversized documents get a singleton pack). Pack numbering is
+  md5-derived and the per-group sequential state is reproducible by a
+  recursive-CTE oracle (``greedy_packs_no_overflow``), so this form is
+  fully value-checked too — its scale cost vs cumsum packing is the
+  per-group single-threaded pass.
 
 Both keep documents whole; chunk-splitting long documents is the
 upstream truncation step, not packing's job.
@@ -98,10 +100,10 @@ def pack_greedy_partitions(
     budget: int,
     partition_col: str,
 ) -> DataFrame:
-    """Exact first-fit packing within each ``partition_col`` group:
-    documents stream in id order, a pack closes when the next document
-    would overflow ``budget``. No pack exceeds the budget unless a
-    single document alone does (it becomes a singleton pack).
+    """Exact next-fit packing within each ``partition_col`` group:
+    documents stream in id order, the single open pack closes when the
+    next document would overflow ``budget``. No pack exceeds the budget
+    unless a single document alone does (it becomes a singleton pack).
 
     Pack ids are ``hash_prefix × 2^32 + local_counter`` so they are
     globally unique without cross-partition coordination — the pattern

@@ -80,6 +80,7 @@ _REGISTERED_R2: frozenset[str] = frozenset(
         "semantic_dedup_clusters",
         "membership_khop_distances",
         "token_budget_packs",
+        "greedy_packs_no_overflow",  # rows-only in r1-era; oracle added in r2
         "stratified_doc_sample",
     }
 )

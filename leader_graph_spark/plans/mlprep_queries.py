@@ -47,13 +47,54 @@ def token_budget_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("greedy_packs_no_overflow", None, tags=("packing", "mlprep"))
+def _hex8_instr(expr: str) -> str:
+    """DuckDB arithmetic for int(first-8-hex-chars of md5(expr), 16) —
+    the same portable hex parse the checksum oracles use."""
+    terms = [
+        f"(instr('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+# repr(('<lang>',)) exactly as Python renders the applyInPandas group
+# key tuple — the md5 input for the collision-free pack-id base.
+_KEY_REPR = "'(''' || lang || ''',)'"
+
+_GREEDY_ORACLE = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents
+), s AS (
+  SELECT doc_id, lang, n_chars, rn,
+         CAST(0 AS BIGINT) AS pack_local, n_chars AS used
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.doc_id, d.lang, d.n_chars, d.rn,
+         CASE WHEN s.used + d.n_chars > {_PACK_BUDGET}
+              THEN s.pack_local + 1 ELSE s.pack_local END,
+         CASE WHEN s.used + d.n_chars > {_PACK_BUDGET}
+              THEN d.n_chars ELSE s.used + d.n_chars END
+  FROM s JOIN d ON d.lang = s.lang AND d.rn = s.rn + 1
+)
+SELECT doc_id, lang, n_chars,
+       CAST(({_hex8_instr(_KEY_REPR)} % 2147483648) * 4294967296
+            + pack_local AS BIGINT) AS pack_id,
+       CAST(used AS BIGINT) AS pack_tokens
+FROM s
+"""
+
+
+@query("greedy_packs_no_overflow", _GREEDY_ORACLE, tags=("packing", "mlprep"))
 def greedy_packs_no_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact first-fit packing per language partition (applyInPandas):
-    no pack exceeds the budget unless a single document alone does.
-    Per-partition pack numbering is engine-specific → rows-only driver
-    check; the no-overflow invariant is asserted in
-    tests/test_operators.py."""
+    """Exact next-fit packing per language partition (applyInPandas):
+    documents stream in id order, a pack closes when the next document
+    would overflow the budget — no pack exceeds it unless a single
+    document alone does (invariant asserted in tests/test_operators.py).
+    Fully oracle-checked: the per-group sequential state is a recursive
+    CTE stepping rn→rn+1, and the md5-prefix pack-id base is the
+    instr-arithmetic hex parse, so pack ids match bit-for-bit."""
     docs = fan_out(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "lang", "n_chars"
     )
