@@ -66,6 +66,7 @@ _REGISTERED_R2: frozenset[str] = frozenset(
     {
         "extracted_sections_explode",
         "career_structuring_pipeline",  # rows-only in r1; oracle added in r2
+        "connected_components_membership",  # rows-only in r1; closure oracle added in r2
         "embedding_near_dup_lsh",
         "clean_and_validate_text",
         "doc_repetition_signals",

@@ -338,12 +338,49 @@ def vertex_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degrees(build_membership_edges(spark, sf_dir))
 
 
-@query("connected_components_membership", None, tags=("graph-iterative",))
+# Converged min-label propagation assigns every vertex the MINIMUM
+# vertex id reachable from it — which a recursive transitive-closure
+# CTE computes directly, no per-round unrolling needed. UNION (not
+# UNION ALL) dedups the frontier each step, so the recursion terminates
+# at the component diameter. md5 ids compare bytewise identically in
+# both engines (ASCII hex), so min-over-varchar agrees with Spark's
+# F.least/F.min on the label column.
+_CC_ORACLE = """
+WITH RECURSIVE vertices AS (
+  SELECT md5(concat('customer', '_', c_name)) AS id FROM customer
+  UNION ALL SELECT md5(concat('supplier', '_', s_name)) FROM supplier
+  UNION ALL SELECT md5(concat('nation', '_', n_name)) FROM nation
+  UNION ALL SELECT md5(concat('region', '_', r_name)) FROM region
+), edges AS (
+  SELECT md5(concat('nation', '_', n_name)) AS src,
+         md5(concat('region', '_', r_name)) AS dst
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+  UNION ALL
+  SELECT md5(concat('customer', '_', c_name)),
+         md5(concat('nation', '_', n_name))
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+), sym AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+  )
+), reach AS (
+  SELECT id, id AS r FROM vertices
+  UNION
+  SELECT reach.id, sym.dst AS r FROM reach JOIN sym ON sym.src = reach.r
+)
+SELECT id, min(r) AS component FROM reach GROUP BY id
+"""
+
+
+@query("connected_components_membership", _CC_ORACLE, tags=("graph-iterative",))
 def connected_components_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components of the membership graph by iterative
-    min-label propagation (non-SQL-expressible: iterative until
-    convergence → rows-only check; unit-tested for exact component
-    structure in tests/test_graph.py)."""
+    min-label propagation, run to convergence. Value-checked in full:
+    the converged labeling is exactly "minimum reachable vertex id",
+    which the oracle computes as a recursive transitive closure —
+    turning the loop's fixpoint into a declarative set so even the
+    data-dependent iteration count is verified. Component structure is
+    additionally unit-tested in tests/test_graph.py."""
     vertices = build_vertices(spark, sf_dir)
     edges = build_membership_edges(spark, sf_dir)
     return connected_components(vertices, edges)

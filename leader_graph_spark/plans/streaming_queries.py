@@ -16,7 +16,7 @@ SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
        event_type,
        count(*) AS n,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2, 3
 """
@@ -41,7 +41,7 @@ SELECT window_start,
        window_start + INTERVAL '1 hour' AS window_end,
        event_type,
        count(*) AS n,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM expanded
 GROUP BY 1, 2, 3
 """
@@ -57,7 +57,7 @@ def events_sliding_hour_by_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),
@@ -88,7 +88,7 @@ SELECT min(ts) AS session_start,
        max(ts) + INTERVAL '5 minutes' AS session_end,
        user_id,
        count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM sessions
 GROUP BY user_id, session_id
 """

@@ -57,7 +57,7 @@ def tumbling_counts(events: DataFrame, *, window: str = "1 hour") -> DataFrame:
         events.groupBy(F.window("ts", window), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),
@@ -107,7 +107,7 @@ def session_windows(events: DataFrame, *, gap: str = "5 minutes") -> DataFrame:
         events.groupBy(F.session_window("ts", gap), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
         .select(
             F.col("session_window.start").alias("session_start"),
