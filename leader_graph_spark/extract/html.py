@@ -288,6 +288,33 @@ def extract_links_table(
     return df.select(id_col, html_col).mapInPandas(run, out_schema)
 
 
+def extract_infobox_table(
+    df: DataFrame,
+    *,
+    id_col: str,
+    html_col: str,
+    field_mapping: dict[str, list[str]],
+) -> DataFrame:
+    """X2 as mapInPandas: one page row → one row with a column per
+    configured field (None where no dt/dd label matched). The mapping
+    stays config data (``html_extractor/org_table_schema.json:1-14``
+    expanded at ``extract_table_from_remark.py:268-316``)."""
+    fields = list(field_mapping)
+    out_schema = T.StructType(
+        [df.schema[id_col]] + [T.StructField(f, T.StringType()) for f in fields]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            extracted = pdf[html_col].map(lambda h: extract_infobox(h, field_mapping))
+            data = {id_col: pdf[id_col]}
+            for f in fields:
+                data[f] = extracted.map(lambda d, f=f: d[f])
+            yield pd.DataFrame(data)
+
+    return df.select(id_col, html_col).mapInPandas(run, out_schema)
+
+
 # ---------------------------------------------------------------------------
 # X4-X6: career sections, person details, title/summary
 # ---------------------------------------------------------------------------
@@ -321,6 +348,29 @@ def extract_person_details(html: str) -> dict[str, str | None]:
     """X5 (``parser/baike_parser.py:261-407``): fixed-field person
     details via the dt/dd infobox cascade."""
     return extract_infobox(html, PERSON_DETAIL_MAPPING)
+
+
+def career_lines_table(df: DataFrame, *, id_col: str, html_col: str) -> DataFrame:
+    """X4 as a flatMap-shaped mapInPandas: one page row → N cleaned
+    career lines with their document-order position
+    (``parser/baike_parser.py:114-208``)."""
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("pos", T.IntegerType()),
+            T.StructField("line", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, html in zip(pdf[id_col], pdf[html_col]):
+                for pos, line in enumerate(extract_career_sections(html)):
+                    rows.append((rid, pos, line))
+            yield pd.DataFrame(rows, columns=[id_col, "pos", "line"])
+
+    return df.select(id_col, html_col).mapInPandas(run, out_schema)
 
 
 def extract_title_summary(html: str) -> dict[str, str]:

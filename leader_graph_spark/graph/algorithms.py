@@ -45,7 +45,13 @@ def connected_components(
     Returns (id, component) where component is the minimum vertex id in
     the component.
     """
-    sym = symmetrize(edges)
+    # Materialize the (small) edge list once: left lazy, every round
+    # re-executes the upstream edge-producing pipeline (for near-dup
+    # graphs that's the whole MinHash candidate join — measured 4-5× of
+    # the query's cost at sf0.1). At 100 TB the edge list is orders of
+    # magnitude smaller than its producing pipeline; checkpointing it is
+    # the only sane plan.
+    sym = symmetrize(edges).localCheckpoint()
     labels = vertices.select(F.col("id"), F.col("id").alias("component")).localCheckpoint()
     for _ in range(max_iter):
         new_labels = _min_propagation_round(sym, labels).localCheckpoint()
@@ -85,7 +91,9 @@ def min_propagation(vertices: DataFrame, edges: DataFrame, *, rounds: int) -> Da
     :func:`connected_components` holds iff ``rounds`` ≥ the component
     diameter — true by construction for near-dup clusters (small,
     dense), asserted in tests for the shipped data."""
-    sym = symmetrize(edges)
+    # One-shot edge materialization — see connected_components: without
+    # it each round recomputes the upstream pair-producing pipeline.
+    sym = symmetrize(edges).localCheckpoint()
     labels = vertices.select(F.col("id"), F.col("id").alias("component")).localCheckpoint()
     for _ in range(rounds):
         labels = _min_propagation_round(sym, labels).localCheckpoint()
@@ -110,13 +118,17 @@ def pagerank_fixed_point(
     truncates lineage so the plan stays flat over many rounds.
     Returns (id, rank) with rank in micro-units (initial = 1_000_000).
     """
+    # Materialize the edge list (and its derived degree table) once —
+    # left lazy they re-execute their producing pipeline every
+    # iteration (see connected_components).
+    edges = edges.select("src", "dst").localCheckpoint()
     nodes = (
         edges.select("src")
         .unionByName(edges.select(F.col("dst").alias("src")))
         .distinct()
         .select(F.col("src").alias("id"))
     )
-    outd = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    outd = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).localCheckpoint()
     ranks = nodes.select("id", F.lit(1000000).cast("bigint").alias("rank")).localCheckpoint()
     for _ in range(iterations):
         contrib = (
@@ -159,7 +171,8 @@ def khop_distances(
     Returns (id, dist) for every vertex reachable within k hops;
     sources themselves are dist 0.
     """
-    sym = symmetrize(edges)
+    # One-shot edge materialization — see connected_components.
+    sym = symmetrize(edges).localCheckpoint()
     visited = sources.select("id", F.lit(0).alias("dist")).localCheckpoint()
     frontier = visited.select("id")
     for r in range(1, k + 1):

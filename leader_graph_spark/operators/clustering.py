@@ -159,4 +159,6 @@ def kmeans_oracle_sql(*, k: int = 8, iterations: int = 2) -> str:
     integers, so the driver's value hash matches exactly.
     """
     body, last = kmeans_oracle_ctes(k=k, iterations=iterations)
-    return f"WITH {body}\nSELECT vid AS vec_id, cid, dist AS sq_dist FROM {last}"
+    # DuckDB sum(BIGINT) yields HUGEINT, which the driver's hasher
+    # renders differently from Spark's BIGINT — cast the final column.
+    return f"WITH {body}\nSELECT vid AS vec_id, cid, CAST(dist AS BIGINT) AS sq_dist FROM {last}"

@@ -459,7 +459,10 @@ def trailing_hour_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_seconds("ts"))
+        # cast-to-TIMESTAMP keeps the epoch math NTZ/LTZ-agnostic (the
+        # driver's parquet has shipped both; under the UTC session zone
+        # the NTZ cast matches DuckDB's epoch() on naive timestamps).
+        .orderBy(F.unix_seconds(F.col("ts").cast("timestamp")))
         .rangeBetween(-3600, 0)
     )
     return events.select(

@@ -343,13 +343,20 @@ lbl{i + 1} AS (
     )
 
 
-@query("dedup_canonical_docs", _canonical_oracle_sql(4), tags=("dedup-canonical", "graph-cc"))
+@query(
+    "dedup_canonical_docs",
+    _canonical_oracle_sql(4),
+    bench=True,
+    tags=("dedup-canonical", "graph-cc"),
+)
 def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs clustered to groups (4 rounds of min-label
     propagation = transitive closure for small dedup clusters) with a
     deterministic min-id canonical election — the keep/drop verdict a
     training-data pipeline actually consumes. Oracle unrolls the
-    propagation over the same minhash pair CTEs."""
+    propagation over the same minhash pair CTEs. Bench-flagged: this is
+    the iterative-join (connected-components) cost tracked over the
+    near-dup pair graph as data grows."""
     from leader_graph_spark.operators.dedup import canonical_near_dup_docs
 
     docs = load_table(spark, sf_dir, "documents")

@@ -27,8 +27,8 @@ WITH c AS (
   FROM documents
 )
 SELECT doc_id, n_chars,
-       before // {_PACK_BUDGET} AS pack_id,
-       before % {_PACK_BUDGET} AS pack_offset
+       CAST(before // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+       CAST(before % {_PACK_BUDGET} AS BIGINT) AS pack_offset
 FROM c
 """
 

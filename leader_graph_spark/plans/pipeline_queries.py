@@ -232,6 +232,269 @@ def extracted_sections_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# X2/X5 rule-driven infobox extraction, driver-checked: deterministic
+# dt/dd infobox synthesis → real extract_infobox (mapInPandas) → one
+# column per configured field. The synthesis exercises the full rule
+# surface: label-synonym matching (籍贯 vs 出生地 both map to
+# native_place), first-hit-wins per field (a second birth-date pair
+# that must be ignored), whitespace-normalized label matching (毕业
+# 院校 with an embedded space), and absent fields → NULL.
+# ---------------------------------------------------------------------------
+
+_INFOBOX_ORACLE = """
+SELECT doc_id,
+       'Eth' || CAST(doc_id % 7 AS VARCHAR) AS ethnicity,
+       CASE WHEN doc_id % 2 = 0 THEN 'Place' || CAST(doc_id % 13 AS VARCHAR) END AS native_place,
+       CASE WHEN doc_id % 3 = 0 THEN 'D1_' || CAST(doc_id % 10 AS VARCHAR)
+            WHEN doc_id % 3 = 1 THEN 'D2_' || CAST(doc_id % 10 AS VARCHAR) END AS birth_date,
+       CASE WHEN doc_id % 5 <> 0 THEN 'Uni' || CAST(doc_id % 11 AS VARCHAR) END AS alma_mater,
+       CAST(NULL AS VARCHAR) AS political_status
+FROM documents
+"""
+
+
+def _synth_infobox_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    pair = lambda label, value: F.concat(  # noqa: E731
+        F.lit(f"<dt>{label}</dt><dd>"), value, F.lit("</dd>")
+    )
+    html = F.concat(
+        F.lit("<html><body><dl>"),
+        pair("民族", F.concat(F.lit("Eth"), (d % 7).cast("string"))),
+        F.when(d % 4 == 0, pair("籍贯", F.concat(F.lit("Place"), (d % 13).cast("string"))))
+        .when(d % 4 == 2, pair("出生地", F.concat(F.lit("Place"), (d % 13).cast("string"))))
+        .otherwise(F.lit("")),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                pair("出生日期", F.concat(F.lit("D1_"), (d % 10).cast("string"))),
+                # second matching pair — first-hit-wins must ignore it
+                pair("出生年月", F.concat(F.lit("D2_"), (d % 10).cast("string"))),
+            ),
+        )
+        .when(d % 3 == 1, pair("出生年月", F.concat(F.lit("D2_"), (d % 10).cast("string"))))
+        .otherwise(F.lit("")),
+        F.when(
+            d % 5 != 0,
+            pair("毕业 院校", F.concat(F.lit("Uni"), (d % 11).cast("string"))),
+        ).otherwise(F.lit("")),
+        F.lit("</dl></body></html>"),
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
+@query("infobox_person_details", _INFOBOX_ORACLE, tags=("X2", "X5", "F14"))
+def infobox_person_details(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X5 config-driven infobox extraction over synthesized dt/dd
+    pages (``html_extractor/extract_table_from_remark.py:268-439``,
+    ``parser/baike_parser.py:261-407``): real HTML parse via
+    Arrow-batched mapInPandas, one output column per configured field.
+    Synonym lists, per-field first-hit-wins and whitespace-normalized
+    label matching are all under the value hash — the oracle rebuilds
+    every expected field from the synthesis residues without parsing."""
+    from leader_graph_spark.extract.html import PERSON_DETAIL_MAPPING, extract_infobox_table
+
+    pages = _synth_infobox_pages(spark, sf_dir)
+    return extract_infobox_table(
+        pages, id_col="doc_id", html_col="html", field_mapping=PERSON_DETAIL_MAPPING
+    )
+
+
+# ---------------------------------------------------------------------------
+# X3 leader-link harvest (UDTF shape), driver-checked: anchors under a
+# keyword-matched heading → (name, url, uuid) rows. Exercises heading
+# gating, /item/ filtering, paren-strip + whitespace name cleaning, the
+# P6 validity heuristic (blacklist, length≤4-or-dotted), relative-URL
+# absolutization (F8), query-string strip (F7) and md5 uuids (F1).
+# ---------------------------------------------------------------------------
+
+_LINKS_ORACLE = """
+WITH base AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0)
+SELECT doc_id, 'Li' AS name,
+       'https://example.org/item/P' || CAST(doc_id AS VARCHAR) AS url,
+       md5('https://example.org/item/P' || CAST(doc_id AS VARCHAR)) AS uuid
+FROM base
+UNION ALL
+SELECT doc_id, 'Wang',
+       'https://example.org/item/Q' || CAST(doc_id AS VARCHAR),
+       md5('https://example.org/item/Q' || CAST(doc_id AS VARCHAR))
+FROM base
+UNION ALL
+SELECT doc_id, 'A·BCDE',
+       'https://other.org/item/T' || CAST(doc_id AS VARCHAR),
+       md5('https://other.org/item/T' || CAST(doc_id AS VARCHAR))
+FROM base WHERE doc_id % 3 = 0
+"""
+
+
+def _synth_link_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leadership heading (keyword match) on even docs only; odd docs
+    carry the same anchors under a non-matching heading. Anchor mix:
+    valid short name, paren-suffixed name + query-stringed href,
+    blacklisted name, non-/item/ href, and (every third doc) an
+    absolute URL with a dotted long name."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    s = d.cast("string")
+    html = F.concat(
+        F.lit("<html><body>"),
+        F.when(d % 2 == 0, F.lit("<h2>Leadership</h2>")).otherwise(F.lit("<h2>Members</h2>")),
+        F.lit('<a href="/item/P'), s, F.lit('">Li</a>'),
+        F.lit('<a href="/item/Q'), s, F.lit('?from=x">Wang（主任）</a>'),
+        F.lit('<a href="/item/R'), s, F.lit('">Invalid Person</a>'),
+        F.lit('<a href="/other/S'), s, F.lit('">Zhao</a>'),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit('<a href="https://other.org/item/T'), s, F.lit('">A·BCDE</a>')),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
+@query("person_links_harvest", _LINKS_ORACLE, tags=("X3", "P6", "F1", "F6", "F7", "F8"))
+def person_links_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 leader-link UDTF shape over synthesized pages
+    (``leader/update_c_org_leader_info.py:75-206``): one page row → N
+    harvested (name, url, uuid) rows via flatMap-shaped mapInPandas.
+    Heading gating, name cleaning/validity, URL canonicalization and
+    md5 uuids are all under the value hash; the oracle rebuilds the
+    expected link set from the synthesis residues."""
+    from leader_graph_spark.extract.html import extract_links_table
+
+    pages = _synth_link_pages(spark, sf_dir)
+    return extract_links_table(pages, id_col="doc_id", html_col="html")
+
+
+# ---------------------------------------------------------------------------
+# X4 career-section lines, driver-checked: date-led career text under a
+# keyword-matched heading → cleaned per-line rows in document order.
+# ---------------------------------------------------------------------------
+
+_CAREER_LINES_ORACLE = """
+SELECT doc_id, CAST(0 AS INT) AS pos,
+       format('199{}.0{}-199{}.0{} Staff at Org{}',
+              doc_id % 5, doc_id % 9 + 1, doc_id % 5 + 5, doc_id % 9 + 1, doc_id % 10) AS line
+FROM documents
+UNION ALL
+SELECT doc_id, CAST(1 AS INT) AS pos,
+       format('199{}.0{}-199{}.0{} Manager at Org{}',
+              (doc_id + 1) % 5, (doc_id + 2) % 9 + 1, (doc_id + 1) % 5 + 5,
+              (doc_id + 2) % 9 + 1, (doc_id + 3) % 10) AS line
+FROM documents WHERE doc_id % 4 <> 0
+"""
+
+
+def _synth_career_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    line1 = F.format_string(
+        "199%d.0%d-199%d.0%d Staff at Org%d",
+        d % 5, d % 9 + 1, d % 5 + 5, d % 9 + 1, d % 10
+    )
+    line2 = F.format_string(
+        "199%d.0%d-199%d.0%d Manager at Org%d",
+        (d + 1) % 5, (d + 2) % 9 + 1, (d + 1) % 5 + 5, (d + 2) % 9 + 1, (d + 3) % 10
+    )
+    html = F.concat(
+        F.lit("<html><body><h2>人物履历</h2><p>"),
+        line1,
+        F.lit("</p>"),
+        F.when(d % 4 != 0, F.concat(F.lit("<p>"), line2, F.lit("</p>"))).otherwise(F.lit("")),
+        F.lit("<h2>后记</h2><p>Tail text ignored by the career extractor.</p></body></html>"),
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
+@query("career_section_lines", _CAREER_LINES_ORACLE, tags=("X4", "F2", "F4"))
+def career_section_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 career-section extraction over synthesized pages
+    (``parser/baike_parser.py:114-208``): the 人物履历 section located by
+    keyword (substring semantics, F14 variant 2), its text re-split on
+    date-led line starts, each line cleaned — exploded to (doc_id, pos,
+    line) rows. The trailing non-career section must be ignored; the
+    oracle rebuilds the expected lines from the synthesis residues."""
+    from leader_graph_spark.extract.html import career_lines_table
+
+    pages = _synth_career_pages(spark, sf_dir)
+    return career_lines_table(pages, id_col="doc_id", html_col="html")
+
+
+# ---------------------------------------------------------------------------
+# X10 news extraction, driver-checked: deterministic leader-activity
+# news text → nested-struct extraction (mapInPandas stub backend) →
+# scalar flatten. Exercises leader-title matching (absent for every
+# 7th doc), location/verb capture, and the two list fields (targets
+# always, accompanying absent for every 5th doc).
+# ---------------------------------------------------------------------------
+
+_NEWS_ORACLE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 7 <> 0 THEN 'Ldr' || CAST(doc_id % 9 AS VARCHAR) END AS leader,
+       'City' || CAST(doc_id % 5 AS VARCHAR) AS location,
+       CASE WHEN doc_id % 2 = 0 THEN '调研' ELSE '考察' END AS event,
+       'T' || CAST(doc_id % 4 AS VARCHAR) || ',' || 'T' || CAST((doc_id + 1) % 4 AS VARCHAR) AS targets,
+       CASE WHEN doc_id % 5 = 0 THEN ''
+            ELSE 'A' || CAST(doc_id % 6 AS VARCHAR) || ',' || 'A' || CAST((doc_id + 2) % 6 AS VARCHAR)
+       END AS accompanying
+FROM documents
+"""
+
+
+def _synth_news_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    text = F.concat(
+        F.when(
+            d % 7 != 0, F.concat(F.lit("Ldr"), (d % 9).cast("string"), F.lit("书记"))
+        ).otherwise(F.lit("")),
+        F.lit("在City"),
+        (d % 5).cast("string"),
+        F.when(d % 2 == 0, F.lit("调研")).otherwise(F.lit("考察")),
+        F.lit("T"),
+        (d % 4).cast("string"),
+        F.lit("、T"),
+        ((d + 1) % 4).cast("string"),
+        F.lit("等。"),
+        F.when(
+            d % 5 != 0,
+            F.concat(
+                F.lit("陪同的有A"),
+                (d % 6).cast("string"),
+                F.lit("、A"),
+                ((d + 2) % 6).cast("string"),
+                F.lit("等。"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", text.alias("text"))
+
+
+@query("news_entity_extraction", _NEWS_ORACLE, tags=("X10", "P9"))
+def news_entity_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 news-entity extraction over synthesized leader-activity
+    stories (``src/news_processor.py:60-132``): the deterministic
+    backend pulls the nested NewsExtraction struct via mapInPandas and
+    the query flattens it to driver-hashable scalars (lists joined with
+    ','). The oracle rebuilds every expected field from the synthesis
+    residues — title-gated leader capture, location/verb parsing and
+    both list fields sit under the value hash."""
+    from leader_graph_spark.operators.llm import news_extraction
+
+    texts = _synth_news_texts(spark, sf_dir)
+    out = news_extraction(texts, id_col="doc_id", text_col="text")
+    return out.select(
+        "doc_id",
+        F.col("news.leader").alias("leader"),
+        F.col("news.location").alias("location"),
+        F.col("news.event").alias("event"),
+        F.array_join("news.targets", ",").alias("targets"),
+        F.array_join("news.accompanying", ",").alias("accompanying"),
+    )
+
+
 _CAREER_ORACLE = """
 SELECT o_custkey,
        'work' AS event_type,

@@ -109,12 +109,19 @@ def flagship_colleagues_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("flagship_colleagues_bucketed", _FLAGSHIP_ORACLE, tags=("J4", "J6", "skew-bucketed"))
+@query(
+    "flagship_colleagues_bucketed",
+    _FLAGSHIP_ORACLE,
+    bench=True,
+    tags=("J4", "J6", "skew-bucketed"),
+)
 def flagship_colleagues_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship interval join through the skew-resistant
     month-bucket blocking variant (same oracle — results must be
     identical). This is the 100 TB execution path: a hot key's pairs
-    spread over many (key, bucket) partitions instead of one."""
+    spread over many (key, bucket) partitions instead of one.
+    Bench-flagged so the skew-resistant plan has a tracked number next
+    to the naive join as data grows."""
     from leader_graph_spark.operators.intervals import (
         interval_overlap_self_join_bucketed,
     )
@@ -618,7 +625,7 @@ def first_of_packed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _VARIANT_ORACLE = """
 SELECT event_type,
-       sum(CAST(props ->> '$.k' AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k,
        count(*) AS n,
        min(CAST(props ->> '$.k' AS INT)) AS min_k
 FROM events

@@ -17,16 +17,19 @@ from leader_graph_spark.sources.tables import load_table
 # ---------------------------------------------------------------------------
 
 _Q3_ORACLE = """
-SELECT l_orderkey,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(28,6)) AS revenue,
-       o_orderdate, o_orderpriority
-FROM customer JOIN orders ON c_custkey = o_custkey
-JOIN lineitem ON l_orderkey = o_orderkey
-WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
-  AND l_shipdate > TIMESTAMP '1997-01-01'
-GROUP BY l_orderkey, o_orderdate, o_orderpriority
-ORDER BY revenue DESC, l_orderkey
-LIMIT 10
+SELECT l_orderkey, CAST(revenue AS DOUBLE) AS revenue, o_orderdate, o_orderpriority
+FROM (
+  SELECT l_orderkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(28,6)) AS revenue,
+         o_orderdate, o_orderpriority
+  FROM customer JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+    AND l_shipdate > TIMESTAMP '1997-01-01'
+  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+  ORDER BY revenue DESC, l_orderkey
+  LIMIT 10
+)
 """
 
 
@@ -35,7 +38,9 @@ def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dimension filter → fact join → grouped
     DECIMAL revenue → top-10 with a unique tie-break. The dimension
     filter reaches the parquet scan; the small filtered side
-    broadcasts."""
+    broadcasts. Top-10 ordering happens on the exact DECIMAL revenue;
+    only the final projection casts to DOUBLE (DECIMAL final columns
+    render engine-dependently under the driver's hash)."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
@@ -51,9 +56,14 @@ def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(revenue.alias("revenue"))
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("revenue").cast("double").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
     )
 
 
@@ -63,7 +73,7 @@ def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q5_ORACLE = """
 SELECT n_name,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(28,6)) AS revenue
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(28,6)) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -109,7 +119,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(nr), F.col("s_nationkey") == nr.n_nationkey)
         .groupBy("n_name")
-        .agg(revenue.alias("revenue"))
+        .agg(revenue.cast("double").alias("revenue"))
     )
 
 
@@ -274,8 +284,8 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _REVENUE_REGION_SQL = """
 SELECT r.r_name AS region_name,
-       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DECIMAL(28,6)) AS revenue,
+       CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DECIMAL(28,6)) AS DOUBLE) AS revenue,
        count(DISTINCT o.o_orderkey) AS n_orders
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -352,7 +362,7 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q7_ORACLE = """
 SELECT supp_nation, cust_nation, l_year,
-       CAST(sum(volume) AS DECIMAL(28,6)) AS revenue
+       CAST(CAST(sum(volume) AS DECIMAL(28,6)) AS DOUBLE) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(year(l_shipdate) AS INT) AS l_year,
@@ -403,7 +413,7 @@ def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year"))
-        .agg(F.sum(volume).cast("decimal(28,6)").alias("revenue"))
+        .agg(F.sum(volume).cast("decimal(28,6)").cast("double").alias("revenue"))
     )
 
 
@@ -412,17 +422,20 @@ def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _Q10_ORACLE = """
-SELECT c_custkey, c_name, n_name,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(28,6)) AS revenue
-FROM customer
-JOIN orders ON c_custkey = o_custkey
-JOIN lineitem ON l_orderkey = o_orderkey
-JOIN nation ON c_nationkey = n_nationkey
-WHERE l_returnflag = 'R'
-  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
-GROUP BY c_custkey, c_name, n_name
-ORDER BY revenue DESC, c_custkey
-LIMIT 20
+SELECT c_custkey, c_name, n_name, CAST(revenue AS DOUBLE) AS revenue
+FROM (
+  SELECT c_custkey, c_name, n_name,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(28,6)) AS revenue
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  GROUP BY c_custkey, c_name, n_name
+  ORDER BY revenue DESC, c_custkey
+  LIMIT 20
+)
 """
 
 
@@ -456,6 +469,7 @@ def returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(revenue.alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
+        .select("c_custkey", "c_name", "n_name", F.col("revenue").cast("double").alias("revenue"))
     )
 
 

@@ -1,0 +1,65 @@
+"""Guard against the driver-hash canonicalization bug class.
+
+Rounds 1 and 2 both lost CORRECTNESS rows to the same pattern: a query
+whose FINAL output column is DECIMAL (Spark/DuckDB render scale
+differently under the driver's pandas-based hasher) or whose oracle
+aggregate silently widens to DuckDB HUGEINT (``sum(BIGINT)``), or a
+list/struct column that stringifies engine-dependently.  Values match;
+hashes don't.  This test walks EVERY registered oracle through DuckDB's
+``DESCRIBE`` (type resolution without execution) and every oracle-paired
+Spark plan's schema, and fails if any output column has a type in the
+known-divergent class — so the bug class breaks tests, not rounds.
+"""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+import pytest
+from pyspark.sql import types as T
+
+from leader_graph_spark.plans import REGISTRY
+from leader_graph_spark.sources.tables import TABLES
+
+ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
+
+# DuckDB type names that the driver's hasher renders differently from
+# the Spark side (or order-dependently): any DECIMAL, the implicit
+# HUGEINT/UHUGEINT widenings, and nested list/struct/map/union types.
+_FORBIDDEN_DUCK = re.compile(r"DECIMAL|HUGEINT|STRUCT|MAP|UNION|\[\]", re.IGNORECASE)
+
+_FORBIDDEN_SPARK = (T.DecimalType, T.ArrayType, T.MapType, T.StructType)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_output_types_hashable(duck, name):
+    spec = REGISTRY[name]
+    rows = duck.execute(f"DESCRIBE {spec.oracle}").fetchall()
+    bad = [(col, typ) for col, typ, *_ in rows if _FORBIDDEN_DUCK.search(typ)]
+    assert not bad, (
+        f"oracle for {name!r} emits driver-unhashable column types {bad}; "
+        "CAST the final projection (DECIMAL->DOUBLE, sum(BIGINT)->BIGINT, "
+        "flatten lists/structs)"
+    )
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_spark_output_types_hashable(spark, sf_dir, name):
+    spec = REGISTRY[name]
+    schema = spec.spark(spark, sf_dir).schema
+    bad = [(f.name, f.dataType.simpleString()) for f in schema.fields
+           if isinstance(f.dataType, _FORBIDDEN_SPARK)]
+    assert not bad, (
+        f"Spark plan for {name!r} emits driver-unhashable column types {bad}; "
+        "cast the final projection to scalar driver-stable types"
+    )

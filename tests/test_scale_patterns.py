@@ -186,6 +186,7 @@ SHUFFLE_BUDGETS = {
     # it casually.
     "ann_lsh_topk": 4,
     "events_tumbling_hourly": 1,
+    "flagship_colleagues_bucketed": 2,
     "flagship_colleagues_interval": 2,
     "local_supplier_volume": 1,
     "minhash_near_dup_docs": 6,
