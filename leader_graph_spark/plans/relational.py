@@ -62,49 +62,40 @@ def flagship_colleagues_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (workplace → nation), month-scalar interval overlap test, overlap
     bounds via greatest/least, pair dedup ``id1 < id2``.
 
-    The ``YYYY.MM`` strings are formatted once per *input* row (15k)
-    and the pair stage only selects between the two sides' strings —
-    measured ~8% over formatting per output pair (the remaining cost
-    is the unavoidable final concat of 4.5M output strings).
+    The overlap period is formatted per OUTPUT pair (greatest/least on
+    month scalars → one ``format_string``). The round-2 variant
+    pre-formatted ``YYYY.MM`` strings per input row and carried them
+    through the join, but hauling two extra string columns per side
+    through the 4.5M-row expansion join costs more than the format
+    calls it saves (A/B best-of-3 at sf0.1: 1.11s vs 1.24s) — and the
+    narrower join payload is also what you want in a 100 TB shuffle.
     """
-    from leader_graph_spark.functions.scalar import format_month_scalar
-
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     spans = orders.groupBy("o_custkey").agg(
         F.min("o_orderdate").alias("first_dt"), F.max("o_orderdate").alias("last_dt")
     )
-    start_m = ts_months_scalar("first_dt")
-    end_m = ts_months_scalar("last_dt")
     cust = (
         customer.join(spans, customer.c_custkey == spans.o_custkey)
         .select(
             "c_custkey",
             "c_nationkey",
-            start_m.alias("start_m"),
-            end_m.alias("end_m"),
-            format_month_scalar(start_m).alias("start_str"),
-            format_month_scalar(end_m).alias("end_str"),
+            ts_months_scalar("first_dt").alias("start_m"),
+            ts_months_scalar("last_dt").alias("end_m"),
         )
     )
     pairs = interval_overlap_self_join(
         cust,
         key_cols=["c_nationkey"],
         id_col="c_custkey",
-        carry_cols=["start_m", "end_m", "start_str", "end_str"],
+        carry_cols=["start_m", "end_m"],
     )
     return pairs.select(
         F.col("c_nationkey").alias("nationkey"),
         F.col("c_custkey_1").alias("custkey_1"),
         F.col("c_custkey_2").alias("custkey_2"),
-        F.concat(
-            F.when(F.col("start_m_1") >= F.col("start_m_2"), F.col("start_str_1")).otherwise(
-                F.col("start_str_2")
-            ),
-            F.lit("-"),
-            F.when(F.col("end_m_1") <= F.col("end_m_2"), F.col("end_str_1")).otherwise(
-                F.col("end_str_2")
-            ),
+        format_period(
+            F.greatest("start_m_1", "start_m_2"), F.least("end_m_1", "end_m_2")
         ).alias("overlap_period"),
     )
 
