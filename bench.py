@@ -51,17 +51,23 @@ def main() -> None:
     # Best-of-N per query: single-run numbers on a shared box carry
     # multi-second scheduler/GC spikes (observed 3.5s → 12.7s on the
     # same query back-to-back); the minimum is the capability number.
+    # Rounds are INTERLEAVED (all queries once, repeat) rather than
+    # per-query back-to-back: host slowdowns on this box span tens of
+    # seconds (observed a whole run at ~2× with no code change), so
+    # consecutive attempts of one query all land in the same slow
+    # window — interleaving spreads each query's attempts across the
+    # full wall-clock span.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
-    for name, spec in sorted(bench_queries().items()):
-        best = None
-        for _ in range(runs):
+    for _ in range(runs):
+        for name, spec in sorted(bench_queries().items()):
             t0 = time.perf_counter()
             df = spec.spark(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             elapsed = time.perf_counter() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
+    timings = {name: round(t, 3) for name, t in timings.items()}
 
     total = round(sum(timings.values()), 3)
     out = {

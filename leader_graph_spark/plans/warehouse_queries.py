@@ -80,7 +80,7 @@ JOIN lineitem ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
 JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
-WHERE r_name = 'REGION_0' AND o_orderdate >= TIMESTAMP '1996-01-01'
+WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate < TIMESTAMP '1999-01-01'
 GROUP BY n_name
 """
@@ -102,7 +102,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
     )
     nr = nation.join(
-        F.broadcast(region.filter(F.col("r_name") == "REGION_0")),
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
         nation.n_regionkey == region.r_regionkey,
     ).select("n_nationkey", "n_name")
     revenue = F.sum(
