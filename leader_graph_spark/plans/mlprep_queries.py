@@ -173,3 +173,44 @@ def mixture_resample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_col="doc_id",
         target_shares={k: 0.2 for k in ("en", "de", "es", "fr", "zh")},
     )
+
+
+_MIX_REPORT_ORACLE = """
+SELECT lang, source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE)
+             / CAST((SELECT CAST(sum(n_chars) AS BIGINT) FROM documents) AS DOUBLE), 9) AS char_share
+FROM documents
+GROUP BY lang, source
+"""
+
+
+@query("corpus_mixture_report", _MIX_REPORT_ORACLE, tags=("mixing", "mlprep", "A1"))
+def corpus_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-design input report: per (lang, source) document counts,
+    character totals and each cell's share of the global character
+    budget — what a training-data pipeline reads before setting
+    resampling targets (``mixture_resample_by_lang`` consumes shares
+    like these). One map-side-combinable groupBy; the global total
+    joins back as a broadcast scalar, so the report never reshuffles
+    the corpus. The share is one exact-BIGINT division rounded to 9
+    places — deterministic across engines."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "source", "n_chars")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    # Window over the ~|langs|x|sources| aggregate (tiny), not the corpus.
+    total = F.sum("total_chars").over(Window.partitionBy())
+    return cells.select(
+        "lang",
+        "source",
+        "n_docs",
+        "total_chars",
+        F.round(F.col("total_chars").cast("double") / total.cast("double"), 9).alias(
+            "char_share"
+        ),
+    )

@@ -423,6 +423,74 @@ def career_section_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X6 title/summary fallback cascade, driver-checked: pages synthesized
+# with systematically missing pieces — no <title> on every 4th doc
+# (title must fall back to the first heading), no pre-heading text on
+# d%3∈{0,2} (summary falls back to the meta description), and no meta
+# description either on d%3==2 (summary collapses to '').
+# ---------------------------------------------------------------------------
+
+_TITLE_SUMMARY_ORACLE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 4 = 0 THEN 'Overview ' || CAST(doc_id AS VARCHAR)
+            ELSE 'Doc ' || CAST(doc_id AS VARCHAR) END AS title,
+       CASE WHEN doc_id % 3 = 1 THEN 'Intro for doc ' || CAST(doc_id AS VARCHAR) || '.'
+            WHEN doc_id % 3 = 0 THEN 'About doc ' || CAST(doc_id AS VARCHAR)
+            ELSE '' END AS summary
+FROM documents
+"""
+
+
+def _synth_fallback_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    s = d.cast("string")
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(
+            d % 4 != 0,
+            F.concat(F.lit("<title>Doc "), s, F.lit("_百度百科</title>")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 3 != 2,
+            F.concat(F.lit('<meta name="description" content="About doc '), s, F.lit('"/>')),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body>"),
+        F.when(
+            d % 3 == 1, F.concat(F.lit("<p>Intro for doc "), s, F.lit(".</p>"))
+        ).otherwise(F.lit("")),
+        F.lit("<h1>Overview "),
+        s,
+        F.lit("</h1><p>Body "),
+        s,
+        F.lit("</p></body></html>"),
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
+@query("title_summary_fallbacks", _TITLE_SUMMARY_ORACLE, tags=("X6", "F10", "W6"))
+def title_summary_fallbacks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 title/summary extraction with the fallback cascade under the
+    value hash (``parser/baike_parser.py:74-113,210-259``): title =
+    suffix-stripped <title> falling back to the first heading; summary =
+    pre-heading text falling back to the meta description (the W6
+    first-valid-wins shape as a coalesce over extraction stages). The
+    oracle rebuilds both columns from which pieces each synthesized
+    page omits."""
+    from leader_graph_spark.extract.html import parse_pages
+
+    pages = _synth_fallback_pages(spark, sf_dir)
+    parsed = parse_pages(pages, id_col="doc_id", html_col="html")
+    return parsed.select(
+        "doc_id",
+        "title",
+        F.when(F.length("summary") > 0, F.col("summary"))
+        .otherwise(F.col("description"))
+        .alias("summary"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # X10 news extraction, driver-checked: deterministic leader-activity
 # news text → nested-struct extraction (mapInPandas stub backend) →
 # scalar flatten. Exercises leader-title matching (absent for every

@@ -77,6 +77,32 @@ def read_tabular_dir(spark: SparkSession, directory: str) -> DataFrame:
     return out
 
 
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    *,
+    glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Media landing-zone scan via the built-in ``binaryFile`` source:
+    one row per file with (path, modificationTime, length, content
+    BINARY) — the lake entry point for the multimodal pipeline
+    (``operators/multimodal.py`` consumes the ``content`` column).
+
+    Scale notes: the reader parallelizes across files (one file = one
+    or more splits), column pruning drops ``content`` entirely for
+    metadata-only queries (count/size audits never read the bytes),
+    and ``pathGlobFilter`` prunes non-matching files at listing time —
+    set it to e.g. ``*.png`` rather than filtering on the path column
+    after the scan."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(path)
+
+
 def write_json_per_key(df: DataFrame, path: str, *, key_col: str) -> None:
     """K3: per-key JSON output (one directory per key value) —
     ``partitionBy`` replaces the reference's one-file-per-person loop

@@ -22,31 +22,42 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_stream_schema(spark: SparkSession, probe_path: str) -> T.StructType:
+    """Physical schema for the events landing files, via a one-time
+    driver-side batch probe. The driver's parquet has shipped ``ts`` as
+    both TIMESTAMP(NANOS) (reads as bigint under the nanosAsLong legacy
+    conf) and plain timestamp[us] with no timezone (reads as
+    TIMESTAMP_NTZ) — the file-stream source needs an explicit schema,
+    so it must match whichever variant is on disk."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(probe_path).schema
+
+
+def _normalize_ts(sdf: DataFrame) -> DataFrame:
+    """Normalize ``ts`` to TIMESTAMP (LTZ): nanos-as-long converts via
+    timestamp_micros; TIMESTAMP_NTZ casts (wall-clock identical under
+    the UTC session zone, and watermarks/stateful ops REQUIRE the LTZ
+    type — EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise)."""
+    dt = dict(sdf.dtypes).get("ts")
+    if dt == "bigint":
+        return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dt == "timestamp_ntz":
+        return sdf.withColumn("ts", F.col("ts").cast("timestamp"))
+    return sdf
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming scan of the events landing file. The nanosecond
-    timestamps come in as longs (legacy mode) and are converted to
-    microsecond timestamps exactly like the batch source."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """Streaming scan of the events landing file, timestamp-variant
+    agnostic (see ``_events_stream_schema``)."""
+    schema = _events_stream_schema(spark, f"{sf_dir}/events.parquet")
     # The file-stream source requires a directory: scan sf_dir with a
     # glob filter selecting just the events landing file.
     sdf = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _normalize_ts(sdf)
 
 
 def tumbling_counts(events: DataFrame, *, window: str = "1 hour") -> DataFrame:
@@ -213,10 +224,10 @@ def deduped_events_stream(
     and evicts beyond it — bounded by arrival rate × watermark, not by
     stream length (plain ``dropDuplicates`` on a stream would keep
     every key forever)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    sdf = spark.readStream.schema(EVENTS_SCHEMA).parquet(landing_dir)
+    schema = _events_stream_schema(spark, landing_dir)
+    sdf = spark.readStream.schema(schema).parquet(landing_dir)
     return (
-        sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        _normalize_ts(sdf)
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["event_id"])
     )

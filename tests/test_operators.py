@@ -59,6 +59,29 @@ def test_multimodal_plumbing(spark, sf_smoke):
     assert not decode_available()  # container has no codec — fake path exercised
 
 
+def test_binary_dir_landing_to_features(spark, tmp_path):
+    """binaryFile landing zone → feature extraction chain: files land
+    on disk, the scan yields (path, content) rows, glob pruning keeps
+    only the media extension, and the blob column feeds the same
+    mapInPandas feature extractor the parquet-backed path uses."""
+    from leader_graph_spark.sources.files import read_binary_dir
+
+    for i in range(5):
+        (tmp_path / f"img_{i}.png").write_bytes(b"fakepixels-%d" % i)
+    (tmp_path / "notes.txt").write_text("not media")
+    landed = read_binary_dir(spark, str(tmp_path), glob="*.png")
+    assert dict(landed.dtypes)["content"] == "binary"
+    assert landed.count() == 5  # txt pruned at listing time
+    named = landed.select(
+        F.regexp_extract("path", r"img_(\d+)\.png", 1).cast("long").alias("img_id"),
+        F.col("content").alias("payload"),
+    )
+    feats = extract_image_features(named, id_col="img_id")
+    rows = feats.collect()
+    assert len(rows) == 5
+    assert all(len(r.phash) == 16 and r.n_bytes > 0 for r in rows)
+
+
 def test_approx_distinct_accuracy(spark, sf_dir):
     from leader_graph_spark.sources.tables import load_table
 
