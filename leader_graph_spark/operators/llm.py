@@ -285,6 +285,46 @@ class FakeNewsBackend:
         }
 
 
+class FakeTitleClassifier:
+    """P9 boolean-classifier stand-in (``src/news_demo.py:46-105``:
+    ``classify_news_by_title(title) -> bool`` gating extraction).
+    Deterministic rule: a title is a leader-activity story when it
+    carries an activity verb. A real deployment swaps in a model call
+    behind the same per-batch interface."""
+
+    ACTIVITY_VERBS = ("调研", "考察", "主持会议", "出席活动")
+
+    def classify(self, title: str) -> bool:
+        return any(v in (title or "") for v in self.ACTIVITY_VERBS)
+
+
+def classify_news_titles(df: DataFrame, *, id_col: str, title_col: str) -> DataFrame:
+    """P9 as mapInPandas: adds ``is_leader_activity`` — the
+    model-backed boolean that gates the expensive extraction stage
+    (filter BEFORE X10, so non-matching rows never reach the
+    per-row-costly backend)."""
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            df.schema[title_col],
+            T.StructField("is_leader_activity", T.BooleanType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        backend = FakeTitleClassifier()
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    title_col: pdf[title_col],
+                    "is_leader_activity": pdf[title_col].map(backend.classify),
+                }
+            )
+
+    return df.select(id_col, title_col).mapInPandas(run, out_schema)
+
+
 def news_extraction(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
     """X10 as mapInPandas → nested struct; downstream ``explode`` of
     targets/accompanying is plain relational."""

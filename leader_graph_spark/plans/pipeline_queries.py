@@ -563,6 +563,144 @@ def news_entity_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# P9 classifier gate, driver-checked: synthesized titles → stub
+# boolean classifier (mapInPandas) → filter to positives. The rule is
+# SQL-reproducible, so the gate's keep-set sits under the value hash.
+# ---------------------------------------------------------------------------
+
+_CLASSIFIER_ORACLE = """
+WITH titled AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'Ldr' || CAST(doc_id AS VARCHAR) || '在City调研企业'
+              WHEN doc_id % 3 = 1 THEN '市场快讯' || CAST(doc_id AS VARCHAR)
+              ELSE 'Ldr' || CAST(doc_id AS VARCHAR) || '考察工厂' END AS title
+  FROM documents
+)
+SELECT doc_id, title, TRUE AS is_leader_activity
+FROM titled WHERE doc_id % 3 <> 1
+"""
+
+
+@query("news_title_gate", _CLASSIFIER_ORACLE, tags=("P9",))
+def news_title_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 LLM-classifier filter (``src/news_demo.py:46-105``): the
+    model-backed boolean gates which rows reach the expensive
+    extraction stage — here the deterministic stub backend over
+    synthesized titles, filtered to positives, with the keep-set under
+    the value hash. The filter runs BEFORE extraction, so two thirds
+    of the corpus never pays the per-row backend cost."""
+    from leader_graph_spark.operators.llm import classify_news_titles
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    titled = docs.select(
+        "doc_id",
+        F.when(d % 3 == 0, F.concat(F.lit("Ldr"), d.cast("string"), F.lit("在City调研企业")))
+        .when(d % 3 == 1, F.concat(F.lit("市场快讯"), d.cast("string")))
+        .otherwise(F.concat(F.lit("Ldr"), d.cast("string"), F.lit("考察工厂")))
+        .alias("title"),
+    )
+    classified = classify_news_titles(titled, id_col="doc_id", title_col="title")
+    return classified.filter(F.col("is_leader_activity"))
+
+
+# ---------------------------------------------------------------------------
+# F14 both match semantics, driver-checked: the reference uses EXACT
+# heading equality for org content but SUBSTRING containment for leader
+# content — two different operators that must not be conflated.
+# ---------------------------------------------------------------------------
+
+_HEADING_MATCH_ORACLE = """
+WITH h AS (
+  SELECT doc_id,
+         CASE doc_id % 4 WHEN 0 THEN '机构领导' WHEN 1 THEN '领导'
+                         WHEN 2 THEN 'Career' ELSE '简介' END AS heading
+  FROM documents
+)
+SELECT doc_id, heading,
+       heading IN ('领导', 'Career') AS exact_match,
+       (contains(heading, '领导') OR contains(heading, 'Career')) AS substring_match
+FROM h
+"""
+
+
+@query("heading_match_semantics", _HEADING_MATCH_ORACLE, tags=("F14",))
+def heading_match_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14's two match semantics side by side
+    (``html_extractor/extract_content_from_remark.py:793-798`` exact
+    equality vs ``leader/extract_org_leader_info.py:166-171``
+    substring): '机构领导' fails the exact match against '领导' but
+    passes the substring match — the distinction the extraction rules
+    depend on, now under the value hash. Spark: ``array_contains`` on a
+    literal array vs ``exists(..., contains)`` — both whole-stage
+    codegen, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    heading = (
+        F.when(d % 4 == 0, F.lit("机构领导"))
+        .when(d % 4 == 1, F.lit("领导"))
+        .when(d % 4 == 2, F.lit("Career"))
+        .otherwise(F.lit("简介"))
+    )
+    matches = F.array(F.lit("领导"), F.lit("Career"))
+    h = docs.select("doc_id", heading.alias("heading"))
+    return h.select(
+        "doc_id",
+        "heading",
+        F.array_contains(matches, F.col("heading")).alias("exact_match"),
+        F.exists(matches, lambda m: F.col("heading").contains(m)).alias("substring_match"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F20/F22 sink-side name handling, driver-checked: safe-filename
+# sanitization + overflow truncation over synthesized messy names.
+# ---------------------------------------------------------------------------
+
+_SAFE_NAME_ORACLE = """
+WITH raw AS (
+  SELECT doc_id,
+         'Report ' || source || '/' || CAST(doc_id AS VARCHAR) || ' (' || lang || ').json' AS raw_name
+  FROM documents
+)
+SELECT doc_id, raw_name,
+       regexp_replace(raw_name, '[^\\w\\-\\.]', '_', 'g') AS safe_name,
+       left(raw_name, 20) AS truncated
+FROM raw
+"""
+
+
+@query("sink_safe_filenames", _SAFE_NAME_ORACLE, tags=("F20", "F22", "K3"))
+def sink_safe_filenames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20 safe-filename sanitization (``utils/file_utils.py:20-37``:
+    every non-[word/dash/dot] char → '_') and F22 overflow truncation
+    (``org/update_c_org_info_remark.py:263-273``) over synthesized
+    messy sink names — both pure column expressions; parity pins the
+    ASCII \\w semantics shared by Java regex and RE2."""
+    from leader_graph_spark.functions.scalar import safe_filename, truncate_chars
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("Report "),
+            F.col("source"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" ("),
+            F.col("lang"),
+            F.lit(").json"),
+        ).alias("raw_name"),
+    )
+    return raw.select(
+        "doc_id",
+        "raw_name",
+        safe_filename(F.col("raw_name")).alias("safe_name"),
+        truncate_chars(F.col("raw_name"), 20).alias("truncated"),
+    )
+
+
 _CAREER_ORACLE = """
 SELECT o_custkey,
        'work' AS event_type,
