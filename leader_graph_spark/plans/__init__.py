@@ -57,11 +57,11 @@ def _verified_names() -> set[str]:
     return ok
 
 
-# Queries first registered in round 2: they defer behind the round-1-era
-# backlog inside the pending block, so the older queries (flagged by the
-# round-1 verdict as driver-unverified) spend the sweep budget first.
-# Harmless once verified — the CORRECTNESS rotation moves them to the
-# back regardless of this set.
+# Queries first registered in rounds 2/3: they defer behind the older
+# pending backlog inside the pending block, so queries with an existing
+# red CORRECTNESS row (a fix waiting to flip green) spend the sweep
+# budget before net-new coverage does. Harmless once verified — the
+# CORRECTNESS rotation moves green rows to the back regardless.
 _REGISTERED_R2: frozenset[str] = frozenset(
     {
         "extracted_sections_explode",
@@ -86,6 +86,20 @@ _REGISTERED_R2: frozenset[str] = frozenset(
     }
 )
 
+_REGISTERED_R3: frozenset[str] = frozenset(
+    {
+        "infobox_person_details",
+        "person_links_harvest",
+        "career_section_lines",
+        "news_entity_extraction",
+        "title_summary_fallbacks",
+        "corpus_mixture_report",
+        "news_title_gate",
+        "heading_match_semantics",
+        "sink_safe_filenames",
+    }
+)
+
 
 def _rotate_verified_to_back() -> None:
     """Order the registry: unverified oracle-bearing queries first (they
@@ -96,7 +110,11 @@ def _rotate_verified_to_back() -> None:
     back_set = _verified_names()
     pending = [n for n in REGISTRY if n not in back_set]
     pending_oracle = [n for n in pending if REGISTRY[n].oracle is not None]
-    pending_oracle.sort(key=lambda n: n in _REGISTERED_R2)  # stable
+    # Oldest backlog first: re-queued fixes (red rows) → r2 additions →
+    # r3 additions. Stable sort preserves registration order per tier.
+    pending_oracle.sort(
+        key=lambda n: 2 if n in _REGISTERED_R3 else (1 if n in _REGISTERED_R2 else 0)
+    )
     pending_rows_only = [n for n in pending if REGISTRY[n].oracle is None]
     back = [n for n in REGISTRY if n in back_set]
     ordered = {n: REGISTRY[n] for n in pending_oracle + pending_rows_only + back}
