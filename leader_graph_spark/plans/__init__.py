@@ -97,6 +97,7 @@ _REGISTERED_R3: frozenset[str] = frozenset(
         "news_title_gate",
         "heading_match_semantics",
         "sink_safe_filenames",
+        "salted_event_enrichment",
     }
 )
 

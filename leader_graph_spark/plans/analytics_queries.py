@@ -422,6 +422,44 @@ def salted_event_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SALTED_JOIN_ORACLE = """
+WITH dim AS (
+  SELECT event_type, count(*) AS n_type,
+         CAST(min(value) AS DOUBLE) AS min_type_value
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, d.n_type, d.min_type_value
+FROM events e JOIN dim d USING (event_type)
+"""
+
+
+@query("salted_event_enrichment", _SALTED_JOIN_ORACLE, tags=("skew-salted-join", "J9"))
+def salted_event_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated equi-join through ``salted_join``: every event
+    row enriched with its type's stats, joined on a pathologically
+    low-cardinality key (5 event types × all rows). Each big row
+    carries one of 16 salts and the dimension replicates under every
+    salt, so a hot key's probe rows land in 16 shuffle partitions
+    instead of one — with results provably identical to the plain join,
+    which is the oracle."""
+    from leader_graph_spark.operators.skew import salted_join
+    from leader_graph_spark.sources.tables import load_table as _lt
+
+    events = _lt(spark, sf_dir, "events")
+    dim = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_type"),
+        F.min("value").cast("double").alias("min_type_value"),
+    )
+    out = salted_join(
+        events.select("event_id", "event_type"),
+        dim,
+        key="event_type",
+        n_salts=16,
+        salt_source="event_id",
+    )
+    return out.select("event_id", "event_type", "n_type", "min_type_value")
+
+
 _GROUPING_SETS_SQL = """
 SELECT l_returnflag, l_linestatus,
        CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
