@@ -63,3 +63,20 @@ def test_spark_output_types_hashable(spark, sf_dir, name):
         f"Spark plan for {name!r} emits driver-unhashable column types {bad}; "
         "cast the final projection to scalar driver-stable types"
     )
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_column_names_agree(duck, spark, sf_dir, name):
+    """The driver sorts columns BY NAME before hashing, so an alias
+    mismatch between the Spark projection and the oracle SQL (or a
+    duplicate name on either side) hash-mismatches even when every
+    value is identical — the other recurring red-row class."""
+    spec = REGISTRY[name]
+    duck_cols = [col for col, *_ in duck.execute(f"DESCRIBE {spec.oracle}").fetchall()]
+    spark_cols = spec.spark(spark, sf_dir).columns
+    assert len(set(duck_cols)) == len(duck_cols), f"duplicate oracle columns: {duck_cols}"
+    assert len(set(spark_cols)) == len(spark_cols), f"duplicate Spark columns: {spark_cols}"
+    assert sorted(duck_cols) == sorted(spark_cols), (
+        f"{name!r}: column names disagree — oracle {sorted(duck_cols)} "
+        f"vs Spark {sorted(spark_cols)}; alias both sides identically"
+    )
