@@ -35,6 +35,7 @@ from leader_graph_spark.extract.html import extract_links_table, parse_pages
 from leader_graph_spark.functions.scalar import md5_key
 from leader_graph_spark.graph.derived import (
     current_colleague_edges,
+    historical_colleague_edges,
     same_group_pairs,
     schoolmate_edges,
 )
@@ -168,9 +169,21 @@ def build_graph(
     colleagues_now = current_colleague_edges(
         leaders.select("uuid", "org_uuid"), org_col="org_uuid", id_col="uuid"
     )
+    work = events.filter(
+        (F.col("event_type") == "work") & F.col("place").isNotNull()
+    ).select(
+        F.col("uuid").alias("person_id"),
+        F.col("place"),
+        "start_year",
+        "start_month",
+        "end_year",
+        "end_month",
+    )
+    colleagues_past = historical_colleague_edges(work, org_col="place", id_col="person_id")
     return {
         "vertices": vertices,
         "edges": works_for.unionByName(belongs_to),
         "schoolmates": schoolmates,
         "colleagues_now": colleagues_now,
+        "colleagues_past": colleagues_past,
     }

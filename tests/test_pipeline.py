@@ -63,7 +63,7 @@ def test_full_pipeline(spark):
     # Stages 5-7: careers → validated events
     careers = {
         "张三": _career(["1980.09-1984.07 北京大学学习", "1984.07-1990.01 财政厅工作"]),
-        "李四": _career(["1981.09-1985.07 北京大学学习"]),
+        "李四": _career(["1981.09-1985.07 北京大学学习", "1985.01-1992.06 财政厅工作"]),
         "王五": _career(["2000.01-今 教育厅工作"]),
     }
     cdf = spark.createDataFrame(
@@ -89,3 +89,8 @@ def test_full_pipeline(spark):
     colleagues = graph["colleagues_now"].collect()
     assert all(c.overlap_period == "till now" for c in colleagues)
     assert len(colleagues) == 1  # 张三-李四 share the 财政厅 org
+    # J6 historical colleagues: 张三 1984.07-1990.01 × 李四 1985.01-1992.06
+    # at the same workplace; 王五's open-ended event (null end) is excluded.
+    past = graph["colleagues_past"].collect()
+    assert len(past) == 1
+    assert past[0].overlap_period == "1985.01-1990.01"
