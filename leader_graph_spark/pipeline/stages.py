@@ -114,6 +114,21 @@ def extract_leader_fields(leaders_with_html: DataFrame) -> DataFrame:
     return parse_pages(leaders_with_html, id_col="uuid", html_col="remark")
 
 
+def extract_leader_details(leaders_with_html: DataFrame) -> DataFrame:
+    """Stage 6b: fixed-field person details (X5 infobox cascade —
+    ethnicity / native_place / birth_date / alma_mater /
+    political_status) from the same landing table; ``native_place``
+    feeds the SAME_HOMETOWN derivation in :func:`build_graph`."""
+    from leader_graph_spark.extract.html import PERSON_DETAIL_MAPPING, extract_infobox_table
+
+    return extract_infobox_table(
+        leaders_with_html,
+        id_col="uuid",
+        html_col="remark",
+        field_mapping=PERSON_DETAIL_MAPPING,
+    )
+
+
 def structure_careers(
     leaders: DataFrame, *, text_col: str = "career_text", done: DataFrame | None = None
 ) -> tuple[DataFrame, DataFrame]:
@@ -134,11 +149,17 @@ def structure_careers(
 
 
 def build_graph(
-    orgs: DataFrame, leaders: DataFrame, events: DataFrame
+    orgs: DataFrame,
+    leaders: DataFrame,
+    events: DataFrame,
+    *,
+    person_details: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """The mysql2neo4j analytical workload (``src/mysql2neo4j.py:491-541``)
     as one batch: vertices, membership edges, and the three derived
-    edge families."""
+    edge families (SCHOOLMATES, COLLEAGUES current+historical, and —
+    when ``person_details`` from :func:`extract_leader_details` is
+    supplied — SAME_HOMETOWN by ``native_place``)."""
     person_v = leaders.select(
         F.col("uuid").alias("id"), F.lit("Person").alias("label"), F.col("name")
     )
@@ -180,10 +201,17 @@ def build_graph(
         "end_month",
     )
     colleagues_past = historical_colleague_edges(work, org_col="place", id_col="person_id")
-    return {
+    out = {
         "vertices": vertices,
         "edges": works_for.unionByName(belongs_to),
         "schoolmates": schoolmates,
         "colleagues_now": colleagues_now,
         "colleagues_past": colleagues_past,
     }
+    if person_details is not None:
+        out["same_hometown"] = same_group_pairs(
+            person_details.select("uuid", "native_place"),
+            group_col="native_place",
+            id_col="uuid",
+        )
+    return out

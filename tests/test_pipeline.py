@@ -7,10 +7,18 @@ from __future__ import annotations
 from leader_graph_spark.pipeline.stages import (
     build_graph,
     derive_leaders,
+    extract_leader_details,
     extract_org_fields,
     ingest_orgs,
     structure_careers,
 )
+
+
+def _person_html(native_place: str) -> str:
+    return (
+        "<html><body><dl><dt>民族</dt><dd>汉族</dd>"
+        f"<dt>籍贯</dt><dd>{native_place}</dd></dl></body></html>"
+    )
 
 
 def _org_html(names: list[str]) -> str:
@@ -76,8 +84,17 @@ def test_full_pipeline(spark):
     studies = [e for e in events if e.event_type == "study"]
     assert all(e.school for e in studies)
 
+    # Stage 6b: person-details infobox → native_place (feeds SAME_HOMETOWN)
+    places = {"张三": "山东济南", "李四": "山东济南", "王五": "浙江杭州"}
+    leader_pages = spark.createDataFrame(
+        [(r.uuid, _person_html(places[r.name])) for r in leaders.collect()],
+        "uuid string, remark string",
+    )
+    details = extract_leader_details(leader_pages)
+    assert {r.native_place for r in details.collect()} == {"山东济南", "浙江杭州"}
+
     # Graph build: schoolmates through the shared 北京大学 interval overlap
-    graph = build_graph(orgs, cdf, valid)
+    graph = build_graph(orgs, cdf, valid, person_details=details)
     mates = graph["schoolmates"].collect()
     assert len(mates) == 1
     m = mates[0]
@@ -94,3 +111,7 @@ def test_full_pipeline(spark):
     past = graph["colleagues_past"].collect()
     assert len(past) == 1
     assert past[0].overlap_period == "1985.01-1990.01"
+    # J3 SAME_HOMETOWN: 张三-李四 share 山东济南; 王五 alone in his group.
+    hometown = graph["same_hometown"].collect()
+    assert len(hometown) == 1
+    assert hometown[0].native_place == "山东济南"
