@@ -86,6 +86,14 @@ _REGISTERED_R2: frozenset[str] = frozenset(
     }
 )
 
+# Queries whose green CORRECTNESS row predates a contract change and
+# therefore verified NOTHING about the current query: force them back
+# into the pending block regardless of prior rounds.
+# local_supplier_volume: its r2 green row matched 0==0 rows (the
+# regenerated testdata renamed regions, so the old REGION_0 predicate
+# was vacuous); the round-3 oracle filters ASIA and needs a real row.
+_REQUEUE: frozenset[str] = frozenset({"local_supplier_volume"})
+
 _REGISTERED_R3: frozenset[str] = frozenset(
     {
         "infobox_person_details",
@@ -108,7 +116,7 @@ def _rotate_verified_to_back() -> None:
     round-2 additions), then unverified no-oracle queries (rows-only
     check — weaker, so they spend sweep budget last among the pending
     set), then previously-verified queries."""
-    back_set = _verified_names()
+    back_set = _verified_names() - _REQUEUE
     pending = [n for n in REGISTRY if n not in back_set]
     pending_oracle = [n for n in pending if REGISTRY[n].oracle is not None]
     # Oldest backlog first: re-queued fixes (red rows) → r2 additions →
