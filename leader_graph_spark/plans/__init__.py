@@ -36,11 +36,17 @@ def _verified_names() -> set[str]:
     A query counts as verified only against its CURRENT contract: an
     oracle-bearing query needs a hash_match:true row; a rows-only query
     needs a completed no_oracle row. A query that had a rows-only pass
-    but has since gained an oracle re-queues for the stronger verdict.
+    but has since gained an oracle re-queues for the stronger verdict,
+    and green rows recorded before a contract change
+    (``_STALE_GREEN_BEFORE``) don't count.
     """
     root = _pathlib.Path(__file__).resolve().parents[2]
     ok: set[str] = set()
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            round_num = int(path.stem.rsplit("_r", 1)[-1])
+        except ValueError:
+            round_num = 0
         try:
             rows = _json.loads(path.read_text())
         except (OSError, ValueError):
@@ -49,12 +55,23 @@ def _verified_names() -> set[str]:
             spec = REGISTRY.get(name)
             if spec is None or not isinstance(r, dict):
                 continue
+            if round_num < _STALE_GREEN_BEFORE.get(name, 0):
+                continue
             if spec.oracle is not None:
                 if r.get("hash_match") is True:
                     ok.add(name)
             elif r.get("err") == "no_oracle" and r.get("spark_rows") is not None:
                 ok.add(name)
     return ok
+
+
+# Green rows recorded before the given round verified a STALE contract
+# and don't count toward rotation; a green row in that round or later
+# re-verifies the current contract and moves the query to the back.
+# local_supplier_volume: its r2 green row matched 0==0 rows (the
+# regenerated round-3 testdata renamed regions, so the old REGION_0
+# predicate was vacuous); the oracle now filters ASIA.
+_STALE_GREEN_BEFORE: dict[str, int] = {"local_supplier_volume": 3}
 
 
 # Queries first registered in rounds 2/3: they defer behind the older
@@ -86,14 +103,6 @@ _REGISTERED_R2: frozenset[str] = frozenset(
     }
 )
 
-# Queries whose green CORRECTNESS row predates a contract change and
-# therefore verified NOTHING about the current query: force them back
-# into the pending block regardless of prior rounds.
-# local_supplier_volume: its r2 green row matched 0==0 rows (the
-# regenerated testdata renamed regions, so the old REGION_0 predicate
-# was vacuous); the round-3 oracle filters ASIA and needs a real row.
-_REQUEUE: frozenset[str] = frozenset({"local_supplier_volume"})
-
 _REGISTERED_R3: frozenset[str] = frozenset(
     {
         "infobox_person_details",
@@ -116,7 +125,7 @@ def _rotate_verified_to_back() -> None:
     round-2 additions), then unverified no-oracle queries (rows-only
     check — weaker, so they spend sweep budget last among the pending
     set), then previously-verified queries."""
-    back_set = _verified_names() - _REQUEUE
+    back_set = _verified_names()
     pending = [n for n in REGISTRY if n not in back_set]
     pending_oracle = [n for n in pending if REGISTRY[n].oracle is not None]
     # Oldest backlog first: re-queued fixes (red rows) → r2 additions →

@@ -180,7 +180,7 @@ SELECT lang, source,
        count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,
        round(CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE)
-             / CAST((SELECT CAST(sum(n_chars) AS BIGINT) FROM documents) AS DOUBLE), 9) AS char_share
+             / CAST((SELECT CAST(sum(n_chars) AS BIGINT) FROM documents) AS DOUBLE), 6) AS char_share
 FROM documents
 GROUP BY lang, source
 """
@@ -194,8 +194,9 @@ def corpus_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     resampling targets (``mixture_resample_by_lang`` consumes shares
     like these). One map-side-combinable groupBy; the global total
     joins back as a broadcast scalar, so the report never reshuffles
-    the corpus. The share is one exact-BIGINT division rounded to 9
-    places — deterministic across engines."""
+    the corpus. The share is one exact-BIGINT division rounded to 6
+    places (the repo-wide ratio precision — engines' rounding of a
+    double quotient agrees far more reliably at 6 digits than 9)."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents").select("lang", "source", "n_chars")
@@ -210,7 +211,7 @@ def corpus_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         "total_chars",
-        F.round(F.col("total_chars").cast("double") / total.cast("double"), 9).alias(
+        F.round(F.col("total_chars").cast("double") / total.cast("double"), 6).alias(
             "char_share"
         ),
     )

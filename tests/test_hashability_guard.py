@@ -41,6 +41,15 @@ def duck(sf_dir):
     con.close()
 
 
+@pytest.fixture(scope="module")
+def spark_schemas(spark, sf_dir):
+    """One plan build per query for the whole module: for the
+    iterative-graph queries plan CONSTRUCTION is eager (localCheckpoint
+    materializes the upstream pipeline), so rebuilding per test would
+    run the MinHash/propagation pipelines once per assertion."""
+    return {name: REGISTRY[name].spark(spark, sf_dir).schema for name in ORACLE_QUERIES}
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_output_types_hashable(duck, name):
     spec = REGISTRY[name]
@@ -54,9 +63,8 @@ def test_oracle_output_types_hashable(duck, name):
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
-def test_spark_output_types_hashable(spark, sf_dir, name):
-    spec = REGISTRY[name]
-    schema = spec.spark(spark, sf_dir).schema
+def test_spark_output_types_hashable(spark_schemas, name):
+    schema = spark_schemas[name]
     bad = [(f.name, f.dataType.simpleString()) for f in schema.fields
            if isinstance(f.dataType, _FORBIDDEN_SPARK)]
     assert not bad, (
@@ -66,14 +74,14 @@ def test_spark_output_types_hashable(spark, sf_dir, name):
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
-def test_column_names_agree(duck, spark, sf_dir, name):
+def test_column_names_agree(duck, spark_schemas, name):
     """The driver sorts columns BY NAME before hashing, so an alias
     mismatch between the Spark projection and the oracle SQL (or a
     duplicate name on either side) hash-mismatches even when every
     value is identical — the other recurring red-row class."""
     spec = REGISTRY[name]
     duck_cols = [col for col, *_ in duck.execute(f"DESCRIBE {spec.oracle}").fetchall()]
-    spark_cols = spec.spark(spark, sf_dir).columns
+    spark_cols = [f.name for f in spark_schemas[name].fields]
     assert len(set(duck_cols)) == len(duck_cols), f"duplicate oracle columns: {duck_cols}"
     assert len(set(spark_cols)) == len(spark_cols), f"duplicate Spark columns: {spark_cols}"
     assert sorted(duck_cols) == sorted(spark_cols), (
