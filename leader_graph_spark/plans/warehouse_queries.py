@@ -266,11 +266,29 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_features", None, tags=("multimodal", "mapInPandas"))
+# The fake decode derives every feature from md5(payload) and the
+# payload is the utf-8 text bytes, so DuckDB's md5(text) (which hashes
+# the utf-8 encoding) reproduces the full feature set exactly:
+# mean_pixel = first digest byte / 255, phash = first 16 hex chars,
+# n_bytes = byte length.
+_MM_FEATURES_ORACLE = """
+SELECT doc_id,
+       ((instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+        + (instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1)) / 255.0 AS mean_pixel,
+       substr(md5(text), 1, 16) AS phash,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+@query("multimodal_features", _MM_FEATURES_ORACLE, tags=("multimodal", "mapInPandas"))
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over the binary payloads via mapInPandas
     (deterministic fake decode in this container — the real codec slots
-    into the same plumbing). Rows-only check."""
+    into the same plumbing). The fake features are md5-derived, so the
+    whole decode path sits under the value hash: batch shape, byte
+    fidelity of the binary column through Arrow, and the feature
+    arithmetic all verify against the SQL twin."""
     from leader_graph_spark.operators.multimodal import extract_image_features
 
     docs = load_table(spark, sf_dir, "documents")
