@@ -375,12 +375,12 @@ def person_links_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CAREER_LINES_ORACLE = """
 SELECT doc_id, CAST(0 AS INT) AS pos,
-       format('199{}.0{}-199{}.0{} Staff at Org{}',
+       printf('199%d.0%d-199%d.0%d Staff at Org%d',
               doc_id % 5, doc_id % 9 + 1, doc_id % 5 + 5, doc_id % 9 + 1, doc_id % 10) AS line
 FROM documents
 UNION ALL
 SELECT doc_id, CAST(1 AS INT) AS pos,
-       format('199{}.0{}-199{}.0{} Manager at Org{}',
+       printf('199%d.0%d-199%d.0%d Manager at Org%d',
               (doc_id + 1) % 5, (doc_id + 2) % 9 + 1, (doc_id + 1) % 5 + 5,
               (doc_id + 2) % 9 + 1, (doc_id + 3) % 10) AS line
 FROM documents WHERE doc_id % 4 <> 0
