@@ -115,6 +115,7 @@ _REGISTERED_R3: frozenset[str] = frozenset(
         "heading_match_semantics",
         "sink_safe_filenames",
         "salted_event_enrichment",
+        "order_price_distribution_ranks",
     }
 )
 

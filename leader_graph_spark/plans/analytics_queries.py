@@ -422,6 +422,36 @@ def salted_event_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DIST_RANK_ORACLE = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(ntile(4) OVER w AS INT) AS price_quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@query("order_price_distribution_ranks", _DIST_RANK_ORACLE, tags=("window-rank",))
+def order_price_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile quartiles, percent_rank,
+    cume_dist) over order value per priority — one window partitioning
+    serves all three. The orderkey tie-break makes every rank
+    deterministic, and both engines evaluate percent_rank/cume_dist as
+    the same exact small-integer division, so no rounding is needed
+    (or wanted — rounding a double re-introduces engine-rounding
+    divergence)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("int").alias("price_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
 _SALTED_JOIN_ORACLE = """
 WITH dim AS (
   SELECT event_type, count(*) AS n_type,
