@@ -116,6 +116,7 @@ _REGISTERED_R3: frozenset[str] = frozenset(
         "sink_safe_filenames",
         "salted_event_enrichment",
         "order_price_distribution_ranks",
+        "ansi_safe_return_ratios",
     }
 )
 

@@ -422,6 +422,38 @@ def salted_event_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRY_DIVIDE_ORACLE = """
+SELECT l_orderkey,
+       count(*) AS n_lines,
+       CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS n_returned,
+       CAST(count(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS n_finished,
+       CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS DOUBLE)
+         / NULLIF(count(*) FILTER (WHERE l_linestatus = 'F'), 0) AS returned_to_finished
+FROM lineitem
+GROUP BY l_orderkey
+"""
+
+
+@query("ansi_safe_return_ratios", _TRY_DIVIDE_ORACLE, tags=("ansi", "A1"))
+def ansi_safe_return_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic: Spark 4 runs ANSI mode, where integral
+    division by zero is a runtime ERROR that kills the job —
+    ``try_divide`` is the per-row-safe form, yielding NULL for orders
+    with no finished lines (the oracle's NULLIF twin). The ratio is an
+    exact-integer double division, identical across engines without
+    rounding."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count_if(F.col("l_returnflag") == "R").alias("n_returned"),
+        F.count_if(F.col("l_linestatus") == "F").alias("n_finished"),
+        F.try_divide(
+            F.count_if(F.col("l_returnflag") == "R").cast("double"),
+            F.count_if(F.col("l_linestatus") == "F"),
+        ).alias("returned_to_finished"),
+    )
+
+
 _DIST_RANK_ORACLE = """
 SELECT o_orderkey, o_orderpriority,
        CAST(ntile(4) OVER w AS INT) AS price_quartile,
