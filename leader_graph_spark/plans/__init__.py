@@ -117,6 +117,7 @@ _REGISTERED_R3: frozenset[str] = frozenset(
         "salted_event_enrichment",
         "order_price_distribution_ranks",
         "ansi_safe_return_ratios",
+        "bitmap_distinct_users",
     }
 )
 

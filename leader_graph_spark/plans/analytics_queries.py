@@ -422,6 +422,38 @@ def salted_event_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BITMAP_DISTINCT_ORACLE = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+@query("bitmap_distinct_users", _BITMAP_DISTINCT_ORACLE, tags=("bitmap-distinct", "A1"))
+def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT DISTINCT via bitmap aggregation (the warehouse
+    scale-out pattern): ids bucket into 32k-bit bitmaps
+    (``bitmap_bucket_number``/``bitmap_bit_position``), each
+    (key, bucket) group ORs its bits map-side
+    (``bitmap_construct_agg``), and the final count sums per-bucket
+    ``bitmap_count``s. Unlike ``count(DISTINCT x)``'s expand+exchange
+    of every raw id, the shuffle carries one ≤4KB bitmap per (key,
+    bucket) — the same exact answer (oracle: plain COUNT DISTINCT)
+    with shuffle volume bounded by id-range/32k per key."""
+    events = load_table(spark, sf_dir, "events")
+    per_bucket = (
+        events.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bmp"))
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bmp)")).alias("n_users")
+    )
+
+
 _TRY_DIVIDE_ORACLE = """
 SELECT l_orderkey,
        count(*) AS n_lines,
