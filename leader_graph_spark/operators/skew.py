@@ -134,3 +134,35 @@ def merge_algebraic_state(state: DataFrame, delta: DataFrame, *, keys: list[str]
             F.max("max_v").alias("max_v"),
         )
     )
+
+
+def distinct_sketches(
+    df: DataFrame, *, keys: Sequence[str], value_col: str, lg_k: int = 12
+) -> DataFrame:
+    """Per-key HLL sketches for HOLISTIC distinct-count maintenance —
+    the route :func:`merge_algebraic_state` can't take (COUNT DISTINCT
+    is not algebraic: distinct sets don't add).
+
+    Each partition of history (a day, an ingest batch) aggregates once
+    into a ``hll_sketch_agg`` binary; sketches then merge in any order
+    via :func:`merge_distinct_sketches` without rescanning history —
+    the incremental form of the 100 TB distinct-users metric table.
+    Estimates are deterministic for identical input sets, and
+    merge-then-estimate equals estimate-of-union exactly (HLL register
+    merge is a pointwise max), asserted in tests."""
+    return df.groupBy(*keys).agg(
+        F.expr(f"hll_sketch_agg({value_col}, {lg_k})").alias("sketch")
+    )
+
+
+def merge_distinct_sketches(*sketch_frames: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Union per-partition sketch tables and merge per key: returns
+    (keys…, n_distinct_est). The shuffle carries one ≤2^lg_k-register
+    sketch per (partition, key), never raw ids."""
+    it = iter(sketch_frames)
+    union = next(it)
+    for f in it:
+        union = union.unionByName(f)
+    return union.groupBy(*keys).agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias("n_distinct_est")
+    )

@@ -422,6 +422,31 @@ def salted_event_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("hll_incremental_distinct", None, tags=("sketch-hll", "incremental"))
+def hll_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental COUNT DISTINCT via HLL sketch state: three "ingest
+    batch" partitions each aggregate once into per-key sketches, and
+    the merge (pointwise register max) estimates without rescanning
+    history — the holistic-aggregate state maintenance that
+    ``merge_algebraic_state`` cannot express. Rows-only check (HLL
+    registers are engine-specific); merged==single-pass equality and
+    ≤5% error vs exact are pinned in
+    tests/test_scale_patterns.py::test_hll_sketch_state_merge; the
+    exact yardstick is ``bitmap_distinct_users``/``distinct_user_stats``."""
+    from leader_graph_spark.operators.skew import distinct_sketches, merge_distinct_sketches
+
+    events = load_table(spark, sf_dir, "events")
+    parts = [
+        distinct_sketches(
+            events.filter(F.col("event_id") % 3 == i),
+            keys=["event_type"],
+            value_col="user_id",
+        )
+        for i in range(3)
+    ]
+    return merge_distinct_sketches(*parts, keys=["event_type"])
+
+
 _BITMAP_DISTINCT_ORACLE = """
 SELECT event_type, count(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type

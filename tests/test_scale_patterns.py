@@ -207,3 +207,41 @@ def test_bench_query_shuffle_budget(spark, sf_smoke, name):
     assert shuffles <= SHUFFLE_BUDGETS[name], (
         f"{name}: {shuffles} shuffles > budget {SHUFFLE_BUDGETS[name]}"
     )
+
+
+def test_hll_sketch_state_merge(spark, sf_smoke):
+    """Holistic-aggregate state maintenance: per-partition HLL sketches
+    merged across partitions must give EXACTLY the single-pass sketch
+    estimate (register merge is pointwise max), and land within 5% of
+    the exact distinct count — the incremental route for the metrics
+    merge_algebraic_state cannot maintain."""
+    from pyspark.sql import functions as F
+
+    from leader_graph_spark.operators.skew import distinct_sketches, merge_distinct_sketches
+    from leader_graph_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_smoke, "events")
+    cutoff = F.col("event_id") % 3  # three "ingest batches"
+    parts = [
+        distinct_sketches(
+            events.filter(cutoff == i), keys=["event_type"], value_col="user_id"
+        )
+        for i in range(3)
+    ]
+    merged = {
+        r.event_type: r.n_distinct_est
+        for r in merge_distinct_sketches(*parts, keys=["event_type"]).collect()
+    }
+    single = {
+        r.event_type: r.n_distinct_est
+        for r in merge_distinct_sketches(
+            distinct_sketches(events, keys=["event_type"], value_col="user_id"),
+            keys=["event_type"],
+        ).collect()
+    }
+    assert merged == single  # sketch merge is lossless vs one pass
+    exact = dict(
+        events.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    )
+    for k, n in exact.items():
+        assert abs(merged[k] - n) <= max(2, 0.05 * n)
