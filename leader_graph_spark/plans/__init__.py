@@ -118,6 +118,7 @@ _REGISTERED_R3: frozenset[str] = frozenset(
         "order_price_distribution_ranks",
         "ansi_safe_return_ratios",
         "bitmap_distinct_users",
+        "snapshot_diff_cdc",
     }
 )
 

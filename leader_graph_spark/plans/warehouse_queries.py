@@ -163,6 +163,63 @@ def keyed_upsert_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# K2 complement — snapshot CDC diff (full outer old-vs-new)
+# ---------------------------------------------------------------------------
+
+_CDC_DIFF_ORACLE = """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0
+), new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 5 <> 0
+)
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            WHEN o.o_totalprice <> n.o_totalprice THEN 'changed'
+            ELSE 'unchanged' END AS change_type,
+       o.o_totalprice AS old_price,
+       n.o_totalprice AS new_price
+FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+"""
+
+
+@query("snapshot_diff_cdc", _CDC_DIFF_ORACLE, tags=("K2", "cdc", "full-outer"))
+def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture diff between two table snapshots (the
+    complement of the K2 keyed-upsert recompute: instead of applying
+    updates, DERIVE them): full outer join on the key classifies every
+    row as added / removed / changed / unchanged. Both snapshots are
+    deterministic residue-filtered views of ``orders`` so every class
+    is populated; at scale this is one co-partitioned shuffle join on
+    the snapshot key, and the 'changed' predicate extends to any
+    column set (hash the row for wide tables)."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    old = orders.filter(k % 7 != 0).select(
+        k.alias("old_key"), F.col("o_totalprice").alias("old_price")
+    )
+    new = orders.filter(k % 5 != 0).select(
+        k.alias("new_key"),
+        F.when(k % 3 == 0, F.col("o_totalprice") + 1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("new_price"),
+    )
+    joined = old.join(new, old.old_key == new.new_key, "full_outer")
+    return joined.select(
+        F.coalesce("old_key", "new_key").alias("orderkey"),
+        F.when(F.col("old_key").isNull(), "added")
+        .when(F.col("new_key").isNull(), "removed")
+        .when(F.col("old_price") != F.col("new_price"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type"),
+        "old_price",
+        "new_price",
+    )
+
+
+# ---------------------------------------------------------------------------
 # A9 — tag histogram over synthesized markup
 # ---------------------------------------------------------------------------
 
