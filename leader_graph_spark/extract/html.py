@@ -29,6 +29,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 _HEADING_TAGS = {"h1", "h2", "h3"}
+# HTML void elements never get a closing tag, so they must not enter the
+# context stack: a <br> inside a <dd> would otherwise shift the top-of-stack
+# context to "br" and truncate the cell text to its first chunk (bs4's
+# get_text(), which the reference uses, sees through them).
+_VOID_TAGS = {
+    "area", "base", "br", "col", "embed", "hr", "img", "input",
+    "link", "meta", "param", "source", "track", "wbr",
+}
 
 # F2-F5 cleaning cascade (python side, matching functions/scalar.py).
 _CITATION_RE = re.compile(r"\[\d+(-\d+)?\]|\[编辑\]|\[详情\]")
@@ -60,6 +68,8 @@ class _PageParser(HTMLParser):
         self._in_link = False
         self._cur_href = ""
         self._link_buf: list[str] = []
+        self._dt_buf: list[str] | None = None
+        self._dd_buf: list[str] | None = None
 
     def handle_starttag(self, tag, attrs):
         attrs = dict(attrs)
@@ -69,13 +79,29 @@ class _PageParser(HTMLParser):
             self._in_link = True
             self._cur_href = attrs.get("href", "")
             self._link_buf = []
+        elif tag == "dt":
+            self._dt_buf = []
+        elif tag == "dd":
+            self._dd_buf = []
+        if tag in _VOID_TAGS:
+            return
         self._stack.append(tag)
 
     def handle_endtag(self, tag):
+        if tag in _VOID_TAGS or tag not in self._stack:
+            return
         while self._stack and self._stack[-1] != tag:
             self._stack.pop()
         if self._stack:
             self._stack.pop()
+        if tag == "dt":
+            self._cur_dt = clean_text(" ".join(self._dt_buf or []))
+            self._dt_buf = None
+        elif tag == "dd":
+            if self._cur_dt:
+                self.dt_dd.append((self._cur_dt, clean_text(" ".join(self._dd_buf or []))))
+                self._cur_dt = ""
+            self._dd_buf = None
         if tag in _HEADING_TAGS:
             self._flush_section()
             self._cur_heading = clean_text(" ".join(self._heading_buf))
@@ -106,11 +132,10 @@ class _PageParser(HTMLParser):
         else:
             if self._in_link:
                 self._link_buf.append(data)
-            if ctx == "dt":
-                self._cur_dt = clean_text(data)
-            elif ctx == "dd" and self._cur_dt:
-                self.dt_dd.append((self._cur_dt, clean_text(data)))
-                self._cur_dt = ""
+            if self._dt_buf is not None:
+                self._dt_buf.append(data)
+            elif self._dd_buf is not None:
+                self._dd_buf.append(data)
             self._text_buf.append(data)
 
     def close(self):

@@ -277,7 +277,10 @@ class FakeNewsBackend:
             return [t.strip() for t in m.group(1).split("、")] if m else []
 
         return {
-            "leader": group(r"(?:^|。)([\w·]+)(?:书记|市长|省长|主任)"),
+            # Lazy quantifier: with two officials in one sentence
+            # ("张伟书记和李明市长…"), greedy matching would backtrack to
+            # the LAST title suffix and capture the merged name run.
+            "leader": group(r"(?:^|。)([\w·]+?)(?:书记|市长|省长|主任)"),
             "location": group(r"在([\w]+?)(?:调研|考察|主持|出席)"),
             "event": group(r"(调研|考察|主持会议|出席活动)"),
             "targets": group_list(r"(?:调研|考察)([\w、]+?)(?:等|。|$)"),

@@ -19,6 +19,10 @@ from leader_graph_spark.plans import (  # noqa: E402,F401
 # already-verified rotation below).
 from leader_graph_spark.plans import mlprep_queries  # noqa: E402,F401
 
+# Round-4 additions: file-boundary round-trip queries (S1/S4/K3/K4/S6
+# made oracle-visible).
+from leader_graph_spark.plans import boundary_queries  # noqa: E402,F401
+
 # The driver's correctness sweep covers the registry in iteration order
 # with a finite per-round budget (50 entries observed in round 1), so
 # queries that already have a green CORRECTNESS row are rotated to the
@@ -71,7 +75,14 @@ def _verified_names() -> set[str]:
 # local_supplier_volume: its r2 green row matched 0==0 rows (the
 # regenerated round-3 testdata renamed regions, so the old REGION_0
 # predicate was vacuous); the oracle now filters ASIA.
-_STALE_GREEN_BEFORE: dict[str, int] = {"local_supplier_volume": 3}
+# corpus_mixture_report: round 4 replaced the round(…, 6) share column
+# (engine rounding-mode dependent at exact ties) with exact
+# global_chars + floor-ppm columns — the r3 green row verified the old
+# output contract.
+_STALE_GREEN_BEFORE: dict[str, int] = {
+    "local_supplier_volume": 3,
+    "corpus_mixture_report": 4,
+}
 
 
 # Queries first registered in rounds 2/3: they defer behind the older

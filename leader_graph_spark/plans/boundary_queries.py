@@ -1,0 +1,135 @@
+"""Driver-visible round-trip queries for the file-boundary surfaces
+(SURVEY.md §2.1 S1/S4/S6, §2.2 K3/K4).
+
+These operators move bytes across the lake boundary, which the DuckDB
+oracle cannot watch directly — so each query here WRITES through the
+sink under test into a scratch landing dir, READS back through the
+source under test, and returns a result the oracle reproduces from the
+original parquet. Any encoding loss, schema drift, or pruning bug in
+the sink/source pair shows up as a value-hash mismatch.
+
+Reference boundaries reproduced:
+- S1/S4 CSV scan with required fields (``org/create_c_org_info.py:22-44``,
+  ``leader/bio_processor_qwen.py:509-540``) + K4 consolidated dump;
+- K3 per-key JSON sink (``leader/bio_processor_qwen.py:436-490``) read
+  back through the partition-discovering JSON source;
+- S6 keyed point lookup over the bucketed lake layout
+  (``html_extractor/extract_table_from_remark.py:77-165``).
+
+Scratch space: ``/tmp/leader_graph_spark_roundtrip/<query>/<sf>`` —
+recreated per run (overwrite mode), never under version control. The
+writes are tiny (documents is the smallest driver table) and the
+round-trip is the point, not the throughput; the sinks themselves
+document their scale posture (``sources/files.py``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from leader_graph_spark.plans.registry import query
+from leader_graph_spark.sources.files import read_csv, write_json_per_key
+from leader_graph_spark.sources.lookup import point_lookup, write_keyed_layout
+from leader_graph_spark.sources.tables import load_table
+
+_SCRATCH = "/tmp/leader_graph_spark_roundtrip"
+
+
+def _scratch(name: str, sf_dir: str) -> str:
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return os.path.join(_SCRATCH, name, tag)
+
+
+_CSV_ROUNDTRIP_ORACLE = """
+SELECT doc_id, text, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+@query("csv_roundtrip_documents", _CSV_ROUNDTRIP_ORACLE, tags=("S1", "S4", "K4", "boundary"))
+def csv_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S4 + K4 made oracle-visible: dump ``documents`` to header CSV,
+    read it back through the required-fields CSV source, and return the
+    typed rows. The oracle is the identity over the original parquet,
+    so quoting, header, encoding and type-restoration errors in either
+    direction break the value hash. ``multiLine`` quoting covers
+    embedded newlines; explicit casts restore the parquet types (CSV is
+    untyped on disk)."""
+    path = _scratch("csv_roundtrip_documents", sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").option("header", True).csv(path)
+    back = read_csv(
+        spark, path, required_fields=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    return back.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
+_JSON_PER_KEY_ORACLE = """
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+@query("json_per_key_roundtrip", _JSON_PER_KEY_ORACLE, tags=("K3", "boundary"))
+def json_per_key_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 made oracle-visible: write ``documents`` through the per-key
+    JSON sink (one directory per ``lang``, the reference's
+    one-file-per-person loop as ``partitionBy``), read the tree back
+    through the partition-discovering JSON source, and aggregate per
+    key. Lost rows, mis-partitioned keys, or JSON encoding drift all
+    move the counts/sums and break the hash. The partition column comes
+    back from the DIRECTORY names, so the oracle also checks the sink
+    encoded keys losslessly into paths."""
+    path = _scratch("json_per_key_roundtrip", sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    write_json_per_key(docs, path, key_col="lang")
+    back = spark.read.json(path)
+    return back.groupBy(F.col("lang").cast("string").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+# Keys chosen from the stable sf-independent low range (c_custkey is
+# 1-based sequential in every driver round; the guard test pins >=1000
+# customers at sf0.01).
+_LOOKUP_KEYS = (7, 42, 568, 999)
+
+_POINT_LOOKUP_ORACLE = f"""
+SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+FROM customer
+WHERE c_custkey IN {_LOOKUP_KEYS}
+"""
+
+
+@query("point_lookup_customers", _POINT_LOOKUP_ORACLE, tags=("S6", "boundary"))
+def point_lookup_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 made oracle-visible: materialize the hash-bucketed key-sorted
+    lookup layout for ``customer``, then serve four point lookups from
+    it. The oracle is a plain IN-filter over the original table, so a
+    wrong bucket route, a dropped row in the layout write, or a
+    partition-prune miss returns the wrong row set. Partition pruning
+    itself stays asserted in the unit tests (the oracle can't see scan
+    metrics). The layout is rewritten every run: the driver regenerates
+    testdata between rounds, and a stale /tmp layout would serve last
+    round's rows."""
+    path = _scratch("point_lookup_customers", sf_dir)
+    customers = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    write_keyed_layout(customers, path, key_col="c_custkey", n_buckets=16)
+    out = None
+    for key in _LOOKUP_KEYS:
+        hit = point_lookup(spark, path, key_col="c_custkey", value=key, n_buckets=16)
+        out = hit if out is None else out.unionByName(hit)
+    return out

@@ -179,8 +179,9 @@ _MIX_REPORT_ORACLE = """
 SELECT lang, source,
        count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,
-       round(CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE)
-             / CAST((SELECT CAST(sum(n_chars) AS BIGINT) FROM documents) AS DOUBLE), 6) AS char_share
+       CAST((SELECT CAST(sum(n_chars) AS BIGINT) FROM documents) AS BIGINT) AS global_chars,
+       CAST(floor(1000000.0 * CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE)
+             / CAST((SELECT CAST(sum(n_chars) AS BIGINT) FROM documents) AS DOUBLE)) AS BIGINT) AS char_share_ppm
 FROM documents
 GROUP BY lang, source
 """
@@ -194,9 +195,11 @@ def corpus_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     resampling targets (``mixture_resample_by_lang`` consumes shares
     like these). One map-side-combinable groupBy; the global total
     joins back as a broadcast scalar, so the report never reshuffles
-    the corpus. The share is one exact-BIGINT division rounded to 6
-    places (the repo-wide ratio precision — engines' rounding of a
-    double quotient agrees far more reliably at 6 digits than 9)."""
+    the corpus. The share is emitted in exact form: the BIGINT global
+    total rides along, and char_share_ppm = floor(1e6·a/b) — floor over
+    the bit-identical IEEE double quotient is engine-agnostic, unlike
+    round() whose tie handling differs (Spark HALF_UP vs DuckDB
+    half-to-even on doubles)."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents").select("lang", "source", "n_chars")
@@ -211,7 +214,8 @@ def corpus_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         "total_chars",
-        F.round(F.col("total_chars").cast("double") / total.cast("double"), 6).alias(
-            "char_share"
-        ),
+        total.alias("global_chars"),
+        F.floor(
+            F.lit(1000000.0) * F.col("total_chars").cast("double") / total.cast("double")
+        ).alias("char_share_ppm"),
     )

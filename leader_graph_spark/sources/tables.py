@@ -26,14 +26,39 @@ TABLES = (
 )
 
 
+def ts_parquet_unit(path: str, column: str = "ts") -> str | None:
+    """Probe the parquet *logical* type of a timestamp column from the
+    file footer (driver-side, no Spark job). Returns the arrow unit
+    ('s'/'ms'/'us'/'ns') for timestamp columns, None if the column is
+    absent, and raises for a plain integer column — the driver's
+    testdata has shipped ``ts`` as TIMESTAMP(NANOS) one round and
+    timestamp[us] the next, so a bare int64 has no safe default
+    interpretation (off-by-1000× if guessed wrong)."""
+    import pyarrow.parquet as pq
+    from pyarrow import types as pa_types
+
+    schema = pq.read_schema(path)
+    if column not in schema.names:
+        return None
+    t = schema.field(column).type
+    if pa_types.is_timestamp(t):
+        return t.unit
+    raise ValueError(
+        f"{path}: column {column!r} has physical type {t} — not a parquet "
+        "timestamp logical type; refusing to guess an epoch unit"
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one canonical table. Column pruning / filter pushdown happen
     at the parquet scan for anything composed on top of this.
 
-    The ``events`` table carries TIMESTAMP(NANOS) — illegal for Spark's
-    vectorized parquet reader — so it is read via the nanosAsLong legacy
-    mode and converted to microsecond TimestampType (truncation, which
-    matches DuckDB's ns→µs conversion of the same files).
+    The ``events`` table has carried TIMESTAMP(NANOS) — illegal for
+    Spark's vectorized parquet reader — so it is read via the
+    nanosAsLong legacy mode; the footer logical type is verified to
+    really be nanos before converting to microsecond TimestampType
+    (truncation, which matches DuckDB's ns→µs conversion of the same
+    files).
     """
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
@@ -42,6 +67,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
+            unit = ts_parquet_unit(path)
+            if unit != "ns":
+                raise ValueError(
+                    f"{path}: ts read as bigint but parquet logical unit is "
+                    f"{unit!r}, not 'ns' — testdata encoding changed"
+                )
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(path)

@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from leader_graph_spark.sources.tables import ts_parquet_unit
+
 def _events_stream_schema(spark: SparkSession, probe_path: str) -> T.StructType:
     """Physical schema for the events landing files, via a one-time
     driver-side batch probe. The driver's parquet has shipped ``ts`` as
@@ -33,17 +35,42 @@ def _events_stream_schema(spark: SparkSession, probe_path: str) -> T.StructType:
     return spark.read.parquet(probe_path).schema
 
 
-def _normalize_ts(sdf: DataFrame) -> DataFrame:
+def _normalize_ts(sdf: DataFrame, probe_path: str | None = None) -> DataFrame:
     """Normalize ``ts`` to TIMESTAMP (LTZ): nanos-as-long converts via
     timestamp_micros; TIMESTAMP_NTZ casts (wall-clock identical under
     the UTC session zone, and watermarks/stateful ops REQUIRE the LTZ
-    type — EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise)."""
+    type — EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise).
+
+    A bigint ``ts`` is only converted after the parquet footer confirms
+    the logical unit really is nanoseconds (``probe_path``); the driver's
+    testdata has switched ts encodings between rounds, and a silent
+    micros-as-nanos guess would be off by 1000×."""
     dt = dict(sdf.dtypes).get("ts")
     if dt == "bigint":
+        if probe_path is not None:
+            unit = ts_parquet_unit(_probe_file(probe_path))
+            if unit != "ns":
+                raise ValueError(
+                    f"{probe_path}: ts read as bigint but parquet logical "
+                    f"unit is {unit!r}, not 'ns' — testdata encoding changed"
+                )
         return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if dt == "timestamp_ntz":
         return sdf.withColumn("ts", F.col("ts").cast("timestamp"))
     return sdf
+
+
+def _probe_file(path: str) -> str:
+    """Resolve a landing path (file or directory) to one parquet file
+    for footer probing."""
+    import glob
+    import os
+
+    if os.path.isdir(path):
+        matches = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+        if matches:
+            return matches[0]
+    return path
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -57,7 +84,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return _normalize_ts(sdf)
+    return _normalize_ts(sdf, f"{sf_dir}/events.parquet")
 
 
 def tumbling_counts(events: DataFrame, *, window: str = "1 hour") -> DataFrame:
@@ -227,7 +254,7 @@ def deduped_events_stream(
     schema = _events_stream_schema(spark, landing_dir)
     sdf = spark.readStream.schema(schema).parquet(landing_dir)
     return (
-        _normalize_ts(sdf)
+        _normalize_ts(sdf, landing_dir)
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["event_id"])
     )

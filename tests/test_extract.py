@@ -57,6 +57,28 @@ def test_extract_infobox_first_hit_wins():
     assert out["missing"] is None
 
 
+def test_extract_infobox_void_elements_and_nested_tags():
+    # <br>/<img> are void elements: they must not shift the dd context, so
+    # multi-chunk cells keep all their text (reference: bs4 get_text() sees
+    # through them). Nested <a> inside a dd must not drop the pair either.
+    html = (
+        "<html><body><dl>"
+        "<dt>主要成就</dt><dd>线路一<br>线路二<img src='x.png'>线路三</dd>"
+        "<dt>毕业院校</dt><dd><a href='/item/北大'>北京大学</a></dd>"
+        "<dt>民 族</dt><dd>汉族</dd>"
+        "</dl></body></html>"
+    )
+    mapping = {
+        "achievements": ["主要成就"],
+        "alma_mater": ["毕业院校"],
+        "ethnicity": ["民族"],
+    }
+    out = extract_infobox(html, mapping)
+    assert out["achievements"] == "线路一 线路二 线路三"
+    assert out["alma_mater"] == "北京大学"
+    assert out["ethnicity"] == "汉族"
+
+
 def test_extract_person_links_validation_and_uuid():
     links = extract_person_links(FIXTURE_HTML, heading_keywords=("机构领导",))
     names = [l["name"] for l in links]

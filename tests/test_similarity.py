@@ -87,6 +87,18 @@ def test_news_extraction_fixture(spark):
     assert out.accompanying == ["张三", "李四"]
 
 
+def test_news_extraction_two_officials():
+    """Two title suffixes in one sentence: greedy backtracking used to
+    capture '张伟书记和李明' as the leader; the lazy quantifier stops at
+    the first suffix."""
+    from leader_graph_spark.operators.llm import FakeNewsBackend
+
+    out = FakeNewsBackend().extract_news("张伟书记和李明市长在杨浦区考察高校科研平台等。")
+    assert out["leader"] == "张伟"
+    assert out["location"] == "杨浦区"
+    assert out["event"] == "考察"
+
+
 def test_kmeans_inertia_nonincreasing(spark, sf_smoke):
     from pyspark.sql import functions as F
 

@@ -165,3 +165,33 @@ def test_stream_dedup_within_watermark(spark, sf_smoke):
         )
         assert out.count() == n_distinct
         assert out.select("event_id").distinct().count() == n_distinct
+
+
+def test_ts_parquet_unit_guard(tmp_path, sf_smoke):
+    """ts encoding guard: the footer logical type decides the epoch unit;
+    a bare int64 ts (no timestamp logical type) must raise, never be
+    silently interpreted as nanos (the testdata has switched encodings
+    between driver rounds)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from leader_graph_spark.sources.tables import ts_parquet_unit
+
+    # Whatever the driver currently ships must classify to a known unit.
+    assert ts_parquet_unit(f"{sf_smoke}/events.parquet") in {"s", "ms", "us", "ns"}
+
+    micros = str(tmp_path / "micros.parquet")
+    pq.write_table(
+        pa.table({"ts": pa.array([1_700_000_000_000_000], pa.timestamp("us"))}), micros
+    )
+    assert ts_parquet_unit(micros) == "us"
+
+    plain_int = str(tmp_path / "int.parquet")
+    pq.write_table(pa.table({"ts": pa.array([1_700_000_000], pa.int64())}), plain_int)
+    with _pytest.raises(ValueError, match="refusing to guess"):
+        ts_parquet_unit(plain_int)
+
+    no_ts = str(tmp_path / "none.parquet")
+    pq.write_table(pa.table({"x": pa.array([1])}), no_ts)
+    assert ts_parquet_unit(no_ts) is None
