@@ -79,9 +79,12 @@ def main() -> None:
     }
 
     # Regression guard: per-query ratios vs the committed in-repo
-    # baseline (best-of-3 at sf0.1, 32 cores). Ratios only make sense
-    # at the baseline's scale factor; timings bounce ±0.5s/query run to
-    # run, so read sustained >1.3× as a regression, not noise.
+    # baseline (interleaved best-of-N at sf0.1, 32 cores). Ratios only
+    # make sense at the baseline's scale factor; timings bounce
+    # ±0.5s/query run to run — and this box shows whole-run ~2× slow
+    # windows — so read sustained >1.3× as a regression, not noise.
+    # ``overlap_n`` counts the queries the ratio actually covers:
+    # queries absent from the baseline silently drop out of the ratio.
     if os.path.exists(BASELINE_PATH) and out["sf"] == BASELINE_SF:
         with open(BASELINE_PATH) as f:
             base = json.load(f)
@@ -91,7 +94,9 @@ def main() -> None:
             if base["queries"].get(q)
         }
         if ratios:
-            out["vs_r01"] = {
+            out["vs_baseline"] = {
+                "baseline_round": base.get("round"),
+                "overlap_n": len(ratios),
                 "total_ratio": round(
                     sum(timings[q] for q in ratios)
                     / sum(base["queries"][q] for q in ratios),

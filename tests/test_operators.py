@@ -227,6 +227,34 @@ def test_freq_items_contains_true_heavy_hitters(spark, sf_smoke):
     assert exact_heavy <= approx
 
 
+def test_frequent_terms_approx_registered_query_bounds(spark, sf_dir):
+    """Error bound for the rows-only ``frequent_terms_approx`` query on
+    the driver data (sf0.01), against its own registered callable:
+    (a) no false negatives — every term with frequency > support·N is
+    in the sketch output (the KSP guarantee);
+    (b) bounded false positives — at most 1/support candidates;
+    (c) every reported term is a real corpus token."""
+    from pyspark.sql import functions as F
+
+    from leader_graph_spark.plans import REGISTRY
+    from leader_graph_spark.sources.tables import load_table
+
+    support = 0.02
+    out = REGISTRY["frequent_terms_approx"].spark(spark, sf_dir).collect()
+    assert len(out) == 1
+    reported = set(out[0].frequent_terms.split(","))
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"))
+    n = toks.count()
+    counts = {r.term: r.n for r in toks.groupBy("term").agg(F.count("*").alias("n")).collect()}
+    exact_heavy = {t for t, c in counts.items() if c > support * n}
+
+    assert exact_heavy <= reported, f"missed heavy hitters: {exact_heavy - reported}"
+    assert len(reported) <= int(1 / support), f"{len(reported)} candidates > 1/support"
+    assert reported <= set(counts), f"phantom terms: {reported - set(counts)}"
+
+
 def test_orc_round_trip(spark, sf_smoke, tmp_path):
     from leader_graph_spark.sources.files import read_orc, write_orc
     from leader_graph_spark.sources.tables import load_table
