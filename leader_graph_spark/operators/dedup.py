@@ -717,3 +717,104 @@ dropped AS (
 SELECT p.vid AS vec_id, p.cid AS cid, (dr.vid IS NULL) AS kept
 FROM pts p LEFT JOIN dropped dr ON p.vid = dr.vid
 """
+
+
+def duplicated_span_coverage(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-level (span) duplication coverage — the exact-substring
+    dedup signal of Lee et al. 2021 ("Deduplicating Training Data Makes
+    Language Models Better"), re-expressed for Spark at corpus scale.
+
+    Where document-level dedup (exact/MinHash above) drops whole docs,
+    span-level dedup measures how much of EACH doc is covered by word
+    ``k``-grams that also occur in ≥ ``min_docs`` distinct documents —
+    boilerplate headers, licenses, templated passages. Pipelines use the
+    coverage ratio as a filter signal or as input to span excision.
+
+    Per input doc: ``(id, n_tokens, dup_gram_positions, covered_tokens,
+    dup_ppm)`` where covered_tokens is the union length of all
+    duplicated [pos, pos+k) windows (window-function union, no
+    interval explosion) and dup_ppm = floor(1e6·covered/n_tokens)
+    (floor-ppm: exact integer on both engines, no rounding-mode
+    dependence).
+
+    Scale design (100 TB):
+    - grams shuffle as 64-bit ``xxhash64`` keys, never as strings —
+      fixed-width shuffle rows regardless of gram length (the oracle
+      groups by the gram text itself; a cross-doc hash collision would
+      be needed to diverge, ~n²/2⁶⁴);
+    - the duplicated-gram set is found by count-distinct-docs per hash
+      (map-side combinable after the per-doc DISTINCT) and joined back
+      hash-to-hash — only positions of *duplicated* grams reach the
+      per-doc window, so the window input is a small fraction of the
+      gram stream;
+    - coverage union is a single lead() window per doc, not a
+      self-join over intervals.
+
+    No reference counterpart (its dedups are key-based first-wins,
+    ``org/create_c_org_info.py:401-426``); this extends the corpus-
+    hygiene family the way §2's dedup suite anticipates.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("tokens"),
+    ).select("id", "tokens", F.size("tokens").cast("long").alias("n_tokens"))
+    # 1-based gram start positions; empty when the doc is shorter than k
+    # (sequence(1, n) with n < 1 would count DOWN, so gate it).
+    gram_pos = F.when(
+        F.col("n_tokens") >= k,
+        F.expr(f"sequence(1, size(tokens) - {k} + 1)"),
+    ).otherwise(F.expr("array()"))
+    grams = (
+        toks.select(
+            "id",
+            "n_tokens",
+            F.explode(gram_pos).alias("pos"),
+            F.col("tokens"),
+        )
+        .select(
+            "id",
+            "n_tokens",
+            "pos",
+            F.xxhash64(F.concat_ws(" ", F.expr(f"slice(tokens, pos, {k})"))).alias("gh"),
+        )
+    )
+    dup = (
+        grams.select("gh", "id")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gh")
+    )
+    hits = grams.join(dup, "gh").select("id", "n_tokens", "pos")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("pos")
+    cov = hits.withColumn(
+        "c",
+        F.least(F.lit(k).cast("long"), F.coalesce(F.lead("pos").over(w) - F.col("pos"), F.lit(k).cast("long"))),
+    )
+    stats = cov.groupBy("id").agg(
+        F.count("*").alias("dup_gram_positions"),
+        F.sum("c").alias("covered_tokens"),
+    )
+    return (
+        toks.select("id", "n_tokens")
+        .join(stats, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.coalesce("dup_gram_positions", F.lit(0)).alias("dup_gram_positions"),
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            F.floor(
+                F.lit(1000000) * F.coalesce("covered_tokens", F.lit(0)) / F.col("n_tokens")
+            ).alias("dup_ppm"),
+        )
+    )

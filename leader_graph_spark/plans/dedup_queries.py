@@ -370,3 +370,57 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=THRESHOLD,
         rounds=4,
     )
+
+
+_SPAN_K = 8
+
+_SPAN_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tokens FROM documents
+),
+docs AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens, tokens FROM toks),
+grams0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, CAST(len(tokens) AS INTEGER) - {_SPAN_K} + 2),
+                i -> {{'pos': i, 'gram': array_to_string(tokens[i:i+{_SPAN_K - 1}], ' ')}})) AS u
+  FROM docs
+),
+grams AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM grams0),
+dup AS (
+  SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM grams)
+  GROUP BY gram HAVING count(*) >= 2
+),
+hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+cov AS (
+  SELECT doc_id,
+         least({_SPAN_K}, coalesce(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos,
+                                   {_SPAN_K})) AS c
+  FROM hits
+),
+stats AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_gram_positions,
+         CAST(sum(c) AS BIGINT) AS covered_tokens
+  FROM cov GROUP BY doc_id
+)
+SELECT d.doc_id,
+       d.n_tokens,
+       coalesce(s.dup_gram_positions, 0) AS dup_gram_positions,
+       coalesce(s.covered_tokens, 0) AS covered_tokens,
+       CAST(floor(1000000 * coalesce(s.covered_tokens, 0) / d.n_tokens) AS BIGINT) AS dup_ppm
+FROM docs d LEFT JOIN stats s USING (doc_id)
+"""
+
+
+@query("dup_span_coverage", _SPAN_ORACLE, tags=("dedup-span", "substring-dedup"))
+def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication coverage per document: fraction of
+    each doc's tokens covered by word 8-grams occurring in ≥2 distinct
+    docs (Lee et al. 2021 exact-substring dedup, as a per-doc filter
+    signal). Spark shuffles 64-bit gram hashes; the oracle groups the
+    gram text itself — identical output absent a 2^-64 collision."""
+    from leader_graph_spark.operators.dedup import duplicated_span_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_span_coverage(
+        docs, id_col="doc_id", text_col="text", k=_SPAN_K, min_docs=2
+    )

@@ -578,7 +578,7 @@ FROM g
 """
 
 
-@query("user_state_scd2", _SCD2_ORACLE, tags=("K2", "scd2", "historization"))
+@query("user_state_scd2", _SCD2_ORACLE, bench=True, tags=("K2", "scd2", "historization"))
 def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 historization of each user's event-type state: consecutive
     equal values collapse into version rows with validity intervals —

@@ -181,3 +181,33 @@ def test_semantic_dedup_crafted_duplicates(spark):
     assert dropped <= {1, 3} and len(dropped) >= 1
     # Whichever of 1/3 shares a cluster with its group minimum is dropped;
     # with k=2 seeds (ids 0,1) at least one group collapses.
+
+
+def test_dup_span_coverage_crafted(spark):
+    """Span-level dedup on crafted docs: a phrase shared by two docs is
+    counted with correct interval-union coverage; a unique doc reports
+    zero; within-doc-only repetition does NOT count (min_docs=2 is
+    distinct DOCS, not occurrences)."""
+    from leader_graph_spark.operators.dedup import duplicated_span_coverage
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"  # 10 words
+    docs = [
+        (1, f"alpha beta {shared} gamma delta"),       # 14 tokens, shared at pos 3..12
+        (2, f"{shared} epsilon zeta eta theta iota"),  # 15 tokens, shared at pos 1..10
+        (3, "one two three four five six seven eight nine ten eleven"),  # unique
+        (4, "rep rep rep rep rep rep rep rep rep rep rep rep"),  # within-doc only
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in duplicated_span_coverage(
+            df, id_col="doc_id", text_col="text", k=8, min_docs=2
+        ).collect()
+    }
+    # 10-word shared run => 3 duplicated 8-gram start positions,
+    # union covers exactly the 10 shared tokens.
+    assert out[1].dup_gram_positions == 3 and out[1].covered_tokens == 10
+    assert out[2].dup_gram_positions == 3 and out[2].covered_tokens == 10
+    assert out[1].n_tokens == 14 and out[1].dup_ppm == 1000000 * 10 // 14
+    assert out[3].covered_tokens == 0 and out[3].dup_ppm == 0
+    assert out[4].covered_tokens == 0  # repeats only within one doc
