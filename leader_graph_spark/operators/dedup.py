@@ -818,3 +818,88 @@ def duplicated_span_coverage(
             ).alias("dup_ppm"),
         )
     )
+
+
+def excise_duplicated_spans(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Span EXCISION — the transform half of exact-substring dedup
+    (Lee et al. 2021): rewrite each document with cross-document
+    duplicated word ``k``-gram spans removed, keeping ONE canonical
+    occurrence corpus-wide.
+
+    Keep-one rule: each duplicated gram is owned by the MINIMUM doc id
+    containing it (the house min-id-winner rule used by every dedup
+    election here); the owner keeps its text, every other doc drops the
+    tokens covered by that gram. Token-level semantics: a token is
+    dropped iff some duplicated gram window [pos, pos+k) not owned by
+    this doc covers it; surviving tokens re-join with single spaces.
+
+    Output: ``(id, n_tokens, kept_tokens, clean_text)``.
+
+    Scale design: identical gram/hash plumbing to
+    :func:`duplicated_span_coverage` (64-bit hash shuffle keys, dup set
+    found once). The per-doc rewrite collects only the doc's OWN
+    excision-window start positions into an array (near-dup hit
+    positions are sparse — bounded by n_tokens, typically ≪) and drops
+    covered tokens with nested higher-order array functions — fully
+    JVM-side, no UDF, no token-level shuffle: tokens never leave their
+    doc's row. Worst-case per-doc cost is O(n_tokens · hit_positions);
+    for boilerplate-laden docs that is still linear-ish because hits
+    cluster (coverage windows overlap).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("tokens"),
+    ).select("id", "tokens", F.size("tokens").cast("long").alias("n_tokens"))
+    gram_pos = F.when(
+        F.col("n_tokens") >= k,
+        F.expr(f"sequence(1, size(tokens) - {k} + 1)"),
+    ).otherwise(F.expr("array()"))
+    grams = toks.select(
+        "id",
+        F.explode(gram_pos).alias("pos"),
+        F.col("tokens"),
+    ).select(
+        "id",
+        "pos",
+        F.xxhash64(F.concat_ws(" ", F.expr(f"slice(tokens, pos, {k})"))).alias("gh"),
+    )
+    # Duplicated grams with their owning (minimum) doc id.
+    dup_owner = (
+        grams.select("gh", "id")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count("*").alias("n_docs"), F.min("id").alias("owner"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gh", "owner")
+    )
+    # Excision windows: this doc's positions of duplicated grams it
+    # does NOT own.
+    cuts = (
+        grams.join(dup_owner, "gh")
+        .filter(F.col("id") != F.col("owner"))
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_set("pos")).alias("cut_pos"))
+    )
+    with_cuts = toks.join(cuts, "id", "left").withColumn(
+        "cut_pos", F.coalesce("cut_pos", F.expr("cast(array() as array<int>)"))
+    )
+    kept = F.expr(
+        f"filter(sequence(1, size(tokens)), t -> "
+        f"size(filter(cut_pos, h -> h <= t AND t < h + {k})) = 0)"
+    )
+    return with_cuts.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        F.size(kept).cast("long").alias("kept_tokens"),
+        F.concat_ws(" ", F.expr(
+            f"transform(filter(sequence(1, size(tokens)), t -> "
+            f"size(filter(cut_pos, h -> h <= t AND t < h + {k})) = 0), t -> tokens[t - 1])"
+        )).alias("clean_text"),
+    )

@@ -424,3 +424,55 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_span_coverage(
         docs, id_col="doc_id", text_col="text", k=_SPAN_K, min_docs=2
     )
+
+
+_EXCISE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tokens FROM documents
+),
+docs AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens, tokens FROM toks),
+grams0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, CAST(len(tokens) AS INTEGER) - {_SPAN_K} + 2),
+                i -> {{'pos': i, 'gram': array_to_string(tokens[i:i+{_SPAN_K - 1}], ' ')}})) AS u
+  FROM docs
+),
+grams AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM grams0),
+dupown AS (
+  SELECT gram, min(doc_id) AS owner
+  FROM (SELECT DISTINCT gram, doc_id FROM grams)
+  GROUP BY gram HAVING count(*) >= 2
+),
+cuts AS (
+  SELECT g.doc_id, list_sort(list(DISTINCT g.pos)) AS cut_pos
+  FROM grams g JOIN dupown d USING (gram)
+  WHERE g.doc_id <> d.owner
+  GROUP BY g.doc_id
+),
+kept AS (
+  SELECT d.doc_id, d.n_tokens, d.tokens,
+         list_filter(range(1, CAST(len(d.tokens) AS INTEGER) + 1),
+                     t -> len(list_filter(coalesce(c.cut_pos, []),
+                                          h -> h <= t AND t < h + {_SPAN_K})) = 0) AS keep_pos
+  FROM docs d LEFT JOIN cuts c USING (doc_id)
+)
+SELECT doc_id, n_tokens,
+       CAST(len(keep_pos) AS BIGINT) AS kept_tokens,
+       coalesce(array_to_string(list_transform(keep_pos, t -> tokens[CAST(t AS INTEGER)]), ' '),
+                '') AS clean_text
+FROM kept
+"""
+
+
+@query("span_excised_docs", _EXCISE_ORACLE, tags=("dedup-span", "substring-dedup", "excision"))
+def span_excised_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transform half of substring dedup: documents rewritten with
+    cross-doc duplicated 8-gram spans removed, one canonical occurrence
+    kept corpus-wide (min-doc-id owner). Token drop/keep decided by
+    nested JVM-side array lambdas — tokens never leave their row."""
+    from leader_graph_spark.operators.dedup import excise_duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return excise_duplicated_spans(
+        docs, id_col="doc_id", text_col="text", k=_SPAN_K, min_docs=2
+    )

@@ -211,3 +211,32 @@ def test_dup_span_coverage_crafted(spark):
     assert out[1].n_tokens == 14 and out[1].dup_ppm == 1000000 * 10 // 14
     assert out[3].covered_tokens == 0 and out[3].dup_ppm == 0
     assert out[4].covered_tokens == 0  # repeats only within one doc
+
+
+def test_excise_duplicated_spans_keep_one(spark):
+    """Span excision keeps exactly one canonical occurrence (min doc id
+    owns the gram); the owner's text is untouched, the other doc loses
+    the covered tokens; unique docs pass through verbatim."""
+    from leader_graph_spark.operators.dedup import excise_duplicated_spans
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"  # 10 words
+    docs = [
+        (1, f"alpha beta {shared} gamma delta"),
+        (2, f"{shared} epsilon zeta eta theta iota"),
+        (3, "one two three four five six seven eight nine ten eleven"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in excise_duplicated_spans(
+            df, id_col="doc_id", text_col="text", k=8, min_docs=2
+        ).collect()
+    }
+    # doc 1 owns every shared gram (min id) — untouched.
+    assert out[1].kept_tokens == out[1].n_tokens == 14
+    assert out[1].clean_text == f"alpha beta {shared} gamma delta"
+    # doc 2 loses exactly the 10 shared tokens, keeps its own tail.
+    assert out[2].kept_tokens == 5
+    assert out[2].clean_text == "epsilon zeta eta theta iota"
+    # unique doc untouched.
+    assert out[3].kept_tokens == out[3].n_tokens == 11
