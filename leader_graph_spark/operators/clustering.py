@@ -162,3 +162,126 @@ def kmeans_oracle_sql(*, k: int = 8, iterations: int = 2) -> str:
     # DuckDB sum(BIGINT) yields HUGEINT, which the driver's hasher
     # renders differently from Spark's BIGINT — cast the final column.
     return f"WITH {body}\nSELECT vid AS vec_id, cid, CAST(dist AS BIGINT) AS sq_dist FROM {last}"
+
+
+def pq_codes(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 8,
+    iterations: int = 2,
+) -> DataFrame:
+    """Product quantization (Jégou et al. 2011): split each vector into
+    ``m`` contiguous subvectors, k-means each subspace independently
+    (:func:`kmeans_fixed_point`, same integer micro-unit arithmetic and
+    min-id seeding), and encode every vector as its ``m`` per-subspace
+    nearest-centroid ids plus the total squared reconstruction error.
+
+    This is the memory-side scale path for ANN: 64 floats (256 B)
+    compress to ``m`` small codes; IVF-PQ search scans codes with
+    per-subspace lookup tables instead of raw vectors. Here the encode
+    step is the operator; codes are the seed vectors' ids so the whole
+    artifact is deterministic and SQL-reproducible.
+
+    Scale shape: each subspace runs the broadcast-centroid Lloyd loop
+    over an ``m``-times narrower vector (same shuffle structure,
+    ``m``× less data each), then the ``m`` assignment tables — each
+    (id, code, err) — join back on the id. Output:
+    ``(id, code_0..code_{m-1}, recon_err)`` — codes as SCALAR columns,
+    not an array: list columns stringify engine-dependently under the
+    driver's hasher (the round-1/2 canonicalization bug class the
+    hashability guard bans).
+    """
+    assigns = []
+    for j in range(m):
+        sliced = emb.select(
+            F.col(id_col),
+            F.expr(f"slice({vec_col}, {j} * (size({vec_col}) div {m}) + 1, "
+                   f"size({vec_col}) div {m})").alias("subvec"),
+        )
+        a = kmeans_fixed_point(
+            sliced, id_col=id_col, vec_col="subvec", k=k, iterations=iterations
+        ).select(
+            F.col(id_col),
+            F.col("cid").alias(f"code_{j}"),
+            F.col("sq_dist").alias(f"err_{j}"),
+        )
+        assigns.append(a)
+    out = assigns[0]
+    for a in assigns[1:]:
+        out = out.join(a, id_col)
+    return out.select(
+        F.col(id_col),
+        *[F.col(f"code_{j}") for j in range(m)],
+        sum([F.col(f"err_{j}") for j in range(m)], F.lit(0).cast("bigint")).alias("recon_err"),
+    )
+
+
+def pq_oracle_sql(*, m: int = 4, dim: int = 64, k: int = 8, iterations: int = 2) -> str:
+    """Unrolled DuckDB twin of :func:`pq_codes`: the shared fixed-point
+    ``vecs`` CTE, then per-subspace k-means CTE chains filtered to the
+    subspace's position range (positions are absolute here, relative in
+    Spark — squared distances are translation-invariant, so the
+    integers agree exactly)."""
+    sub_dim = dim // m
+    parts = [
+        f"""
+vecs AS (
+  SELECT vid, u.pos AS pos, u.val AS val FROM (
+    SELECT vec_id AS vid,
+           unnest(list_transform(range(1, len(embedding) + 1),
+                  i -> {{'pos': i - 1, 'val': CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)}})) AS u
+    FROM embeddings)
+),
+seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})"""
+    ]
+    for j in range(m):
+        lo, hi = j * sub_dim, (j + 1) * sub_dim
+        parts.append(
+            f"""
+s{j}vecs AS (SELECT vid, pos, val FROM vecs WHERE pos >= {lo} AND pos < {hi}),
+s{j}cent0 AS (
+  SELECT vid AS cid, pos, val AS cval FROM s{j}vecs
+  WHERE vid IN (SELECT vec_id FROM seeds)
+)"""
+        )
+        for it in range(iterations):
+            parts.append(
+                f"""
+s{j}dist{it} AS (
+  SELECT v.vid, c.cid, sum((v.val - c.cval) * (v.val - c.cval)) AS dist
+  FROM s{j}vecs v JOIN s{j}cent{it} c ON v.pos = c.pos
+  GROUP BY v.vid, c.cid
+),
+s{j}assign{it} AS (
+  SELECT vid, cid, dist
+  FROM (SELECT vid, cid, dist,
+               row_number() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn
+        FROM s{j}dist{it})
+  WHERE rn = 1
+)"""
+            )
+            if it < iterations - 1:
+                parts.append(
+                    f"""
+s{j}cent{it + 1} AS (
+  SELECT a.cid, v.pos, sum(v.val) // count(*) AS cval
+  FROM s{j}assign{it} a JOIN s{j}vecs v ON a.vid = v.vid
+  GROUP BY a.cid, v.pos
+)"""
+                )
+    last = iterations - 1
+    codes = ", ".join(f"s{j}assign{last}.cid AS code_{j}" for j in range(m))
+    errs = " + ".join(f"s{j}assign{last}.dist" for j in range(m))
+    joins = "\nJOIN ".join(
+        [f"s0assign{last}"]
+        + [f"s{j}assign{last} USING (vid)" for j in range(1, m)]
+    )
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+SELECT vid AS vec_id, {codes}, CAST({errs} AS BIGINT) AS recon_err
+FROM {joins}"""
+    )

@@ -261,3 +261,20 @@ def embedding_quantization_report(spark: SparkSession, sf_dir: str) -> DataFrame
 
     emb = load_table(spark, sf_dir, "embeddings")
     return quantization_report(emb, id_col="vec_id", vec_col="embedding")
+
+
+from leader_graph_spark.operators.clustering import pq_codes, pq_oracle_sql  # noqa: E402
+
+
+@query(
+    "pq_vector_codes",
+    pq_oracle_sql(m=4, dim=64, k=8, iterations=2),
+    tags=("similarity-quantization", "clustering-kmeans", "pq"),
+)
+def pq_vector_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode: 4 independent per-subspace k-means
+    (16 dims each, integer micro-units) compress every 64-float vector
+    to 4 scalar centroid-code columns + exact reconstruction error — the IVF-PQ
+    memory-side scale path for ANN over billions of embeddings."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_codes(emb, id_col="vec_id", vec_col="embedding", m=4, k=8, iterations=2)

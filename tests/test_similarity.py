@@ -240,3 +240,46 @@ def test_excise_duplicated_spans_keep_one(spark):
     assert out[2].clean_text == "epsilon zeta eta theta iota"
     # unique doc untouched.
     assert out[3].kept_tokens == out[3].n_tokens == 11
+
+
+def test_pq_m1_equals_full_kmeans(spark, sf_smoke):
+    """Product quantization with a single subspace degenerates to plain
+    k-means: codes == [cid], recon_err == sq_dist, for every vector."""
+    from leader_graph_spark.operators.clustering import kmeans_fixed_point, pq_codes
+    from leader_graph_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    full = {
+        r.vec_id: (r.cid, r.sq_dist)
+        for r in kmeans_fixed_point(
+            emb, id_col="vec_id", vec_col="embedding", k=8, iterations=2
+        ).collect()
+    }
+    pq = {
+        r.vec_id: (r.code_0, r.recon_err)
+        for r in pq_codes(
+            emb, id_col="vec_id", vec_col="embedding", m=1, k=8, iterations=2
+        ).collect()
+    }
+    assert full.keys() == pq.keys()
+    for vid, (cid, d) in full.items():
+        assert pq[vid] == (cid, d)
+
+
+def test_pq_codes_structure(spark, sf_smoke):
+    """PQ codes: m entries per vector, every code is one of the k seed
+    ids (the k smallest vec_ids), and the encode is deterministic."""
+    from leader_graph_spark.operators.clustering import pq_codes
+    from leader_graph_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    out = pq_codes(emb, id_col="vec_id", vec_col="embedding", m=4, k=8, iterations=2)
+    rows = out.collect()
+    seeds = {r.vec_id for r in emb.select("vec_id").orderBy("vec_id").limit(8).collect()}
+    code_cols = ["code_0", "code_1", "code_2", "code_3"]
+    for r in rows:
+        codes = [r[c] for c in code_cols]
+        assert set(codes) <= seeds
+        assert r.recon_err >= 0
+    key = lambda r: (r.vec_id, tuple(r[c] for c in code_cols), r.recon_err)  # noqa: E731
+    assert sorted(map(key, out.collect())) == sorted(map(key, rows))
