@@ -64,6 +64,26 @@ def kmeans_fixed_point(
     the per-dimension mean uses BIGINT ``div`` (truncation toward
     zero), both mirrored exactly by the oracle.
     """
+    assign, _ = kmeans_fit(
+        emb, id_col=id_col, vec_col=vec_col, k=k, iterations=iterations
+    )
+    return assign
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`kmeans_fixed_point` plus the trained codebook: returns
+    ``(assignments, centroids)`` where centroids is ``(cid, c
+    array<bigint>)`` — the codebook the final assignment was computed
+    against (``iterations - 1`` Lloyd updates after seeding). ADC-style
+    consumers (PQ search) need the codebook itself, not just the
+    argmin."""
     vecs = emb.select(
         F.col(id_col).alias("vid"), to_fixed_point(F.col(vec_col)).alias("v")
     ).localCheckpoint()
@@ -82,8 +102,11 @@ def kmeans_fixed_point(
             .filter(F.col("rn") == 1)
         )
         if it == iterations - 1:
-            return assign.select(
-                F.col("vid").alias(id_col), "cid", F.col("dist").alias("sq_dist")
+            return (
+                assign.select(
+                    F.col("vid").alias(id_col), "cid", F.col("dist").alias("sq_dist")
+                ),
+                centroids,
             )
         # Lloyd update: element-wise integer mean per cluster.
         centroids = (
@@ -284,4 +307,122 @@ s{j}cent{it + 1} AS (
         + f"""
 SELECT vid AS vec_id, {codes}, CAST({errs} AS BIGINT) AS recon_err
 FROM {joins}"""
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 8,
+    iterations: int = 2,
+    n_queries: int = 10,
+    topk: int = 5,
+) -> DataFrame:
+    """PQ search by asymmetric distance computation (ADC): approximate
+    top-``topk`` neighbors of the ``n_queries`` smallest-id vectors,
+    where dist(query, vec) ≈ Σ_j sqdist(query_sub_j, codebook_j[code_j]).
+
+    The PQ payoff at 100 TB: the corpus side is touched ONLY through
+    its codes (``m`` small ints per vector); raw vectors are needed for
+    the queries alone. Per subspace the LUT is ``n_queries × k`` rows —
+    a broadcast — so scoring is a map-side broadcast-hash join against
+    the codes table followed by one (query, vec) sum; no shuffle ever
+    carries a vector.
+
+    Exact integer arithmetic end-to-end (micro-unit fixed point), so
+    the unrolled SQL oracle reproduces distances and ranks exactly.
+    Output: ``(query_id, neighbor_id, approx_sq_dist, rank)``; ties
+    break toward the smaller neighbor id; queries match themselves
+    (rank 1 with error = their own reconstruction error — kept, as a
+    built-in sanity signal).
+    """
+    per_sub = []
+    for j in range(m):
+        sliced = emb.select(
+            F.col(id_col),
+            F.expr(f"slice({vec_col}, {j} * (size({vec_col}) div {m}) + 1, "
+                   f"size({vec_col}) div {m})").alias("subvec"),
+        )
+        assign, cents = kmeans_fit(
+            sliced, id_col=id_col, vec_col="subvec", k=k, iterations=iterations
+        )
+        qvecs = (
+            sliced.orderBy(id_col)
+            .limit(n_queries)
+            .select(F.col(id_col).alias("qid"), to_fixed_point(F.col("subvec")).alias("qv"))
+        )
+        lut = qvecs.crossJoin(F.broadcast(cents)).select(
+            "qid", "cid", _sq_dist(F.col("qv"), F.col("c")).alias("d")
+        )
+        per_sub.append(
+            assign.select(F.col(id_col).alias("nid"), "cid")
+            .join(F.broadcast(lut), "cid")
+            .select("qid", "nid", "d")
+        )
+    scores = per_sub[0]
+    for p in per_sub[1:]:
+        scores = scores.unionByName(p)
+    totals = scores.groupBy("qid", "nid").agg(F.sum("d").alias("approx_sq_dist"))
+    w = Window.partitionBy("qid").orderBy("approx_sq_dist", "nid")
+    return (
+        totals.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            "approx_sq_dist",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def pq_adc_oracle_sql(
+    *, m: int = 4, dim: int = 64, k: int = 8, iterations: int = 2,
+    n_queries: int = 10, topk: int = 5,
+) -> str:
+    """DuckDB twin of :func:`pq_adc_topk`: the PQ training CTEs from
+    :func:`pq_oracle_sql` plus per-subspace query LUTs against the
+    final codebook and a rank window over the summed distances."""
+    base = pq_oracle_sql(m=m, dim=dim, k=k, iterations=iterations)
+    with_body = base[len("WITH "):base.rindex("\nSELECT")]
+    last = iterations - 1
+    parts = [with_body]
+    parts.append(
+        f"qids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {n_queries})"
+    )
+    unions = []
+    for j in range(m):
+        cent = f"s{j}cent{last}"
+        parts.append(
+            f"""
+lut{j} AS (
+  SELECT v.vid AS qid, c.cid, sum((v.val - c.cval) * (v.val - c.cval)) AS d
+  FROM s{j}vecs v JOIN {cent} c ON v.pos = c.pos
+  WHERE v.vid IN (SELECT vec_id FROM qids)
+  GROUP BY v.vid, c.cid
+)"""
+        )
+        unions.append(
+            f"SELECT l.qid, a.vid AS nid, l.d FROM s{j}assign{last} a "
+            f"JOIN lut{j} l ON l.cid = a.cid"
+        )
+    union_sql = "\nUNION ALL\n".join(unions)
+    parts.append(f"""
+totals AS (
+  SELECT qid, nid, CAST(sum(d) AS BIGINT) AS approx_sq_dist
+  FROM ({union_sql})
+  GROUP BY qid, nid
+)""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+SELECT qid AS query_id, nid AS neighbor_id, approx_sq_dist,
+       CAST(rn AS INTEGER) AS rank
+FROM (SELECT qid, nid, approx_sq_dist,
+             row_number() OVER (PARTITION BY qid ORDER BY approx_sq_dist, nid) AS rn
+      FROM totals)
+WHERE rn <= {topk}"""
     )

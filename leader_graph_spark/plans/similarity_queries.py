@@ -278,3 +278,24 @@ def pq_vector_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory-side scale path for ANN over billions of embeddings."""
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_codes(emb, id_col="vec_id", vec_col="embedding", m=4, k=8, iterations=2)
+
+
+from leader_graph_spark.operators.clustering import pq_adc_topk, pq_adc_oracle_sql  # noqa: E402
+
+
+@query(
+    "pq_adc_search_topk",
+    pq_adc_oracle_sql(m=4, dim=64, k=8, iterations=2, n_queries=10, topk=5),
+    tags=("similarity-ann-pq", "clustering-kmeans", "pq"),
+)
+def pq_adc_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search by asymmetric distance computation: top-5 approximate
+    neighbors of the 10 smallest-id vectors, scored purely against PQ
+    codes via broadcast per-subspace lookup tables (the corpus side is
+    never touched as raw vectors — the IVF-PQ read path). Exact integer
+    arithmetic, so ranks and distances hash-match the unrolled oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(
+        emb, id_col="vec_id", vec_col="embedding",
+        m=4, k=8, iterations=2, n_queries=10, topk=5,
+    )

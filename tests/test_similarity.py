@@ -283,3 +283,43 @@ def test_pq_codes_structure(spark, sf_smoke):
         assert r.recon_err >= 0
     key = lambda r: (r.vec_id, tuple(r[c] for c in code_cols), r.recon_err)  # noqa: E731
     assert sorted(map(key, out.collect())) == sorted(map(key, rows))
+
+
+def test_pq_adc_self_match_and_recall(spark, sf_dir):
+    """ADC sanity on driver data: every query's rank-1 neighbor is
+    itself (its own code reconstructs it best), and top-5 recall vs
+    exact fixed-point distances stays above a floor (the synthetic
+    embeddings have weak cluster structure — measured 0.40; same
+    regime as the LSH recall test)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from leader_graph_spark.operators.clustering import (
+        _sq_dist,
+        pq_adc_topk,
+        to_fixed_point,
+    )
+    from leader_graph_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    adc_rows = pq_adc_topk(
+        emb, m=4, k=8, iterations=2, n_queries=10, topk=5
+    ).collect()
+    assert all(r.neighbor_id == r.query_id for r in adc_rows if r.rank == 1)
+    adc = {(r.query_id, r.neighbor_id) for r in adc_rows}
+
+    vecs = emb.select(
+        F.col("vec_id").alias("vid"), to_fixed_point(F.col("embedding")).alias("v")
+    )
+    q = vecs.orderBy("vid").limit(10).select(
+        F.col("vid").alias("qid"), F.col("v").alias("qv")
+    )
+    d = q.crossJoin(vecs).select(
+        "qid", "vid", _sq_dist(F.col("qv"), F.col("v")).alias("d")
+    )
+    w = Window.partitionBy("qid").orderBy("d", "vid")
+    exact = {
+        (r.qid, r.vid)
+        for r in d.withColumn("rn", F.row_number().over(w)).filter("rn<=5").collect()
+    }
+    assert len(adc & exact) / len(exact) > 0.25
