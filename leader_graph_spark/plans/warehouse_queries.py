@@ -592,3 +592,50 @@ def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         events, key_col="user_id", attr_col="event_type", ts_col="ts",
         tie_col="event_id",
     )
+
+
+def _zorder_sql() -> str:
+    from leader_graph_spark.operators.layout import normalize_dim_sql, zorder_key_sql
+
+    mo = "year(o.o_orderdate) * 12 + month(o.o_orderdate)"
+    return f"""
+WITH bounds AS (
+  SELECT min(o_custkey) AS ck_lo, max(o_custkey) AS ck_hi,
+         min(year(o_orderdate) * 12 + month(o_orderdate)) AS mo_lo,
+         max(year(o_orderdate) * 12 + month(o_orderdate)) AS mo_hi
+  FROM orders
+),
+norm AS (
+  SELECT o.o_orderkey,
+         {normalize_dim_sql("o.o_custkey", "b.ck_lo", "b.ck_hi")} AS ck_norm,
+         {normalize_dim_sql(mo, "b.mo_lo", "b.mo_hi")} AS mo_norm
+  FROM orders o CROSS JOIN bounds b
+)
+SELECT o_orderkey, ck_norm, mo_norm, zval,
+       CAST(zval >> 24 AS BIGINT) AS zbucket
+FROM (
+  SELECT o_orderkey, ck_norm, mo_norm,
+         {zorder_key_sql(["ck_norm", "mo_norm"])} AS zval
+  FROM norm
+)
+"""
+
+
+_ZORDER_SQL = _zorder_sql()
+
+
+@query("zorder_layout_keys", _ZORDER_SQL, tags=("layout", "zorder", "sql-api"))
+def zorder_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering keys for orders over (custkey,
+    order-month) — the multi-dimensional file-skipping layout behind
+    Delta OPTIMIZE ZORDER / Iceberg clustering, as exact portable
+    integer bit arithmetic (``operators/layout.py``). ``zbucket`` (top
+    8 bits, 256 buckets) is the write-path range-partition target:
+    files cover small rectangles of the (customer, month) space, so
+    min/max stats prune on EITHER dimension. The SQL text doubles as
+    its own oracle. No reference counterpart (MySQL, no layout
+    management — SURVEY.md §4)."""
+    from leader_graph_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_ZORDER_SQL)

@@ -245,3 +245,36 @@ def test_hll_sketch_state_merge(spark, sf_smoke):
     )
     for k, n in exact.items():
         assert abs(merged[k] - n) <= max(2, 0.05 * n)
+
+
+def test_zorder_chunks_bound_both_dimensions(spark, sf_dir):
+    """The file-skipping property behind z-ordered layout: chop the
+    rows into 64 zval-ordered chunks (simulated files) — the average
+    per-chunk min/max span is SMALL on BOTH dimensions, whereas a
+    single-key sort bounds only its own key and leaves the other
+    dimension's span at ~full range."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from leader_graph_spark.plans import REGISTRY
+
+    df = REGISTRY["zorder_layout_keys"].spark(spark, sf_dir)
+    full = 65535
+
+    def avg_spans(order_col):
+        w = Window.orderBy(order_col)
+        chunks = df.withColumn("chunk", F.ntile(64).over(w))
+        spans = chunks.groupBy("chunk").agg(
+            (F.max("ck_norm") - F.min("ck_norm")).alias("ck_span"),
+            (F.max("mo_norm") - F.min("mo_norm")).alias("mo_span"),
+        ).agg(F.avg("ck_span").alias("ck"), F.avg("mo_span").alias("mo")).first()
+        return spans.ck / full, spans.mo / full
+
+    z_ck, z_mo = avg_spans("zval")
+    s_ck, s_mo = avg_spans("ck_norm")
+    # z-order: both dimensions bounded well below full range.
+    assert z_ck < 0.35 and z_mo < 0.35, (z_ck, z_mo)
+    # single-key sort: its own key is tight but the other dim is ~full.
+    assert s_ck < 0.05 and s_mo > 0.8, (s_ck, s_mo)
+    # and z-order's worse dimension still beats single-key's worse one.
+    assert max(z_ck, z_mo) < max(s_ck, s_mo) / 2
