@@ -785,3 +785,52 @@ def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return unigram_lm_scores(docs, id_col="doc_id", text_col="text", vocab_size=20)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer training primitive: BPE merge-candidate counting
+# ---------------------------------------------------------------------------
+
+_BPE_PAIRS_ORACLE = """
+WITH words AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w FROM documents
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(w)), i -> substr(w, CAST(i AS INTEGER), 2))) AS pair
+  FROM words WHERE len(w) >= 2
+)
+SELECT pair, count(*) AS n_occurrences
+FROM pairs GROUP BY pair
+ORDER BY n_occurrences DESC, pair LIMIT 32
+"""
+
+
+@query("bpe_merge_candidates", _BPE_PAIRS_ORACLE, tags=("text-bpe", "tokenizer"))
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner loop of BPE tokenizer training (Sennrich et al. 2016)
+    at corpus scale: count adjacent character pairs within words and
+    rank the top merge candidates. One training iteration = this count
+    + a merge rewrite; the count is the dominant cost and is exactly
+    this shape every round.
+
+    Scale: the pair stream is ~O(corpus chars) rows but collapses
+    map-side (groupBy on 2-char keys, partial aggregation), and the
+    top-32 is orderBy+limit ⇒ TakeOrderedAndProject — the vocabulary
+    never funnels through a single-partition rank window. Exact char
+    semantics: ``substr`` is character-based (not byte) in both
+    engines, so multibyte text agrees."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(32)
+    )

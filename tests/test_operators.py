@@ -679,3 +679,22 @@ def test_scd2_collapse_planted(spark):
     plan = fresh._jdf.queryExecution().executedPlan().toString()
     hash_ids = set(re.findall(r"Exchange hashpartitioning[^\[]*\[plan_id=(\d+)\]", plan))
     assert len(hash_ids) == 1, plan
+
+
+def test_bpe_pair_counts_overlapping(spark):
+    """BPE pair extraction counts OVERLAPPING adjacent pairs ('aaa' ->
+    'aa' twice) and ignores single-char words — the Sennrich counting
+    semantics, pinned on a crafted doc."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame([(1, "aaa ab a xy xy")], "doc_id long, text string")
+    words = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+        ).alias("pair")
+    )
+    counts = {r.pair: r.n for r in pairs.groupBy("pair").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"aa": 2, "ab": 1, "xy": 2}
