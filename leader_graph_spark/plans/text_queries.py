@@ -834,3 +834,135 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("pair"))
         .limit(32)
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: the composed keep/drop verdict
+# ---------------------------------------------------------------------------
+
+def _curation_oracle() -> str:
+    from leader_graph_spark.plans.dedup_queries import _EXCISE_ORACLE
+
+    return f"""
+WITH dup AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS keep_id
+  FROM documents
+),
+span AS (
+  SELECT doc_id,
+         CAST(floor(1000000 * (n_tokens - kept_tokens) / n_tokens) AS BIGINT) AS excised_ppm
+  FROM ({_EXCISE_ORACLE})
+),
+feats AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+         {_LANG_SCORES_SQL}
+  FROM documents
+)
+SELECT f.doc_id,
+       (d.keep_id <> f.doc_id) AS is_exact_dup,
+       CAST(f.n_tokens AS BIGINT) AS n_tokens,
+       s.excised_ppm,
+       {_LANG_CASE_SQL} AS predicted_lang,
+       CASE
+         WHEN d.keep_id <> f.doc_id THEN 'exact_dup'
+         WHEN s.excised_ppm >= 500000 THEN 'dup_spans'
+         WHEN f.n_tokens < 20 THEN 'too_short'
+         WHEN f.n_punct * 2 > f.n_tokens THEN 'too_much_punct'
+         ELSE NULL
+       END AS drop_reason,
+       (d.keep_id = f.doc_id AND s.excised_ppm < 500000
+        AND f.n_tokens >= 20 AND f.n_punct * 2 <= f.n_tokens) AS keep
+FROM feats f
+JOIN dup d ON f.doc_id = d.doc_id
+JOIN span s ON f.doc_id = s.doc_id
+"""
+
+
+@query("corpus_curation_verdicts", _curation_oracle(), tags=("curation", "composite", "P7"))
+def corpus_curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-curation gate a real pretraining pipeline
+    runs per document: exact-dup election (min-id winner), span-level
+    duplication cap (>=50% of tokens inside cross-doc duplicated
+    8-grams the doc does NOT own — ownership-aware, so the canonical
+    copy of a duplicated passage is never penalized for owning it),
+    minimum length, punctuation-density cap, plus the
+    predicted language tag — one keep/drop verdict with a first-match
+    drop_reason. All gates are INTEGER comparisons (cross-multiplied
+    ratios / ppm, never float thresholds), so the verdict is bit-exact
+    on both engines; thresholds are set so the span and length gates
+    actually FIRE on the driver corpus (a verdict whose branches never
+    execute checks nothing — the vacuous-predicate lesson).
+
+    Scale: the dup election is one window over the content-hash
+    partition; the span signal reuses duplicated_span_coverage (gram-
+    hash shuffle); the other signals are map-side per-doc arithmetic,
+    and the three per-doc signal tables join co-partitioned on doc_id."""
+    from pyspark.sql import Window
+
+    from leader_graph_spark.operators.dedup import excise_duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    content_hash = F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+    dup = docs.select(
+        "doc_id",
+        F.min("doc_id").over(Window.partitionBy(content_hash)).alias("keep_id"),
+    )
+    span = excise_duplicated_spans(
+        docs, id_col="doc_id", text_col="text", k=8, min_docs=2
+    ).select(
+        "doc_id",
+        F.floor(
+            F.lit(1000000) * (F.col("n_tokens") - F.col("kept_tokens")) / F.col("n_tokens")
+        ).alias("excised_ppm"),
+    )
+    feats = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.lower("text")), r"\s+")).cast("bigint").alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[^\w\s]"), 0)).alias("n_punct"),
+        *_lang_scores_spark(),
+    )
+    predicted = (
+        F.when(F.col("score_zh") > 0, F.lit("zh"))
+        .when(
+            (F.col("score_de") > F.col("score_en"))
+            & (F.col("score_de") >= F.col("score_es"))
+            & (F.col("score_de") >= F.col("score_fr")),
+            F.lit("de"),
+        )
+        .when(
+            (F.col("score_fr") > F.col("score_en"))
+            & (F.col("score_fr") >= F.col("score_es")),
+            F.lit("fr"),
+        )
+        .when(F.col("score_es") > F.col("score_en"), F.lit("es"))
+        .otherwise(F.lit("en"))
+    )
+    drop_reason = (
+        F.when(F.col("keep_id") != F.col("doc_id"), F.lit("exact_dup"))
+        .when(F.col("excised_ppm") >= 500000, F.lit("dup_spans"))
+        .when(F.col("n_tokens") < 20, F.lit("too_short"))
+        .when(F.col("n_punct") * 2 > F.col("n_tokens"), F.lit("too_much_punct"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    keep = (
+        (F.col("keep_id") == F.col("doc_id"))
+        & (F.col("excised_ppm") < 500000)
+        & (F.col("n_tokens") >= 20)
+        & (F.col("n_punct") * 2 <= F.col("n_tokens"))
+    )
+    return (
+        feats.join(dup, "doc_id")
+        .join(span, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("keep_id") != F.col("doc_id")).alias("is_exact_dup"),
+            "n_tokens",
+            "excised_ppm",
+            predicted.alias("predicted_lang"),
+            drop_reason.alias("drop_reason"),
+            keep.alias("keep"),
+        )
+    )

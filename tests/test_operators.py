@@ -698,3 +698,50 @@ def test_bpe_pair_counts_overlapping(spark):
     )
     counts = {r.pair: r.n for r in pairs.groupBy("pair").agg(F.count("*").alias("n")).collect()}
     assert counts == {"aa": 2, "ab": 1, "xy": 2}
+
+
+def test_corpus_curation_all_gates_fire(spark, tmp_path):
+    """Every branch of the curation cascade on crafted docs: exact dup
+    (the kept copy is NOT penalized — its grams are its own under the
+    ownership-aware span gate), span dup (only the non-owning side
+    trips), too-short, punctuation-heavy, and clean keepers."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from leader_graph_spark.plans import REGISTRY
+
+    filler_a = " ".join(f"alpha{i}" for i in range(30))
+    filler_b = " ".join(f"beta{i}" for i in range(30))
+    shared = " ".join(f"shared{i}" for i in range(25))
+    docs = [
+        (1, f"{filler_a} keeper text", "en", "s", 0),
+        (2, f"{filler_a} keeper text", "en", "s", 0),            # exact dup of 1 (and short? no, 32 toks)
+        (3, f"{shared} tail one", "en", "s", 0),                 # span dup pair...
+        (4, f"{shared} tail two", "en", "s", 0),                 # ...>=50% covered
+        (5, "just a few tokens here", "en", "s", 0),             # too_short
+        (6, " ".join(["!?;:," for _ in range(40)]), "en", "s", 0),  # punct-heavy
+        (7, f"{filler_b} another clean document", "en", "s", 0),  # keeper
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": [d[1] for d in docs],
+            "lang": [d[2] for d in docs],
+            "source": [d[3] for d in docs],
+            "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in REGISTRY["corpus_curation_verdicts"].spark(spark, str(tmp_path)).collect()
+    }
+    assert out[1].keep and out[1].drop_reason is None
+    assert out[2].drop_reason == "exact_dup" and out[2].is_exact_dup
+    # ownership-aware span gate: doc 3 OWNS the shared grams (min id)
+    # so it is the kept canonical copy; doc 4 is >=50% excisable.
+    assert out[3].keep and out[3].drop_reason is None
+    assert out[4].drop_reason == "dup_spans" and out[4].excised_ppm >= 500000
+    assert out[5].drop_reason == "too_short"
+    assert out[6].drop_reason == "too_much_punct"
+    assert out[7].keep and out[7].drop_reason is None
