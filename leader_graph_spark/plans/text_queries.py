@@ -966,3 +966,100 @@ def corpus_curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
             keep.alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch: mergeable frequency estimation
+# ---------------------------------------------------------------------------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256  # bucket = first 2 md5 hex chars -> 0..255, no modulo
+
+
+def _cms_bucket_sql(expr: str, salt: int) -> str:
+    """0..255 bucket from the first two hex chars of md5(expr || salt)
+    — digit-exact in both engines (DuckDB has no conv())."""
+    h = f"md5({expr} || '#{salt}')"
+    return (
+        f"((instr('0123456789abcdef', substr({h}, 1, 1)) - 1) * 16"
+        f" + (instr('0123456789abcdef', substr({h}, 2, 1)) - 1))"
+    )
+
+
+def _cms_oracle() -> str:
+    luts = ",\n".join(
+        f"""
+c{j} AS (
+  SELECT {_cms_bucket_sql('term', j)} AS bucket, count(*) AS n
+  FROM toks GROUP BY 1
+)"""
+        for j in range(_CMS_DEPTH)
+    )
+    mins = ", ".join(
+        f"(SELECT n FROM c{j} WHERE bucket = {_cms_bucket_sql('t.term', j)})"
+        for j in range(_CMS_DEPTH)
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term FROM documents
+),
+{luts},
+top20 AS (
+  SELECT term, count(*) AS true_n
+  FROM toks GROUP BY term ORDER BY true_n DESC, term LIMIT 20
+)
+SELECT t.term, t.true_n, least({mins}) AS cms_n
+FROM top20 t
+"""
+
+
+@query("cms_term_frequency_estimates", _cms_oracle(), tags=("text-sketch", "cms", "approx-exact"))
+def cms_term_frequency_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch (Cormode & Muthukrishnan) term-frequency
+    estimation: a 4x256 counter grid (md5-bucketed, engine-portable)
+    summarizes the whole token stream in fixed memory; a term's
+    estimate is the min over its 4 counters, always
+    ≥ the true count. Reported for the exact top-20 terms so the
+    overestimate is visible next to ground truth.
+
+    This is the mergeable FREQUENCY state complementing the HLL
+    distinct state (`hll_incremental_distinct`): counter grids from
+    different batches/partitions add cell-wise, so incremental
+    maintenance never rescans history — and unlike freqItems
+    (`frequent_terms_approx`), the sketch answers point queries for
+    ANY term after the fact. Scale: the token stream collapses
+    map-side into ≤ depth·width rows per partition; the grid is a
+    broadcast-size artifact; estimation joins against it are
+    broadcast-hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term")
+    )
+
+    def bucket(col: F.Column, salt: int) -> F.Column:
+        return F.conv(
+            F.substring(F.md5(F.concat(col, F.lit(f"#{salt}"))), 1, 2), 16, 10
+        ).cast("long")
+
+    counters = [
+        toks.groupBy(bucket(F.col("term"), j).alias("bucket"))
+        .agg(F.count("*").alias(f"n_{j}"))
+        for j in range(_CMS_DEPTH)
+    ]
+    top20 = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("true_n"))
+        .orderBy(F.desc("true_n"), F.asc("term"))
+        .limit(20)
+    )
+    out = top20
+    for j in range(_CMS_DEPTH):
+        out = out.join(
+            F.broadcast(counters[j]),
+            bucket(F.col("term"), j) == F.col("bucket"),
+        ).drop("bucket")
+    return out.select(
+        "term",
+        "true_n",
+        F.least(*[F.col(f"n_{j}") for j in range(_CMS_DEPTH)]).alias("cms_n"),
+    )

@@ -278,3 +278,36 @@ def test_zorder_chunks_bound_both_dimensions(spark, sf_dir):
     assert s_ck < 0.05 and s_mo > 0.8, (s_ck, s_mo)
     # and z-order's worse dimension still beats single-key's worse one.
     assert max(z_ck, z_mo) < max(s_ck, s_mo) / 2
+
+
+def test_cms_counters_merge_cellwise(spark, sf_smoke):
+    """The CMS incremental-maintenance property: counter grids built
+    per source partition ADD CELL-WISE to the global grid — no history
+    rescan, same estimates (the frequency-state analogue of the HLL
+    register merge)."""
+    from pyspark.sql import functions as F
+
+    from leader_graph_spark.plans.text_queries import _CMS_DEPTH
+    from leader_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term")
+    )
+    j = 0  # one depth row suffices to pin the merge shape
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.col("term"), F.lit(f"#{j}"))), 1, 2), 16, 10
+    ).cast("long")
+    global_grid = {
+        r.bucket: r.n
+        for r in toks.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("n")).collect()
+    }
+    per_source = (
+        toks.groupBy("source", bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    merged = {r.bucket: r.n for r in per_source.collect()}
+    assert merged == global_grid
+    assert len(global_grid) > 20
