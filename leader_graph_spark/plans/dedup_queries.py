@@ -411,7 +411,7 @@ FROM docs d LEFT JOIN stats s USING (doc_id)
 """
 
 
-@query("dup_span_coverage", _SPAN_ORACLE, tags=("dedup-span", "substring-dedup"))
+@query("dup_span_coverage", _SPAN_ORACLE, bench=True, tags=("dedup-span", "substring-dedup"))
 def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplication coverage per document: fraction of
     each doc's tokens covered by word 8-grams occurring in ≥2 distinct
