@@ -1063,3 +1063,61 @@ def cms_term_frequency_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_n",
         F.least(*[F.col(f"n_{j}") for j in range(_CMS_DEPTH)]).alias("cms_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking: overlapping token windows (RAG / context-window prep)
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 64
+_CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+_CHUNK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tokens FROM documents
+),
+starts AS (
+  SELECT doc_id, tokens, len(tokens) AS n_tokens,
+         unnest(range(1, CAST(len(tokens) AS INTEGER) + 1, {_CHUNK_STRIDE})) AS s
+  FROM toks
+)
+SELECT doc_id,
+       CAST((s - 1 - ((s - 1) % {_CHUNK_STRIDE})) / {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(s AS BIGINT) AS start_token,
+       CAST(least({_CHUNK_W}, n_tokens - s + 1) AS BIGINT) AS n_chunk_tokens,
+       coalesce(array_to_string(tokens[CAST(s AS INTEGER):CAST(s + {_CHUNK_W} - 1 AS INTEGER)], ' '), '') AS chunk_text
+FROM starts
+"""
+
+
+@query("doc_chunk_windows", _CHUNK_ORACLE, tags=("text-chunking", "rag"))
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the context-window prep step
+    of RAG indexing and long-doc training (64-token windows, stride 48,
+    16-token overlap so no boundary sentence is lost). One generate +
+    per-row array slice, all JVM-side: the token array never leaves its
+    row, chunk rows are ~n/stride per doc, and the transform is
+    map-side only (zero shuffles — chunking preserves the corpus
+    partitioning for the embedding stage that follows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.split(F.trim(F.lower("text")), r"\s+").alias("tokens"),
+    ).select("doc_id", "tokens", F.size("tokens").alias("n_tokens"))
+    starts = toks.select(
+        "doc_id",
+        "tokens",
+        "n_tokens",
+        F.explode(F.expr(f"sequence(1, n_tokens, {_CHUNK_STRIDE})")).alias("s"),
+    )
+    return starts.select(
+        "doc_id",
+        ((F.col("s") - 1 - ((F.col("s") - 1) % _CHUNK_STRIDE)) / _CHUNK_STRIDE)
+        .cast("bigint")
+        .alias("chunk_idx"),
+        F.col("s").cast("bigint").alias("start_token"),
+        F.least(F.lit(_CHUNK_W), F.col("n_tokens") - F.col("s") + 1)
+        .cast("bigint")
+        .alias("n_chunk_tokens"),
+        F.concat_ws(" ", F.expr(f"slice(tokens, s, {_CHUNK_W})")).alias("chunk_text"),
+    )

@@ -745,3 +745,37 @@ def test_corpus_curation_all_gates_fire(spark, tmp_path):
     assert out[5].drop_reason == "too_short"
     assert out[6].drop_reason == "too_much_punct"
     assert out[7].keep and out[7].drop_reason is None
+
+
+def test_doc_chunk_windows_overlap(spark, tmp_path):
+    """Chunking semantics pinned: stride-48 windows of width 64 over a
+    100-token doc produce chunks starting at tokens 1, 49, 97; the
+    overlap region (tokens 49-64) appears in BOTH chunk 0 and chunk 1;
+    the tail chunk is short; a tiny doc yields exactly one chunk."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from leader_graph_spark.plans import REGISTRY
+
+    toks = [f"t{i}" for i in range(1, 101)]
+    docs = [(1, " ".join(toks)), (2, "tiny doc")]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": [d[1] for d in docs],
+            "lang": ["en"] * 2,
+            "source": ["s"] * 2,
+            "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = REGISTRY["doc_chunk_windows"].spark(spark, str(tmp_path)).collect()
+    by_key = {(r.doc_id, r.chunk_idx): r for r in rows}
+    assert len(by_key) == 4  # 3 chunks for doc 1, 1 for doc 2
+    c0, c1, c2 = by_key[(1, 0)], by_key[(1, 1)], by_key[(1, 2)]
+    assert (c0.start_token, c0.n_chunk_tokens) == (1, 64)
+    assert (c1.start_token, c1.n_chunk_tokens) == (49, 52)  # 100-49+1
+    assert (c2.start_token, c2.n_chunk_tokens) == (97, 4)
+    # overlap: tokens 49..64 in both chunk 0 and chunk 1
+    assert c0.chunk_text.split()[48:64] == c1.chunk_text.split()[:16] == toks[48:64]
+    assert by_key[(2, 0)].chunk_text == "tiny doc"
