@@ -298,3 +298,70 @@ def click_purchase_join_stream(
         & (F.col("purchase_ts") <= F.col("click_ts"))
         & (F.col("purchase_ts") >= F.expr(f"click_ts - INTERVAL {range_}")),
     ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+
+
+def user_running_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same per-user running (count, value-sum) as
+    :func:`user_running_counts_stream`, on the Spark-4-native
+    ``transformWithStateInPandas`` API (SPARK-49564): typed ValueState
+    through a StatefulProcessor handle instead of the single
+    GroupState tuple. The new API is the forward path — it adds
+    multiple named state variables, timers, and TTL per state var —
+    and requires the RocksDB state store (set here on the session;
+    HDFS-backed state does not support it). ENVIRONMENT NOTE: the TWS
+    state protocol needs the `protobuf` package on the driver; without
+    it the TWS driver worker crashes at query start (its test is
+    importorskip-gated the way the live-JDBC round-trip is)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    events = read_events_stream(spark, sf_dir)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    class RunningAgg(StatefulProcessor):
+        def init(self, handle: "StatefulProcessorHandle") -> None:
+            self._agg = handle.getValueState("agg", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._agg.get() if self._agg.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningAgg(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

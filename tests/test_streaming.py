@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import tempfile
 
+import pytest
+
 from leader_graph_spark.plans import REGISTRY
 from leader_graph_spark.streaming.jobs import run_available_now, tumbling_counts_stream
 
@@ -195,3 +197,41 @@ def test_ts_parquet_unit_guard(tmp_path, sf_smoke):
     no_ts = str(tmp_path / "none.parquet")
     pq.write_table(pa.table({"x": pa.array([1])}), no_ts)
     assert ts_parquet_unit(no_ts) is None
+
+
+def test_stateful_running_counts_transformwithstate(spark, sf_smoke):
+    """The Spark-4 transformWithStateInPandas path produces the same
+    per-user running aggregates as the batch groupBy (and as the
+    applyInPandasWithState variant it supersedes). GATED like the
+    live-JDBC test: the TWS state protocol speaks protobuf and this
+    container ships no `protobuf` package — without it the TWS driver
+    worker crashes before user code runs (verified by minimal repro)."""
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import functions as F
+
+    from leader_graph_spark.sources.tables import load_table
+    from leader_graph_spark.streaming.jobs import user_running_counts_tws
+
+    sdf = user_running_counts_tws(spark, sf_smoke)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName("running_counts_tws_test")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            r.user_id: (r.n_events, round(r.total_value, 2))
+            for r in spark.table("running_counts_tws_test").collect()
+        }
+    events = load_table(spark, sf_smoke, "events")
+    want = {
+        r.user_id: (r.n, round(r.total, 2))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == want and len(want) > 0
