@@ -169,3 +169,47 @@ def test_bucketed_interval_join_equals_naive(spark, rows):
         if k1 == k2 and i1 < i2 and s1 <= e2 and s2 <= e1
     }
     assert got == expect
+
+
+# --- span-dedup coverage vs a brute-force python model ---
+
+_span_corpora = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=6,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_span_corpora)
+def test_span_coverage_matches_bruteforce(spark, texts):
+    """duplicated_span_coverage == a direct python recomputation of
+    'tokens covered by k-grams occurring in >=2 docs' on random tiny
+    corpora from a 3-letter alphabet (dense collisions stress the
+    window-union and distinct-doc logic far harder than real text)."""
+    from leader_graph_spark.operators.dedup import duplicated_span_coverage
+
+    k = 3
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.dup_gram_positions, r.covered_tokens)
+        for r in duplicated_span_coverage(
+            df, id_col="doc_id", text_col="text", k=k, min_docs=2
+        ).collect()
+    }
+    # brute force
+    toks = {i: t.strip().lower().split() for i, t in docs}
+    gram_docs: dict[tuple, set] = {}
+    for i, ts in toks.items():
+        for p in range(len(ts) - k + 1):
+            gram_docs.setdefault(tuple(ts[p : p + k]), set()).add(i)
+    dup = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+    want = {}
+    for i, ts in toks.items():
+        hits = [p for p in range(len(ts) - k + 1) if tuple(ts[p : p + k]) in dup]
+        covered = set()
+        for p in hits:
+            covered.update(range(p, p + k))
+        want[i] = (len(ts), len(hits), len(covered))
+    assert got == want
