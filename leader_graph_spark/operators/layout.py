@@ -110,3 +110,83 @@ def zorder_layout(
     prune on every dimension."""
     zval = zorder_key([F.col(d) for d in dims], bits).alias("zval")
     return df.select("*", zval)
+
+
+def hilbert_key_py(bits: int, x: int, y: int) -> int:
+    """Reference python model of the 2-D Hilbert index (the classic
+    iterative reflect/swap form). Unit tests pin the SQL unroll to this
+    model over a full small grid; the model itself is validated by the
+    Hilbert invariants (bijective, every consecutive pair of indices is
+    grid-adjacent) in tests."""
+    d = 0
+    s = (1 << bits) // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def hilbert_steps_sql(
+    bits: int, *, x_col: str = "x", y_col: str = "y", carry: Sequence[str] = ()
+) -> list[str]:
+    """The Hilbert loop unrolled into one SELECT per bit — portable SQL
+    (only ``&``, comparisons, CASE, and integer +/-/*; XOR is avoided
+    by enumerating the four (rx, ry) cases, since Spark spells it ``^``
+    but DuckDB's ``^`` is POWER). Each element transforms
+    (x, y, d) -> (x', y', d'); chain them as CTEs over a source with
+    BIGINT ``x_col``/``y_col`` and d initialized to 0. Negative
+    intermediates from the reflection are fine: both engines implement
+    BIGINT ``&`` as two's complement, and the model-equality test walks
+    a full grid."""
+    keep = ", ".join(carry) + ", " if carry else ""
+    steps = []
+    for i in reversed(range(bits)):
+        s = 1 << i
+        rx = f"(CASE WHEN ({x_col} & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN ({y_col} & {s}) > 0 THEN 1 ELSE 0 END)"
+        d_inc = (
+            f"(CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0 "
+            f"WHEN {rx} = 0 THEN 1 WHEN {ry} = 1 THEN 2 ELSE 3 END)"
+        )
+        new_x = (
+            f"CASE WHEN {ry} = 0 THEN "
+            f"(CASE WHEN {rx} = 1 THEN {s - 1} - {y_col} ELSE {y_col} END) "
+            f"ELSE {x_col} END"
+        )
+        new_y = (
+            f"CASE WHEN {ry} = 0 THEN "
+            f"(CASE WHEN {rx} = 1 THEN {s - 1} - {x_col} ELSE {x_col} END) "
+            f"ELSE {y_col} END"
+        )
+        steps.append(
+            # CAST the s*s literal: at bit 15 it is 2^30 and an INT32
+            # literal times d_inc (up to 3) overflows under Spark's
+            # ANSI arithmetic.
+            f"SELECT {keep}{new_x} AS {x_col}, {new_y} AS {y_col}, "
+            f"d + CAST({s * s} AS BIGINT) * {d_inc} AS d"
+        )
+    return steps
+
+
+def hilbert_ctes_sql(
+    source: str, bits: int, *, x_col: str = "x", y_col: str = "y",
+    carry: Sequence[str] = (), prefix: str = "h",
+) -> tuple[str, str]:
+    """Chain :func:`hilbert_steps_sql` into named CTE text:
+    returns (cte_body, final_name). ``source`` must provide carry cols
+    plus BIGINT x/y; d starts at 0."""
+    parts = [
+        f"{prefix}0 AS (SELECT {', '.join([*carry, x_col, y_col])}, "
+        f"CAST(0 AS BIGINT) AS d FROM {source})"
+    ]
+    steps = hilbert_steps_sql(bits, x_col=x_col, y_col=y_col, carry=carry)
+    for i, step in enumerate(steps, start=1):
+        parts.append(f"{prefix}{i} AS ({step} FROM {prefix}{i - 1})")
+    return ",\n".join(parts), f"{prefix}{len(steps)}"

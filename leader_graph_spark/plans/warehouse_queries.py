@@ -639,3 +639,51 @@ def zorder_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_ZORDER_SQL)
+
+
+def _hilbert_sql() -> str:
+    from leader_graph_spark.operators.layout import hilbert_ctes_sql, normalize_dim_sql
+
+    mo = "year(o.o_orderdate) * 12 + month(o.o_orderdate)"
+    body, last = hilbert_ctes_sql("norm", 16, carry=["o_orderkey"])
+    return f"""
+WITH bounds AS (
+  SELECT min(o_custkey) AS ck_lo, max(o_custkey) AS ck_hi,
+         min(year(o_orderdate) * 12 + month(o_orderdate)) AS mo_lo,
+         max(year(o_orderdate) * 12 + month(o_orderdate)) AS mo_hi
+  FROM orders
+),
+norm AS (
+  SELECT o.o_orderkey,
+         {normalize_dim_sql("o.o_custkey", "b.ck_lo", "b.ck_hi")} AS x,
+         {normalize_dim_sql(mo, "b.mo_lo", "b.mo_hi")} AS y
+  FROM orders o CROSS JOIN bounds b
+),
+{body}
+SELECT o_orderkey, x AS ck_res, y AS mo_res, d AS hval,
+       CAST(d >> 24 AS BIGINT) AS hbucket
+FROM {last}
+"""
+
+
+_HILBERT_SQL = _hilbert_sql()
+
+
+@query("hilbert_layout_keys", _HILBERT_SQL, tags=("layout", "hilbert", "sql-api"))
+def hilbert_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering keys over the same (custkey,
+    order-month) space as ``zorder_layout_keys`` — the locality upgrade
+    over Morton order (no quadrant-boundary jumps: consecutive indices
+    are always grid-adjacent, so range-partitioned files cover tighter
+    rectangles). The 16-bit reflect/swap loop is unrolled into 16
+    chained CTEs of portable integer CASE arithmetic
+    (``operators/layout.py``; XOR avoided — DuckDB's ``^`` is POWER);
+    the SQL text doubles as its own oracle, and the unroll is pinned to
+    the python reference model over a full grid in tests. Note the
+    residual x/y columns after the loop are the ROTATED coordinates,
+    exported as ck_res/mo_res (deterministic, hash-checked) rather than
+    the input dims."""
+    from leader_graph_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_HILBERT_SQL)
