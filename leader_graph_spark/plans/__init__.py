@@ -20,8 +20,11 @@ from leader_graph_spark.plans import (  # noqa: E402,F401
 from leader_graph_spark.plans import mlprep_queries  # noqa: E402,F401
 
 # Round-4 additions: file-boundary round-trip queries (S1/S4/K3/K4/S6
-# made oracle-visible).
+# made oracle-visible), retrieval/matching (BM25, fuzzy pairs, link
+# prediction), and statistical profiling (regression, IQR fences).
 from leader_graph_spark.plans import boundary_queries  # noqa: E402,F401
+from leader_graph_spark.plans import retrieval_queries  # noqa: E402,F401
+from leader_graph_spark.plans import stats_queries  # noqa: E402,F401
 
 # The driver's correctness sweep covers the registry in iteration order
 # with a finite per-round budget (50 entries observed in round 1), so

@@ -1,0 +1,207 @@
+"""Statistical profiling queries: group-wise linear regression /
+correlation, and robust (IQR) outlier profiling.
+
+The reference has no statistics layer (its analytics stop at counts and
+existence checks); these are the dataset-profiling operators a
+training-data pipeline runs before and after curation — drift checks
+("is price trending with time in this slice?"), feature sanity
+(Pearson r), and robust outlier fences for length-based filtering.
+
+Determinism: regression sufficient statistics (Σx, Σy, Σxy, Σx², Σy²)
+are exact integers — days since epoch and price *cents* via the
+portable floor(x·100+0.5) — summed as BIGINT/DECIMAL(38,0) (HUGEINT on
+the DuckDB side), so no result depends on floating-point summation
+order; doubles appear only in the final slope/intercept/r division,
+written with identical parenthesization in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from leader_graph_spark.plans.registry import query
+from leader_graph_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Per-nation price-over-time regression + correlation
+# ---------------------------------------------------------------------------
+
+_REGRESSION_ORACLE = """
+WITH pts AS (
+  SELECT n.n_name,
+         date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)) AS x,
+         CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS yc
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+s AS (
+  SELECT n_name, count(*) AS n,
+         sum(x) AS sx, sum(yc) AS sy,
+         sum(x * x) AS sxx,
+         sum(CAST(x AS HUGEINT) * yc) AS sxy,
+         sum(CAST(yc AS HUGEINT) * yc) AS syy
+  FROM pts GROUP BY n_name
+),
+d AS (
+  SELECT n_name, n, sx, sy,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS den,
+         n * syy - sy * sy AS vary
+  FROM s
+)
+SELECT n_name, CAST(n AS BIGINT) AS n_orders,
+       round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS slope_cents_per_day,
+       round((CAST(sy AS DOUBLE) - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * CAST(sx AS DOUBLE)) / n, 6)
+         AS intercept_cents,
+       round(CAST(num AS DOUBLE) / sqrt(CAST(den AS DOUBLE) * CAST(vary AS DOUBLE)), 6)
+         AS pearson_r
+FROM d
+"""
+
+
+@query(
+    "nation_price_trend_regression",
+    _REGRESSION_ORACLE,
+    tags=("stats", "regression", "correlation"),
+)
+def nation_price_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation least-squares fit of order price (cents) against
+    order date (days since epoch): slope, intercept, and Pearson r —
+    closed-form regression from five sufficient statistics, the
+    map-side-combinable way to regress at 100 TB (one narrow shuffle of
+    25 stat rows; never a per-group data collect, never an iterative
+    solver). Spark's built-in regr_slope/corr aggregate in floating
+    point, where summation order is nondeterministic under partial
+    aggregation — exact integer statistics sidestep that, which is also
+    what makes the result hashable against the oracle.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    pts = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+            .cast("bigint")
+            .alias("x"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("yc"),
+        )
+    )
+    s = pts.groupBy("n_name").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("yc").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast("decimal(20,0)") * F.col("yc")).alias("sxy"),
+        F.sum(F.col("yc").cast("decimal(20,0)") * F.col("yc")).alias("syy"),
+    )
+    dec = "decimal(38,0)"
+    d = s.select(
+        "n_name",
+        "n",
+        "sx",
+        "sy",
+        (F.col("n").cast(dec) * F.col("sxy") - F.col("sx").cast(dec) * F.col("sy")).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
+        (F.col("n").cast(dec) * F.col("syy") - F.col("sy").cast(dec) * F.col("sy")).alias("vary"),
+    )
+    slope = F.col("num").cast("double") / F.col("den").cast("double")
+    return d.select(
+        "n_name",
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round(slope, 6).alias("slope_cents_per_day"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / F.col("n"), 6
+        ).alias("intercept_cents"),
+        F.round(
+            F.col("num").cast("double")
+            / F.sqrt(F.col("den").cast("double") * F.col("vary").cast("double")),
+            6,
+        ).alias("pearson_r"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust (IQR) outlier profiling of document lengths
+# ---------------------------------------------------------------------------
+
+_IQR_ORACLE = """
+WITH bounds AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         quantile_cont(n_chars, 0.25) AS q1,
+         quantile_cont(n_chars, 0.75) AS q3
+  FROM documents GROUP BY lang
+),
+fences AS (
+  SELECT lang, n_docs, q1, q3,
+         q1 - 1.5 * (q3 - q1) AS lo,
+         q3 + 1.5 * (q3 - q1) AS hi
+  FROM bounds
+)
+SELECT f.lang, f.n_docs,
+       round(f.q1, 4) AS q1, round(f.q3, 4) AS q3,
+       round(f.lo, 4) AS lo_fence, round(f.hi, 4) AS hi_fence,
+       CAST(sum(CASE WHEN d.n_chars < f.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+       CAST(sum(CASE WHEN d.n_chars > f.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
+FROM documents d JOIN fences f ON d.lang = f.lang
+GROUP BY f.lang, f.n_docs, f.q1, f.q3, f.lo, f.hi
+"""
+
+
+@query("doc_length_iqr_profile", _IQR_ORACLE, tags=("stats", "outliers", "curation"))
+def doc_length_iqr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Tukey fences over document length: exact
+    interpolated quartiles, 1.5·IQR fences, and how many documents fall
+    outside each — the robust-outlier profile a curation pipeline
+    consults before setting length filters (robust because one
+    pathological 100 MB doc moves a mean-based filter but not a
+    quartile-based one).
+
+    Scale shape: the quartiles reduce to a per-lang aggregate (sort
+    within lang partitions — the exact-percentile cost already accepted
+    by ``order_price_percentiles``); the 5-row fence table broadcasts
+    back onto the corpus, so classification is map-side and the only
+    corpus-sized shuffle is the per-lang count pair. Classification
+    compares against UNROUNDED fence doubles (identical in both
+    engines); rounding is display-only.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.percentile("n_chars", F.lit(0.25)).alias("q1"),
+        F.percentile("n_chars", F.lit(0.75)).alias("q3"),
+    )
+    fences = bounds.select(
+        "lang",
+        "n_docs",
+        "q1",
+        "q3",
+        (F.col("q1") - F.lit(1.5) * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + F.lit(1.5) * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    flagged = docs.select("lang", "n_chars").join(F.broadcast(fences), "lang")
+    return (
+        flagged.groupBy("lang", "n_docs", "q1", "q3", "lo", "hi")
+        .agg(
+            F.sum(F.when(F.col("n_chars") < F.col("lo"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_low_outliers"),
+            F.sum(F.when(F.col("n_chars") > F.col("hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_high_outliers"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            F.round("q1", 4).alias("q1"),
+            F.round("q3", 4).alias("q3"),
+            F.round("lo", 4).alias("lo_fence"),
+            F.round("hi", 4).alias("hi_fence"),
+            "n_low_outliers",
+            "n_high_outliers",
+        )
+    )

@@ -687,3 +687,50 @@ def hilbert_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_HILBERT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 time travel: state as of a point in time
+# ---------------------------------------------------------------------------
+
+_ASOF_T = "2024-01-16 00:00:00"
+
+_SCD2_ASOF_ORACLE = f"""
+SELECT key, version, attr, valid_from, valid_to, n_events, is_current
+FROM ({_SCD2_ORACLE})
+WHERE valid_from <= TIMESTAMP '{_ASOF_T}'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '{_ASOF_T}')
+"""
+
+
+@query(
+    "user_state_asof_midmonth",
+    _SCD2_ASOF_ORACLE,
+    tags=("K2", "scd2", "time-travel"),
+)
+def user_state_asof_midmonth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time reconstruction over the SCD2 history: each user's
+    single valid version row as of Jan 16 (mid-range of the driver's
+    event window) — the time-travel read that justifies historizing at
+    all ("what did the warehouse believe on date T"), and the batch
+    counterpart of the reference's latest-state lookups
+    (``src/leader_relation_data2mysql.py`` REPLACE-INTO keeps ONLY the
+    latest state; SCD2 + this filter answers the same query for every T).
+
+    Scale shape: inherits ``scd2_collapse``'s single hash exchange; the
+    as-of predicate is a per-row filter on the version intervals — at
+    most one version per key survives, with no extra shuffle (no
+    row_number re-rank needed: SCD2 intervals partition time, so the
+    interval containing T is unique by construction)."""
+    from leader_graph_spark.operators.scd import scd2_collapse
+
+    events = load_table(spark, sf_dir, "events")
+    t = F.to_timestamp(F.lit(_ASOF_T))
+    scd2 = scd2_collapse(
+        events, key_col="user_id", attr_col="event_type", ts_col="ts",
+        tie_col="event_id",
+    )
+    return scd2.where(
+        (F.col("valid_from").cast("timestamp") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to").cast("timestamp") > t))
+    )
