@@ -135,3 +135,41 @@ def mixture_resample(
             .alias("n_copies"),
         )
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    *,
+    strata_col: str,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): per stratum, keep the ``k`` rows with the smallest
+    exponential key ``-ln(u)/w`` — each row's inclusion probability is
+    proportional to its weight, and because ``u`` is the md5-uniform of
+    (salt|key) rather than an RNG draw, the sample is identical under
+    any engine, partitioning, or row order (the same reproducibility
+    contract as the other samplers here; Spark's ``sampleBy`` offers
+    neither weights nor stability).
+
+    One pass: the key is map-side arithmetic; the per-stratum top-k is
+    a row_number window — one shuffle on the stratum. For a global
+    (unstratified) top-k prefer ``orderBy(key).limit(k)`` so Spark
+    plans TakeOrderedAndProject instead of a single-partition window.
+
+    Weights must be > 0 (guard-filtered; a zero weight would make the
+    key +inf, i.e. never sampled anyway).
+    """
+    u = (_hash_bucket(key_col, salt) + F.lit(0.5)) / F.lit(float(_HASH_MOD))
+    aes = -F.log(u) / F.col(weight_col)
+    w = Window.partitionBy(strata_col).orderBy(F.asc("_aes"), F.asc(key_col))
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("_aes", aes)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(*df.columns, F.col("_rk").cast("int").alias("rk"))
+    )

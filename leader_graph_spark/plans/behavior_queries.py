@@ -1,0 +1,154 @@
+"""User-behavior analytics: ordered funnel conversion and cohort
+retention over the ``events`` table.
+
+The reference's event handling stops at per-entity latest-state
+(``src/leader_relation_data2mysql.py``); these add the two
+sequence-aware analyses every event-sourced store is actually asked
+for: "how many users progressed view → click → purchase, in order?"
+and "of the users who first appeared on day D, how many came back k
+days later?". Both are single-shuffle plans on ``user_id``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from leader_graph_spark.plans.registry import query
+from leader_graph_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Ordered funnel: view → click → purchase
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH e1 AS (
+  SELECT user_id, event_type, ts,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t_view
+  FROM events
+),
+e2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+              OVER (PARTITION BY user_id) AS t_click
+  FROM e1
+),
+e3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+              OVER (PARTITION BY user_id) AS t_purchase
+  FROM e2
+)
+SELECT user_id, min(t_view) AS t_view, min(t_click) AS t_click,
+       min(t_purchase) AS t_purchase,
+       CAST(CASE WHEN min(t_purchase) IS NOT NULL THEN 3
+                 WHEN min(t_click) IS NOT NULL THEN 2
+                 WHEN min(t_view) IS NOT NULL THEN 1
+                 ELSE 0 END AS INT) AS stage_reached
+FROM e3 GROUP BY user_id
+"""
+
+
+@query("funnel_view_click_purchase", _FUNNEL_ORACLE, tags=("behavior", "funnel"))
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered funnel: first view, first click strictly AFTER
+    that view, first purchase strictly after that click — the ordering
+    constraint is what distinguishes a funnel from three independent
+    mins (a purchase before any view must NOT count).
+
+    Scale shape: three chained unordered windows over the SAME
+    ``user_id`` partitioning — each stage's threshold feeds the next
+    stage's conditional min — followed by a groupBy on the same key, so
+    the whole funnel is ONE hash exchange of the events table and no
+    self-joins (the naive form joins events to events per stage). An
+    unordered min-over-partition needs no sort, only the hash.
+    """
+    ts = F.col("ts").cast("timestamp")
+    w = Window.partitionBy("user_id")
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", ts.alias("ts")
+    )
+    e = e.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    e = e.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    e = e.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    agg = e.groupBy("user_id").agg(
+        F.min("t_view").alias("t_view"),
+        F.min("t_click").alias("t_click"),
+        F.min("t_purchase").alias("t_purchase"),
+    )
+    stage = (
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .when(F.col("t_view").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return agg.select(
+        "user_id", "t_view", "t_click", "t_purchase",
+        stage.cast("int").alias("stage_reached"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention
+# ---------------------------------------------------------------------------
+
+_RETENTION_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+cohort AS (
+  SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id
+)
+SELECT c.cohort_day,
+       CAST(date_diff('day', c.cohort_day, u.day) AS INT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_active_users
+FROM ud u JOIN cohort c ON u.user_id = c.user_id
+GROUP BY c.cohort_day, day_offset
+"""
+
+
+@query("cohort_retention_daily", _RETENTION_ORACLE, tags=("behavior", "retention"))
+def cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention: users grouped by first-active day, then
+    for each (cohort, day-offset) the count of users active that many
+    days later — the retention-curve table behind every engagement
+    dashboard, and a data-freshness probe for training pipelines (a
+    cohort whose activity vanishes mid-window flags an ingest gap).
+
+    Scale shape: activity first collapses to distinct (user, day) —
+    map-side combinable, ≤ |users|·|days| rows; the cohort table is a
+    same-key aggregate, so its join back is co-partitioned on
+    ``user_id`` with no extra exchange (at 100 TB the user dimension is
+    too big to broadcast — co-partitioning, not broadcast, is the
+    plan); the final (cohort, offset) rollup shuffles only
+    calendar-sized keys.
+    """
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("timestamp").cast("date").alias("day"))
+        .distinct()
+    )
+    cohort = ud.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ud.join(cohort, "user_id")
+        .groupBy("cohort_day", F.datediff("day", "cohort_day").cast("int").alias("day_offset"))
+        .agg(F.count("*").cast("bigint").alias("n_active_users"))
+    )

@@ -219,3 +219,45 @@ def corpus_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1000000.0) * F.col("total_chars").cast("double") / total.cast("double")
         ).alias("char_share_ppm"),
     )
+
+
+def _weighted_sample_oracle() -> str:
+    bucket = _hash_bucket_sql("CAST(doc_id AS VARCHAR)", "wsample")
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         -ln(({bucket} + 0.5) / 1000000.0) / n_chars AS aes
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, lang, n_chars, CAST(rk AS INT) AS rk
+FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY aes, doc_id) AS rk
+  FROM keyed
+)
+WHERE rk <= 10
+"""
+
+
+@query(
+    "weighted_doc_sample",
+    _weighted_sample_oracle(),
+    tags=("sampling", "weighted", "mlprep"),
+)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10 documents per language sampled WITHOUT replacement with
+    probability proportional to length (Efraimidis–Spirakis exponential
+    keys over the md5-uniform, ``operators/sampling.py:
+    weighted_sample_topk``) — the quality-weighted subset draw of a
+    curation pipeline ("sample a review set, favoring long docs"),
+    reproducible under any engine or partitioning. The oracle replays
+    the exact key arithmetic, so the sampler's determinism claim is
+    value-checked, not asserted."""
+    from leader_graph_spark.operators.sampling import weighted_sample_topk
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "n_chars"
+    )
+    return weighted_sample_topk(
+        docs, strata_col="lang", key_col="doc_id", weight_col="n_chars", k=10
+    )
