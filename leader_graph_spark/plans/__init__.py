@@ -26,6 +26,7 @@ from leader_graph_spark.plans import boundary_queries  # noqa: E402,F401
 from leader_graph_spark.plans import retrieval_queries  # noqa: E402,F401
 from leader_graph_spark.plans import stats_queries  # noqa: E402,F401
 from leader_graph_spark.plans import behavior_queries  # noqa: E402,F401
+from leader_graph_spark.plans import dq_queries  # noqa: E402,F401
 
 # The driver's correctness sweep covers the registry in iteration order
 # with a finite per-round budget (50 entries observed in round 1), so

@@ -1,0 +1,183 @@
+"""Data-quality queries: declarative rule validation and column
+profiling over the lake tables.
+
+The reference validates records row-at-a-time inside its extractors
+(``html_extractor/*`` try/except per field); a warehouse needs the
+set-based complement — run a rule pack over a whole table and get a
+violation ledger (Deequ/Great-Expectations shape), plus a per-column
+statistical profile to catch drift before queries silently go wrong
+(the vacuous-predicate incident in ``SCALE.md`` is exactly the failure
+a profile would have flagged). Both queries produce tiny outputs from
+full scans, so every aggregate is map-side combinable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from leader_graph_spark.plans.registry import query
+from leader_graph_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Declarative rule validation (Deequ-style)
+# ---------------------------------------------------------------------------
+
+_DQ_ORACLE = """
+WITH n AS (SELECT count(*) AS n_checked FROM orders)
+SELECT 'total_price_positive' AS rule, n.n_checked,
+       (SELECT count(*) FROM orders WHERE o_totalprice <= 0) AS n_violations FROM n
+UNION ALL
+SELECT 'order_status_domain', n.n_checked,
+       (SELECT count(*) FROM orders WHERE o_orderstatus NOT IN ('O', 'F', 'P')) FROM n
+UNION ALL
+SELECT 'order_date_in_range', n.n_checked,
+       (SELECT count(*) FROM orders
+        WHERE o_orderdate < TIMESTAMP '1990-01-01' OR o_orderdate >= TIMESTAMP '2010-01-01') FROM n
+UNION ALL
+SELECT 'priority_format', n.n_checked,
+       (SELECT count(*) FROM orders
+        WHERE NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')) FROM n
+UNION ALL
+SELECT 'customer_fk_exists', n.n_checked,
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) FROM n
+"""
+
+
+@query("dq_rule_violations", _DQ_ORACLE, tags=("dq", "validation"))
+def dq_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five declarative quality rules over ``orders`` — range,
+    domain-set, regex-format, and referential integrity — reported as a
+    (rule, n_checked, n_violations) ledger, the set-based counterpart
+    of the reference's per-row try/except validation and the X9/X11
+    quarantine queries (those repair single records; this certifies a
+    whole table before a pipeline consumes it).
+
+    Scale shape: the four predicate rules share ONE scan — a single
+    aggregate of conditional sums, unpivoted to rows via ``stack`` (no
+    per-rule passes, no shuffle beyond the 1-row aggregate); the FK
+    rule is a left-anti join on the key (co-partitioned at scale; the
+    one rule that genuinely needs a second input). Zero violations is a
+    meaningful result — the ledger row still appears, so the check is
+    auditable (absence-of-row would be indistinguishable from
+    not-having-run)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    viol = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    agg = orders.agg(
+        F.count("*").alias("n_checked"),
+        viol(F.col("o_totalprice") <= 0).alias("v_price"),
+        viol(~F.col("o_orderstatus").isin("O", "F", "P")).alias("v_status"),
+        viol(
+            (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+            | (F.col("o_orderdate") >= F.lit("2010-01-01").cast("timestamp"))
+        ).alias("v_date"),
+        viol(~F.col("o_orderpriority").rlike("^[1-5]-[A-Z ]+$")).alias("v_fmt"),
+    )
+    pred_rules = agg.select(
+        F.expr(
+            "stack(4, 'total_price_positive', v_price, 'order_status_domain', v_status, "
+            "'order_date_in_range', v_date, 'priority_format', v_fmt) AS (rule, n_violations)"
+        ),
+        "n_checked",
+    ).select("rule", "n_checked", "n_violations")
+
+    fk = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "left_anti")
+        .agg(F.count("*").alias("n_violations"))
+        .crossJoin(F.broadcast(orders.agg(F.count("*").alias("n_checked"))))
+        .select(F.lit("customer_fk_exists").alias("rule"), "n_checked", "n_violations")
+    )
+    return pred_rules.unionByName(fk)
+
+
+# ---------------------------------------------------------------------------
+# Column profiling
+# ---------------------------------------------------------------------------
+
+# (column, kind) — kind picks the cross-engine min/max formatter.
+_PROFILE_COLS = [
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for col, kind in _PROFILE_COLS:
+        if kind == "int":
+            mn, mx = f"printf('%d', min({col}))", f"printf('%d', max({col}))"
+        elif kind == "num":
+            mn, mx = f"printf('%.2f', min({col}))", f"printf('%.2f', max({col}))"
+        elif kind == "ts":
+            mn = f"strftime(min({col}), '%Y-%m-%d %H:%M:%S')"
+            mx = f"strftime(max({col}), '%Y-%m-%d %H:%M:%S')"
+        else:
+            mn, mx = f"min({col})", f"max({col})"
+        parts.append(
+            f"SELECT '{col}' AS col_name, count(*) AS n_rows,\n"
+            f"       count(*) - count({col}) AS n_nulls,\n"
+            f"       count(DISTINCT {col}) AS n_distinct,\n"
+            f"       {mn} AS min_repr, {mx} AS max_repr FROM orders"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+_PROFILE_ORACLE = _profile_oracle()
+
+
+@query("orders_column_profile", _PROFILE_ORACLE, tags=("dq", "profiling"))
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of ``orders``: null count, exact distinct
+    count, and min/max rendered through explicit cross-engine
+    formatters (printf / strftime — never CAST-to-string, whose float
+    formatting is engine-specific). The schema-drift tripwire a
+    pipeline runs at ingest.
+
+    Scale shape: one narrow scan PER COLUMN (columnar formats read just
+    that column — at 100 TB six single-column scans beat one six-column
+    scan feeding 6 count-distincts, because multiple exact distincts in
+    one aggregate force Spark's expand, multiplying the shuffle ×6:
+    cf. ``supplier_nation_reach``'s documented expand cost). Exact
+    distinct per column is the profile's honest form; the approx path
+    at extreme cardinality is ``approx_distinct_users``'s HLL."""
+    orders = load_table(spark, sf_dir, "orders")
+    outs = []
+    for col, kind in _PROFILE_COLS:
+        if kind == "int":
+            mn = F.printf(F.lit("%d"), F.min(col))
+            mx = F.printf(F.lit("%d"), F.max(col))
+        elif kind == "num":
+            mn = F.printf(F.lit("%.2f"), F.min(col))
+            mx = F.printf(F.lit("%.2f"), F.max(col))
+        elif kind == "ts":
+            mn = F.date_format(F.min(col), "yyyy-MM-dd HH:mm:ss")
+            mx = F.date_format(F.max(col), "yyyy-MM-dd HH:mm:ss")
+        else:
+            mn, mx = F.min(col), F.max(col)
+        outs.append(
+            orders.select(col).agg(
+                F.count("*").alias("n_rows"),
+                (F.count("*") - F.count(col)).alias("n_nulls"),
+                F.countDistinct(col).alias("n_distinct"),
+                mn.alias("min_repr"),
+                mx.alias("max_repr"),
+            ).select(
+                F.lit(col).alias("col_name"),
+                "n_rows",
+                "n_nulls",
+                "n_distinct",
+                "min_repr",
+                "max_repr",
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result

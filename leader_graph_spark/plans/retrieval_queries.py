@@ -244,3 +244,55 @@ def copurchase_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ra_score_pico"), F.asc("cust_a"), F.asc("cust_b"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search
+# ---------------------------------------------------------------------------
+
+_PHRASE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term,
+         generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS pos
+  FROM documents
+),
+seq AS (
+  SELECT doc_id, term,
+         lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM toks
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM seq WHERE term = 'spark' AND nxt = 'vector'
+GROUP BY doc_id
+"""
+
+
+@query("phrase_search_bigram", _PHRASE_ORACLE, tags=("retrieval", "phrase-search"))
+def phrase_search_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("spark vector", adjacent tokens in order)
+    via a positional token index — what BM25's bag-of-words scoring
+    cannot express, and the second retrieval primitive of corpus
+    curation (find *exact* contexts, e.g. for contamination review or
+    prompt-template mining).
+
+    Scale shape: ``posexplode`` keeps (doc, position) at tokenize time
+    — the positional index IS the token stream, no second pass; the
+    adjacency test is one lead() window per doc partition, and
+    occurrence counts reduce on doc_id, so the whole plan is a single
+    shuffle of the token stream on doc_id. Overlapping matches count
+    individually (a b a b → the oracle window counts each start)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower("text")), r"\s+")).alias("pos", "term"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    seq = toks.select("doc_id", "term", F.lead("term").over(w).alias("nxt"))
+    return (
+        seq.where((F.col("term") == "spark") & (F.col("nxt") == "vector"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_occurrences"))
+    )

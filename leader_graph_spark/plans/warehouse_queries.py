@@ -734,3 +734,56 @@ def user_state_asof_midmonth(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("valid_from").cast("timestamp") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to").cast("timestamp") > t))
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental join maintenance (IVM)
+# ---------------------------------------------------------------------------
+
+_IVM_ORACLE = """
+SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey
+"""
+
+
+@query("incremental_join_maintenance", _IVM_ORACLE, tags=("ivm", "warehouse"))
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The orders⋈customer view maintained INCREMENTALLY: both tables
+    are split into a 90% base and a 10% insert-delta (md5 buckets, so
+    the split is deterministic), the stored result is built from the
+    bases only, and the delta rows arrive through the differential rule
+    ΔL⋈(R∪ΔR) ∪ L⋈ΔR (``operators/ivm.py``) — maintenance work scales
+    with the delta, never the history. The oracle is the full
+    recompute, so the differential algebra (completeness AND no double
+    counting across the two branches) sits under the value hash; the
+    reference instead drops and refills its derived tables every run
+    (``src/leader_relation_data2mysql.py``).
+
+    Aggregated per nation in cents so the output is compact and
+    summation-order-free."""
+    from leader_graph_spark.operators.ivm import incremental_join_update
+    from leader_graph_spark.operators.sampling import _hash_bucket
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+
+    o_delta_pred = _hash_bucket("o_custkey", "ivm") < 100_000
+    c_delta_pred = _hash_bucket("c_custkey", "ivm") < 100_000
+    base_l, delta_l = orders.where(~o_delta_pred), orders.where(o_delta_pred)
+    base_r = customer.where(~c_delta_pred).withColumnRenamed("c_custkey", "o_custkey")
+    delta_r = customer.where(c_delta_pred).withColumnRenamed("c_custkey", "o_custkey")
+
+    stored = base_l.join(base_r, "o_custkey")
+    maintained = incremental_join_update(
+        stored, base_l, delta_l, base_r, delta_r, on="o_custkey"
+    )
+    return maintained.groupBy("c_nationkey").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
