@@ -380,6 +380,68 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    t_num: int = 4,
+    t_den: int = 5,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs at threshold t = t_num/t_den via
+    All-Pairs/PPJoin prefix filtering — the SCALE path for what
+    ``ngram_jaccard_pairs`` computes quadratically. Same output.
+
+    Why it scales: order each doc's shingle set by global rarity
+    (document frequency asc, then shingle); two sets with J ≥ t MUST
+    share a shingle within their first ``|s| − ⌈t·|s|⌉ + 1`` shingles
+    under any shared total order (if the required overlap
+    α = ⌈t/(1+t)·(|x|+|y|)⌉ ≥ ⌈t·max(|x|,|y|)⌉ rows all sat past a
+    prefix, the intersection would be too small), so only PREFIX rows
+    enter the candidate self-join — ~(1−t) of the shingle stream — and
+    the frequency ordering sends hot (stopword-like) shingles to the
+    suffix, exactly the rows that would have exploded the join. A size
+    filter (t·|x| ≤ |y| ≤ |x|/t, held as exact integer cross products)
+    prunes further; survivors get the exact verify.
+
+    The threshold arrives as a FRACTION (t_num/t_den) so the prefix
+    and size bounds are integer arithmetic — ``ceil(0.8·s)`` in doubles
+    can round the wrong way (0.8·35 = 28.000000000000004) and silently
+    shorten a prefix, breaking the completeness guarantee.
+    """
+    from pyspark.sql import Window
+
+    fanned = fan_out(df)
+    sh = shingle_rows(fanned, id_col=id_col, text_col=text_col, n=shingle_n).localCheckpoint()
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("shingle"))
+    ceil_ts = F.expr(f"(({t_num} * sz + {t_den - 1}) div {t_den})")
+    prefix = (
+        sh.join(dfreq, "shingle")
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+        .withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= F.col("sz") - ceil_ts + 1)
+        .select(F.col(id_col).alias("pid"), "shingle", "sz")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.pid") < F.col("b.pid"))
+            & (F.lit(t_den) * F.col("a.sz") >= F.lit(t_num) * F.col("b.sz"))
+            & (F.lit(t_den) * F.col("b.sz") >= F.lit(t_num) * F.col("a.sz")),
+        )
+        .select(F.col("a.pid").alias("id_1"), F.col("b.pid").alias("id_2"))
+        .distinct()
+    )
+    jac = jaccard_on_pairs(cand, sh, id_col=id_col)
+    return jac.filter(F.col("jaccard") >= t_num / t_den).select(
+        "id_1", "id_2", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 def _hex16(tok: Column) -> Column:
     """First 16 bits of md5(token) as an int, via hex-digit positions —
     the same arithmetic is expressible in ANSI SQL for the oracle."""

@@ -15,6 +15,7 @@ from leader_graph_spark.operators.dedup import (
     exact_dedup_keys,
     minhash_near_duplicates,
     ngram_jaccard_pairs,
+    ngram_jaccard_pairs_prefix,
     simhash16,
 )
 from leader_graph_spark.plans.registry import query
@@ -475,4 +476,21 @@ def span_excised_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return excise_duplicated_spans(
         docs, id_col="doc_id", text_col="text", k=_SPAN_K, min_docs=2
+    )
+
+
+@query("ngram_jaccard_prefix_filtered", _NGRAM_ORACLE, tags=("dedup-ngram-jaccard", "scale-twin"))
+def ngram_jaccard_prefix_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE twin of ``ngram_jaccard_dup_docs``: identical output
+    (same oracle) through All-Pairs/PPJoin prefix filtering instead of
+    the full shingle self-join — only each doc's rarest
+    ``|s|−⌈t·|s|⌉+1`` shingles enter the candidate join, with integer
+    size bounds pruning the rest (``operators/dedup.py:
+    ngram_jaccard_pairs_prefix``). This retires the one exact-Jaccard
+    entry on the quadratic-yardstick list: the yardstick keeps its
+    simple form, and this query IS the 100 TB plan, value-checked
+    against the same oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs_prefix(
+        docs, id_col="doc_id", text_col="text", shingle_n=SHINGLE_N, t_num=4, t_den=5
     )

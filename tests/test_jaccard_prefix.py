@@ -1,0 +1,57 @@
+"""Prefix-filtered exact Jaccard must equal the quadratic form on
+crafted corpora that stress the filter's edges: exact duplicates,
+pairs straddling the 0.8 threshold, size-ratio rejects, and hot
+(stopword-like) shingles that only appear in suffixes."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from leader_graph_spark.operators.dedup import (
+    ngram_jaccard_pairs,
+    ngram_jaccard_pairs_prefix,
+)
+
+
+def _pairs(df_fn, docs, spark, **kw):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return {
+        (r.id_1, r.id_2, r.jaccard) for r in df_fn(df, id_col="doc_id", text_col="text", **kw).collect()
+    }
+
+
+def test_crafted_threshold_edges(spark):
+    words = " ".join(f"w{i}" for i in range(30))
+    docs = [
+        (1, words),                                              # 28 shingles
+        (2, words),                                              # exact dup of 1 (J=1)
+        (3, " ".join(f"w{i}" for i in range(29))),               # prefix-of: high J
+        (4, " ".join(f"w{i}" for i in range(15))),               # size-ratio reject vs 1
+        (5, " ".join(f"x{i}" for i in range(30))),               # disjoint
+        (6, " ".join(f"w{i}" for i in list(range(28)) + [99, 98])),  # near 0.8
+    ]
+    got = _pairs(ngram_jaccard_pairs_prefix, docs, spark, shingle_n=3, t_num=4, t_den=5)
+    want = _pairs(ngram_jaccard_pairs, docs, spark, shingle_n=3, threshold=0.8)
+    assert got == want
+    assert (1, 2, 1.0) in got
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_random_corpus_matches_quadratic(spark, seed):
+    rng = random.Random(seed)
+    vocab = [f"t{i}" for i in range(40)]  # small vocab → hot shingles
+    docs = []
+    for i in range(30):
+        n = rng.randint(6, 25)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    # plant a few mutated near-dups of earlier docs
+    for j in range(5):
+        src = docs[j][1].split()
+        k = rng.randrange(len(src))
+        src[k] = rng.choice(vocab)
+        docs.append((100 + j, " ".join(src)))
+    got = _pairs(ngram_jaccard_pairs_prefix, docs, spark, shingle_n=3, t_num=4, t_den=5)
+    want = _pairs(ngram_jaccard_pairs, docs, spark, shingle_n=3, threshold=0.8)
+    assert got == want
