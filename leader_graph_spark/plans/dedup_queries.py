@@ -479,7 +479,12 @@ def span_excised_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ngram_jaccard_prefix_filtered", _NGRAM_ORACLE, tags=("dedup-ngram-jaccard", "scale-twin"))
+@query(
+    "ngram_jaccard_prefix_filtered",
+    _NGRAM_ORACLE,
+    bench=True,
+    tags=("dedup-ngram-jaccard", "scale-twin"),
+)
 def ngram_jaccard_prefix_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE twin of ``ngram_jaccard_dup_docs``: identical output
     (same oracle) through All-Pairs/PPJoin prefix filtering instead of
