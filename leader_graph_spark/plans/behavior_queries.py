@@ -152,3 +152,66 @@ def cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", F.datediff("day", "cohort_day").cast("int").alias("day_offset"))
         .agg(F.count("*").cast("bigint").alias("n_active_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence pattern matching (CEP-lite)
+# ---------------------------------------------------------------------------
+
+_SEQ_REGEX = "v[^p]*p"
+
+_SEQ_MATCH_ORACLE = f"""
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                    WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                    ELSE 'e' END, '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(length(seq) AS INT) AS seq_len,
+       CAST(len(regexp_extract_all(seq, '{_SEQ_REGEX}')) AS INT) AS n_conversions
+FROM seqs
+"""
+
+
+@query("event_sequence_regex_match", _SEQ_MATCH_ORACLE, tags=("behavior", "cep", "sequence"))
+def event_sequence_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex over each user's event-type SEQUENCE: encode the ordered
+    history as a one-char-per-event string and count ``v[^p]*p``
+    matches — "a view that eventually converts, with no purchase in
+    between", i.e. distinct conversion episodes. This is the
+    lightweight form of MATCH_RECOGNIZE-style complex event processing:
+    any per-user ordered pattern (abandonment, retry storms,
+    error-before-purchase) is one regex away, and the funnel query's
+    fixed three-stage chain is just one instance of it.
+
+    Scale shape: one groupBy on user_id building the sequence string
+    via sort_array(collect_list(struct)) — per-user history must fit a
+    row (true for event-type initials even at 100 TB: 1 char/event);
+    the regex then runs map-side per user. Both engines count
+    non-overlapping leftmost matches, so the value parity is exact.
+    """
+    e = load_table(spark, sf_dir, "events")
+    initial = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    seqs = (
+        e.select("user_id", F.struct(F.col("ts").cast("timestamp").alias("ts"),
+                                     F.col("event_id").alias("event_id"),
+                                     initial.alias("c")).alias("ev"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("ev")), lambda s: s["c"]), ""
+            ).alias("seq")
+        )
+    )
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("int").alias("seq_len"),
+        F.regexp_count("seq", F.lit(_SEQ_REGEX)).cast("int").alias("n_conversions"),
+    )

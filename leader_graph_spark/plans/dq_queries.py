@@ -181,3 +181,78 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         result = result.unionByName(o)
     return result
+
+
+# ---------------------------------------------------------------------------
+# Key-skew diagnosis
+# ---------------------------------------------------------------------------
+
+_SKEW_ORACLE = """
+WITH per_key AS (
+  SELECT l_partkey, count(*) AS key_rows FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT sum(key_rows) AS n_rows FROM per_key),
+bucketed AS (
+  -- floor(log2(n)) as pure integer arithmetic (length of the binary
+  -- representation): ln(n)/ln(2) in doubles can land an ulp under an
+  -- exact power of two and floor into the wrong bucket.
+  SELECT CAST(length(bin(key_rows)) - 1 AS INT) AS log2_bucket, key_rows
+  FROM per_key
+)
+SELECT b.log2_bucket,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(b.key_rows) AS BIGINT) AS n_rows,
+       CAST(max(b.key_rows) AS BIGINT) AS max_key_rows,
+       CAST(floor(1000000.0 * CAST(sum(b.key_rows) AS DOUBLE) / CAST(t.n_rows AS DOUBLE)) AS BIGINT)
+         AS row_share_ppm
+FROM bucketed b CROSS JOIN tot t
+GROUP BY b.log2_bucket, t.n_rows
+"""
+
+
+@query("lineitem_key_skew_report", _SKEW_ORACLE, tags=("dq", "skew", "profiling"))
+def lineitem_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis for ``lineitem.l_partkey``: the
+    distribution of per-key row counts as a log2 histogram (bucket,
+    #keys, rows covered, heaviest key, ppm share of all rows) — the
+    number you consult BEFORE choosing between a plain shuffle join,
+    salting, or the bucketed interval form (SCALE.md's skew section);
+    a new top bucket appearing between ingests is a hot-key regression
+    alert.
+
+    Scale shape: per-key counts are one map-side-combinable groupBy on
+    the join key itself; the histogram then reduces ~|keys| rows to
+    ≤64 buckets, and the 1-row total broadcasts in via cross join. The
+    ppm share is floor-integer (the ``corpus_mixture_report`` pattern)
+    so no output depends on double summation order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_partkey").agg(F.count("*").alias("key_rows"))
+    tot = per_key.agg(F.sum("key_rows").alias("n_rows"))
+    # floor(log2) via binary-string length — exact integers, no ulp risk
+    # at power-of-two boundaries (see the oracle comment).
+    bucketed = per_key.select(
+        (F.length(F.bin("key_rows")) - 1).cast("int").alias("log2_bucket"),
+        "key_rows",
+    )
+    return (
+        bucketed.crossJoin(F.broadcast(tot))
+        .groupBy("log2_bucket", "n_rows")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("key_rows").cast("bigint").alias("rows_in_bucket"),
+            F.max("key_rows").cast("bigint").alias("max_key_rows"),
+        )
+        .select(
+            "log2_bucket",
+            "n_keys",
+            F.col("rows_in_bucket").alias("n_rows"),
+            "max_key_rows",
+            F.floor(
+                F.lit(1000000.0)
+                * F.col("rows_in_bucket").cast("double")
+                / F.col("n_rows").cast("double")
+            )
+            .cast("bigint")
+            .alias("row_share_ppm"),
+        )
+    )

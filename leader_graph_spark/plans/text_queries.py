@@ -1121,3 +1121,31 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_chunk_tokens"),
         F.concat_ws(" ", F.expr(f"slice(tokens, s, {_CHUNK_W})")).alias("chunk_text"),
     )
+
+
+# Fixed merge table for the BPE-apply query: collapses the corpus's two
+# most content-bearing words to single tokens, leaves the rest as
+# characters-with-partial-merges — enough structure that every merge
+# rule fires on driver data.
+_BPE_MERGES = [
+    ("s", "p"), ("sp", "a"), ("spa", "r"), ("spar", "k"),
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+    ("e", "r"), ("o", "r"),
+]
+
+
+@query("bpe_token_counts", None, tags=("text", "tokenizer", "bpe-apply"))
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a FIXED BPE merge table to every document and report word
+    count, true BPE token count, and a tokens fingerprint
+    (``operators/tokenize.py``) — packing budgets and length filters
+    need counts from the real tokenizer, not the whitespace proxy
+    (``doc_token_stats``). Iterative lowest-rank-first merging is not
+    expressible in one SQL pass ⇒ rows-only driver check; the encode
+    loop is pinned to a pure-python model (and hand-worked merge
+    sequences) in tests, and the fingerprint column makes any encoding
+    drift a visible value change."""
+    from leader_graph_spark.operators.tokenize import bpe_encode_stats
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return bpe_encode_stats(docs, id_col="doc_id", text_col="text", merges=_BPE_MERGES)
