@@ -215,3 +215,54 @@ def event_sequence_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("seq").cast("int").alias("seq_len"),
         F.regexp_count("seq", F.lit(_SEQ_REGEX)).cast("int").alias("n_conversions"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA (recursive fold) per user
+# ---------------------------------------------------------------------------
+
+_EWMA_ORACLE = """
+SELECT user_id, CAST(count(*) AS INT) AS n_events,
+       list_reduce(
+         list_prepend(CAST(0.0 AS DOUBLE),
+                      list(CAST(value AS DOUBLE) ORDER BY ts, event_id)),
+         (acc, x) -> acc * 0.5 + x * 0.5
+       ) AS ewma_value
+FROM events GROUP BY user_id
+"""
+
+
+@query("user_value_ewma", _EWMA_ORACLE, tags=("behavior", "timeseries", "ewma"))
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of each user's event
+    values (sₜ = ½·sₜ₋₁ + ½·xₜ, seed 0) — the recency-weighted signal
+    smoother of monitoring and feature pipelines, and a computation
+    WINDOW FUNCTIONS CANNOT EXPRESS (each state depends on the previous
+    state, not on a frame of inputs). Expressed as a deterministic
+    left fold over the time-ordered value array via the ``aggregate``
+    higher-order function — sequential semantics inside one row,
+    distributed across users.
+
+    α = ½ is chosen deliberately: halving a double is EXACT (power-of-
+    two scaling), so the only rounding is in the additions, which both
+    engines perform in the identical order — the oracle matches
+    bit-for-bit with no fixed-point collapse needed. Scale shape: one
+    groupBy on user_id; per-user history must fit a row (same contract
+    as the sequence-regex query)."""
+    e = load_table(spark, sf_dir, "events")
+    ev = F.struct(
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").alias("event_id"),
+        F.col("value").cast("double").alias("value"),
+    )
+    g = e.select("user_id", ev.alias("ev")).groupBy("user_id").agg(
+        F.array_sort(F.collect_list("ev")).alias("evs")
+    )
+    vals = F.transform(F.col("evs"), lambda s: s["value"])
+    return g.select(
+        "user_id",
+        F.size("evs").cast("int").alias("n_events"),
+        F.aggregate(
+            vals, F.lit(0.0), lambda acc, x: acc * F.lit(0.5) + x * F.lit(0.5)
+        ).alias("ewma_value"),
+    )

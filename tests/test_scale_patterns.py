@@ -383,3 +383,30 @@ def test_hilbert_locality_at_least_matches_zorder(spark, sf_dir):
     h_span = worse_avg_span(h)
     assert h_span < 0.35 * 65535
     assert h_span <= z_span * 1.05, (h_span, z_span)
+
+
+def test_dynamic_partition_pruning(spark, tmp_path, sf_smoke):
+    """DYNAMIC partition pruning: when the partition filter arrives at
+    RUNTIME through a join against a filtered dimension (no literal
+    predicate on the fact side), Spark must inject a dynamicpruning
+    subquery into the partitioned scan — the mechanism that keeps a
+    100 TB date/type-partitioned fact table from being fully scanned by
+    star-schema joins. Static pruning (literal filters) is covered by
+    test_partition_pruning; this pins the runtime path."""
+    from pyspark.sql import functions as F
+
+    from leader_graph_spark.sources.tables import load_table
+
+    out = str(tmp_path / "events_dpp")
+    load_table(spark, sf_smoke, "events").write.partitionBy("event_type").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("click", "interactive"), ("view", "interactive"), ("purchase", "commerce")],
+        "event_type string, family string",
+    )
+    joined = fact.join(dim.filter(F.col("family") == "commerce"), "event_type")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # the pruned scan reads only the purchase partition's rows
+    n_purchase = fact.filter("event_type = 'purchase'").count()
+    assert joined.count() == n_purchase
