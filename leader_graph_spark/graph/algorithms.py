@@ -219,3 +219,50 @@ def khop_distances(
             frontier.select("id", F.lit(r).alias("dist"))
         ).localCheckpoint()
     return visited
+
+
+def label_propagation_fixed(edges: DataFrame, *, rounds: int) -> DataFrame:
+    """Synchronous label-propagation community detection (LPA), exactly
+    ``rounds`` fixed rounds — deterministic where textbook LPA is not:
+    every vertex starts labeled with its own id, and each round adopts
+    the most frequent label among its NEIGHBORS, breaking count ties by
+    MINIMUM label (and keeping its current label only if it has no
+    neighbors). Fixed rounds + total tie order make the result an exact
+    function of the graph, so an unrolled SQL oracle can value-check it
+    — the same contract as ``pagerank_fixed_point`` and
+    ``khop_distances``, vs GraphFrames' LPA whose async schedule is
+    nondeterministic.
+
+    Scale shape per round: one groupBy on (vertex, neighbor-label) —
+    map-side combinable, keyed by vertex — then a per-vertex top-1
+    window over label counts (same partitioning, no extra exchange) and
+    a left join back onto the label table. The symmetric edge list is
+    materialized once (``localCheckpoint``); label state is one row per
+    vertex, re-checkpointed per round to keep the plan flat (the
+    min-label CC lesson).
+
+    Returns (id, community).
+    """
+    from pyspark.sql import Window
+
+    sym = symmetrize(edges).localCheckpoint()
+    nodes = sym.select(F.col("src").alias("id")).distinct()
+    labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint()
+    w = Window.partitionBy("nid").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(rounds):
+        cnt = (
+            sym.join(labels, sym.src == labels.id)
+            .groupBy(F.col("dst").alias("nid"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        pick = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("nid").alias("id"), F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(pick, "id", "left")
+            .select("id", F.coalesce("new_label", "label").alias("label"))
+            .localCheckpoint()
+        )
+    return labels.select("id", F.col("label").alias("community"))

@@ -518,3 +518,62 @@ def membership_khop_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5_key(F.lit("region"), "r_name").alias("id")
     )
     return khop_distances(edges, sources, k=3)
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation community detection (fixed rounds, deterministic)
+# ---------------------------------------------------------------------------
+
+
+def _lpa_oracle(rounds: int = 3) -> str:
+    ctes = [
+        """base AS (
+  SELECT md5(concat('nation', '_', n_name)) AS src,
+         md5(concat('region', '_', r_name)) AS dst
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+  UNION ALL
+  SELECT md5(concat('customer', '_', c_name)),
+         md5(concat('nation', '_', n_name))
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)""",
+        "sym AS (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM base UNION ALL SELECT dst AS src, src AS dst FROM base))",
+        "nodes AS (SELECT DISTINCT src AS id FROM sym)",
+        "l0 AS (SELECT id, id AS label FROM nodes)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"c{i} AS (SELECT s.dst AS nid, l.label, count(*) AS c "
+            f"FROM sym s JOIN l{i - 1} l ON l.id = s.src GROUP BY s.dst, l.label)"
+        )
+        ctes.append(
+            f"p{i} AS (SELECT nid, label FROM (SELECT nid, label, "
+            f"row_number() OVER (PARTITION BY nid ORDER BY c DESC, label) AS rn "
+            f"FROM c{i}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"l{i} AS (SELECT l.id, coalesce(p.label, l.label) AS label "
+            f"FROM l{i - 1} l LEFT JOIN p{i} p ON p.nid = l.id)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label AS community FROM l{rounds}"
+
+
+@query("lpa_membership_communities", _lpa_oracle(), tags=("graph-iterative", "community"))
+def lpa_membership_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round synchronous label propagation over the undirected
+    membership graph — community detection, the graph primitive
+    connected components can't give you (CC merges everything
+    reachable; LPA splits dense regions by neighborhood majority).
+    Deterministic by construction (fixed rounds, count-then-min-label
+    total tie order), so the unrolled-CTE oracle value-checks every
+    label — unlike GraphFrames' LPA, whose async schedule is
+    nondeterministic (``graph/algorithms.py:label_propagation_fixed``).
+    On this graph the hub structure makes labels oscillate between
+    rounds (customers adopt their nation's label while the nation
+    adopts its majority customer's), which is exactly the known LPA
+    bipartite-oscillation behavior — fixed rounds pin one side of the
+    oscillation; the test asserts the round-parity behavior explicitly.
+    """
+    from leader_graph_spark.graph.algorithms import label_propagation_fixed
+
+    return label_propagation_fixed(build_membership_edges(spark, sf_dir), rounds=3)
