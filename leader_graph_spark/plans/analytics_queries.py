@@ -799,3 +799,78 @@ def orders_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.agg(
         F.count(F.lit(1)).alias("n_rows"), F.sum(row_h).alias("content_checksum")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap set algebra: exact audience overlap
+# ---------------------------------------------------------------------------
+
+_BITMAP_OVERLAP_ORACLE = """
+SELECT
+  CAST((SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'view') AS BIGINT)
+    AS n_view_users,
+  CAST((SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'purchase') AS BIGINT)
+    AS n_purchase_users,
+  CAST((SELECT count(DISTINCT user_id) FROM events
+        WHERE event_type IN ('view', 'purchase')) AS BIGINT) AS n_either,
+  CAST((SELECT count(*) FROM (
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+          INTERSECT
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')) AS BIGINT)
+    AS n_both
+"""
+
+
+@query("bitmap_audience_overlap", _BITMAP_OVERLAP_ORACLE, tags=("bitmap-distinct", "set-algebra"))
+def bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact audience overlap (|view ∩ purchase| users) via bitmap SET
+    ALGEBRA: per-(type, bucket) bitmaps OR-merge across types
+    (``bitmap_or_agg``) to give |A∪B|, and the intersection falls out
+    by inclusion–exclusion |A∩B| = |A|+|B|−|A∪B| — no raw-id shuffle
+    anywhere, extending ``bitmap_distinct_users``'s single-set count to
+    the set-combination questions audiences/cohorts actually need
+    (HLL sketches can union but NOT intersect reliably; bitmaps do
+    both, exactly). The oracle computes the same four numbers with
+    plain DISTINCT/INTERSECT.
+
+    Scale shape: one scan; bitmaps shuffle as ≤4KB values per (type,
+    bucket); the OR-merge reduces per bucket; the final arithmetic is
+    on a 1-row aggregate."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+    )
+    per = ev.groupBy("event_type", "bucket").agg(
+        F.expr("bitmap_construct_agg(pos)").alias("bmp")
+    )
+    per_type = (
+        per.groupBy("event_type")
+        .agg(F.sum(F.expr("bitmap_count(bmp)")).alias("n"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", F.col("n"))).alias("n_view_users"),
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("n"))).alias(
+                "n_purchase_users"
+            ),
+        )
+    )
+    union = (
+        per.groupBy("bucket")
+        .agg(F.expr("bitmap_count(bitmap_or_agg(bmp))").alias("c"))
+        .agg(F.sum("c").alias("n_either"))
+    )
+    return (
+        per_type.crossJoin(F.broadcast(union))
+        .select(
+            F.col("n_view_users").cast("bigint").alias("n_view_users"),
+            F.col("n_purchase_users").cast("bigint").alias("n_purchase_users"),
+            F.col("n_either").cast("bigint").alias("n_either"),
+            (F.col("n_view_users") + F.col("n_purchase_users") - F.col("n_either"))
+            .cast("bigint")
+            .alias("n_both"),
+        )
+    )

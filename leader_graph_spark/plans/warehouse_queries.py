@@ -787,3 +787,53 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_orders"),
         F.sum("cents").cast("bigint").alias("total_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 consumer: time in state
+# ---------------------------------------------------------------------------
+
+_STATE_DURATION_ORACLE = f"""
+SELECT attr AS event_type,
+       CAST(count(*) AS BIGINT) AS n_closed_versions,
+       CAST(sum(epoch_us(valid_to) - epoch_us(valid_from)) AS BIGINT) AS total_micros
+FROM ({_SCD2_ORACLE})
+WHERE valid_to IS NOT NULL
+GROUP BY attr
+"""
+
+
+@query("user_state_durations", _STATE_DURATION_ORACLE, tags=("K2", "scd2", "durations"))
+def user_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-in-state from the SCD2 history: total dwell time per state
+    value across all closed versions — the duration analysis ("how long
+    do users stay in each state?") that latest-state stores (the
+    reference's REPLACE INTO) structurally cannot answer and SCD2
+    exists to enable. Open versions (valid_to NULL) are excluded: their
+    duration depends on "now", which has no place in a deterministic
+    result.
+
+    Scale shape: inherits the single SCD2 exchange; durations are
+    integer MICROSECONDS (``unix_micros``/``epoch_us`` — DuckDB's
+    ``epoch()`` returns fractional-second doubles whose sum is
+    order-dependent) so the per-state SUM is exact."""
+    from leader_graph_spark.operators.scd import scd2_collapse
+
+    events = load_table(spark, sf_dir, "events")
+    scd2 = scd2_collapse(
+        events, key_col="user_id", attr_col="event_type", ts_col="ts",
+        tie_col="event_id",
+    )
+    return (
+        scd2.where(F.col("valid_to").isNotNull())
+        .groupBy(F.col("attr").alias("event_type"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_closed_versions"),
+            F.sum(
+                F.unix_micros(F.col("valid_to").cast("timestamp"))
+                - F.unix_micros(F.col("valid_from").cast("timestamp"))
+            )
+            .cast("bigint")
+            .alias("total_micros"),
+        )
+    )
