@@ -133,22 +133,24 @@ def cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     dashboard, and a data-freshness probe for training pipelines (a
     cohort whose activity vanishes mid-window flags an ingest gap).
 
-    Scale shape: activity first collapses to distinct (user, day) —
-    map-side combinable, ≤ |users|·|days| rows; the cohort table is a
-    same-key aggregate, so its join back is co-partitioned on
-    ``user_id`` with no extra exchange (at 100 TB the user dimension is
-    too big to broadcast — co-partitioning, not broadcast, is the
-    plan); the final (cohort, offset) rollup shuffles only
-    calendar-sized keys.
+    Scale shape: TWO shuffles total, no join. Activity collapses
+    straight to one day-SET per user (``collect_set`` — map-side
+    combinable, and bounded by the CALENDAR, ≤ window-days entries per
+    user, so the set can never blow a row); the cohort day is then just
+    ``array_min`` in place — computing it in the same row eliminates
+    both the distinct-(user, day) pre-shuffle and the cohort self-join
+    a naive plan would run (3 exchanges → 2, and no join at all); the
+    final (cohort, offset) rollup shuffles calendar-sized keys. The
+    user dimension is never broadcast — at 100 TB it doesn't fit.
     """
-    ud = (
+    per_user = (
         load_table(spark, sf_dir, "events")
         .select("user_id", F.col("ts").cast("timestamp").cast("date").alias("day"))
-        .distinct()
+        .groupBy("user_id")
+        .agg(F.collect_set("day").alias("days"))
     )
-    cohort = ud.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (
-        ud.join(cohort, "user_id")
+        per_user.select(F.array_min("days").alias("cohort_day"), F.explode("days").alias("day"))
         .groupBy("cohort_day", F.datediff("day", "cohort_day").cast("int").alias("day_offset"))
         .agg(F.count("*").cast("bigint").alias("n_active_users"))
     )

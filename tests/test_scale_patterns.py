@@ -194,7 +194,44 @@ SHUFFLE_BUDGETS = {
     "schoolmates_shared_part": 2,
     "shipping_priority_top10": 1,
     "supplier_nation_reach": 2,
+    "ngram_jaccard_prefix_filtered": 6,
 }
+
+# Same contract for non-bench queries whose scale story IS a shuffle
+# count claimed in their docstrings.
+REGISTRY_SHUFFLE_BUDGETS = {
+    "funnel_view_click_purchase": 1,   # chained windows, one user_id exchange
+    "user_value_ewma": 1,              # fold over collected array, one exchange
+    "event_sequence_regex_match": 1,   # ordered string build, one exchange
+    "cohort_retention_daily": 2,       # day-set agg + rollup, NO join
+    "incremental_join_maintenance": 1, # delta branches broadcast at this size
+}
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY_SHUFFLE_BUDGETS))
+def test_registry_query_shuffle_budget(spark, sf_smoke, name):
+    from leader_graph_spark.plans import REGISTRY
+
+    plan = (
+        REGISTRY[name].spark(spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+    )
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= REGISTRY_SHUFFLE_BUDGETS[name], (
+        f"{name}: {shuffles} shuffles > budget {REGISTRY_SHUFFLE_BUDGETS[name]}"
+    )
+
+
+def test_topk_queries_plan_take_ordered(spark, sf_smoke):
+    """The ranked-retrieval top-k queries must compile to
+    TakeOrderedAndProject (per-partition top-k + k-row merge), never a
+    global sort feeding a limit."""
+    from leader_graph_spark.plans import REGISTRY
+
+    for name in ("bm25_retrieval_topk", "copurchase_link_prediction"):
+        plan = (
+            REGISTRY[name].spark(spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "TakeOrderedAndProject" in plan, name
 
 
 @pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGETS))
