@@ -365,3 +365,45 @@ def user_running_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def run_join_view_maintenance(
+    sdf: DataFrame, dim: DataFrame, *, on: str, view_dir: str, checkpoint: str
+) -> None:
+    """Streaming IVM: keep a JOIN view fresh from micro-batches.
+
+    Each arriving batch is an insert-delta ΔL of the stream side; the
+    maintained view gains exactly ``Δ(L ⋈ R) = ΔL ⋈ R`` per batch
+    (``operators/ivm.py:incremental_join_delta`` with the static-side
+    delta empty) — the streaming counterpart of
+    ``incremental_join_maintenance``'s batch split, and the view the
+    reference rebuilds from scratch per run. Work per trigger scales
+    with the batch, never the accumulated view.
+
+    Replay safety: foreachBatch is at-least-once, so the delta lands
+    partitioned by ``_batch_id`` with dynamic overwrite — a replayed
+    batch replaces its own partition (the ``run_foreach_batch_to_parquet``
+    idempotence pattern), keeping the view exactly-once.
+    """
+    from leader_graph_spark.operators.ivm import incremental_join_delta
+
+    empty_l = sdf.sparkSession.createDataFrame([], sdf.schema)
+    empty_r = dim.sparkSession.createDataFrame([], dim.schema)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        delta = incremental_join_delta(empty_l, batch_df, dim, empty_r, on)
+        (
+            delta.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(view_dir)
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -235,3 +235,39 @@ def test_stateful_running_counts_transformwithstate(spark, sf_smoke):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_join_view_maintenance(spark, sf_smoke, tmp_path):
+    """foreachBatch IVM: the maintained events⋈dim view must equal the
+    batch join over ALL events after the stream drains, across multiple
+    micro-batches, and a replay must not duplicate view rows."""
+    from pyspark.sql import functions as F
+
+    from leader_graph_spark.sources.tables import load_table
+    from leader_graph_spark.streaming.jobs import (
+        read_events_stream,
+        run_join_view_maintenance,
+    )
+
+    events = load_table(spark, sf_smoke, "events")
+    dim = (
+        events.select("user_id").distinct()
+        .withColumn("family", (F.col("user_id") % 3).cast("int"))
+    )
+    view = str(tmp_path / "join_view")
+    sdf = read_events_stream(spark, sf_smoke).select("event_id", "user_id")
+    run_join_view_maintenance(
+        sdf, dim, on="user_id", view_dir=view, checkpoint=str(tmp_path / "ck1")
+    )
+    maintained = spark.read.parquet(view).select("event_id", "user_id", "family")
+    expected = events.select("event_id", "user_id").join(dim, "user_id").select(
+        "event_id", "user_id", "family"
+    )
+    assert sorted(map(tuple, maintained.collect())) == sorted(map(tuple, expected.collect()))
+    # replay with a fresh checkpoint: batch ids restart → partitions
+    # overwrite in place, view stays exactly-once.
+    run_join_view_maintenance(
+        read_events_stream(spark, sf_smoke).select("event_id", "user_id"),
+        dim, on="user_id", view_dir=view, checkpoint=str(tmp_path / "ck2"),
+    )
+    assert spark.read.parquet(view).count() == expected.count()
