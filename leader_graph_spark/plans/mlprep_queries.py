@@ -261,3 +261,64 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_topk(
         docs, strata_col="lang", key_col="doc_id", weight_col="n_chars", k=10
     )
+
+
+def _release_manifest_oracle() -> str:
+    from leader_graph_spark.plans.text_queries import _curation_oracle
+
+    bucket = _hash_bucket_sql("CAST(doc_id AS VARCHAR)", "release")
+    return f"""
+WITH curation AS ({_curation_oracle()}),
+kept AS (SELECT doc_id, n_tokens FROM curation WHERE keep),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM kept
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(before // 1000 AS BIGINT) AS pack_id,
+       CAST(before % 1000 AS BIGINT) AS pack_offset,
+       CASE WHEN {bucket} < 900000 THEN 'train' ELSE 'val' END AS split
+FROM c
+"""
+
+
+@query(
+    "corpus_release_manifest",
+    _release_manifest_oracle(),
+    tags=("curation", "packing", "mlprep", "composite", "capstone"),
+)
+def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CAPSTONE composition: a dataset-release manifest produced by
+    chaining three already-verified stages end-to-end — curation
+    verdicts (exact-dup election + span gate + length/punct gates) →
+    keep-set → distributed prefix-sum packing into 1,000-token budgets
+    → deterministic 90/10 train/val split — the artifact a training
+    run actually consumes ("which doc, which pack, what offset, which
+    split"), with the WHOLE chain under one value hash so the stages
+    are proven to compose, not just to pass individually.
+
+    Scale shape: inherits each stage's plan — the curation signals are
+    doc-keyed, the packing prefix-sum is the two-phase range-partition
+    form (never a single-reducer global window), and the split is
+    map-side md5 arithmetic. Nothing in the composition adds a shuffle
+    beyond the stages' own."""
+    from leader_graph_spark.operators.packing import pack_by_cumsum
+    from leader_graph_spark.operators.sampling import _hash_bucket
+    from leader_graph_spark.plans.text_queries import corpus_curation_verdicts
+
+    verdicts = corpus_curation_verdicts(spark, sf_dir)
+    kept = verdicts.where(F.col("keep")).select(
+        "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens")
+    )
+    packed = pack_by_cumsum(kept, id_col="doc_id", token_col="n_tokens", budget=1000)
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        F.col("pack_id").cast("bigint").alias("pack_id"),
+        F.col("pack_offset").cast("bigint").alias("pack_offset"),
+        F.when(_hash_bucket("doc_id", "release") < 900000, "train")
+        .otherwise("val")
+        .alias("split"),
+    )
