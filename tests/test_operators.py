@@ -176,6 +176,35 @@ def test_asof_join_backward_semantics(spark):
     assert len(got) == 4
 
 
+def test_asof_join_forward_semantics(spark):
+    from leader_graph_spark.operators.asof import asof_join_forward
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 16, "c"), (2, 10, "d")],
+        "k long, t long, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "r10"), (1, 15, "r15"), (3, 1, "rx")], "k long, t long, rv string"
+    )
+    out = asof_join_forward(
+        left, right, left_key="k", right_key="k", left_ts="t", right_ts="t",
+        right_payload=["t", "rv"],
+    )
+    got = {(r.k, r.t): (r.asof_t, r.asof_rv) for r in out.collect()}
+    assert got[(1, 10)] == (10, "r10")   # equal ts is inclusive
+    assert got[(1, 16)] == (None, None)  # nothing at-or-after
+    assert got[(1, 20)] == (None, None)
+    assert got[(2, 10)] == (None, None)  # key absent on right
+    assert len(got) == 4
+    # forward/backward duality on a denser key
+    left2 = spark.createDataFrame([(1, 12, "x")], "k long, t long, lv string")
+    fwd = asof_join_forward(
+        left2, right, left_key="k", right_key="k", left_ts="t", right_ts="t",
+        right_payload=["t", "rv"],
+    ).collect()[0]
+    assert (fwd.asof_t, fwd.asof_rv) == (15, "r15")  # next at-or-after
+
+
 def test_salted_join_matches_plain(spark):
     from leader_graph_spark.operators.skew import salted_join
 
