@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from leader_graph_spark.plans.registry import query
-from leader_graph_spark.sources.files import read_csv, write_json_per_key
+from leader_graph_spark.sources.files import read_csv, read_tabular_dir, write_json_per_key
 from leader_graph_spark.sources.lookup import point_lookup, write_keyed_layout
 from leader_graph_spark.sources.tables import load_table
 
@@ -133,3 +133,50 @@ def point_lookup_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         hit = point_lookup(spark, path, key_col="c_custkey", value=key, n_buckets=16)
         out = hit if out is None else out.unionByName(hit)
     return out
+
+
+_DIR_UNION_ORACLE = """
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+       CASE WHEN doc_id % 2 = 0 THEN 'part_a' ELSE 'part_b' END AS ingest_part
+FROM documents
+"""
+
+
+@query("dir_union_append_roundtrip", _DIR_UNION_ORACLE, tags=("S3", "K1", "boundary"))
+def dir_union_append_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 + K1 made oracle-visible: two successive insert-append
+    batches land as separate CSV files in one directory (the K1
+    append-to-landing pattern — each batch is a NEW file, never a
+    rewrite), then the multi-file dir-union source reads the directory
+    back with per-file provenance (``org/create_c_org_info.py:374-395``).
+    The oracle reproduces the typed rows AND each row's ingest batch
+    from the parity split, so a dropped file, a double-read, or broken
+    provenance tagging all break the hash. ``text`` is excluded here —
+    embedded-newline CSV fidelity is ``csv_roundtrip_documents``'s
+    job; this query checks the append/union/provenance mechanics."""
+    import glob as _g
+    import shutil
+
+    base = _scratch("dir_union_append_roundtrip", sf_dir)
+    landing = os.path.join(base, "landing")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(landing)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    for tag, parity in (("part_a", 0), ("part_b", 1)):
+        tmp = os.path.join(base, f"tmp_{tag}")
+        (
+            docs.where(F.col("doc_id") % 2 == parity)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("header", True)
+            .csv(tmp)
+        )
+        shutil.copy(_g.glob(os.path.join(tmp, "part-*.csv"))[0],
+                    os.path.join(landing, f"{tag}.csv"))
+    back = read_tabular_dir(spark, landing)
+    return back.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.regexp_extract("_source_file", "(part_[ab])", 1).alias("ingest_part"),
+    )
