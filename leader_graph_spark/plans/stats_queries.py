@@ -205,3 +205,107 @@ def doc_length_iqr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_high_outliers",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram-sketch quantiles
+# ---------------------------------------------------------------------------
+
+_NBINS = 1000
+
+_HIST_SKETCH_ORACLE = f"""
+WITH b AS (
+  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+),
+binned AS (
+  SELECT o_orderpriority,
+         LEAST(CAST(floor((o_totalprice - b.lo) / ((b.hi - b.lo) / {_NBINS})) AS INT),
+               {_NBINS - 1}) AS bin
+  FROM orders CROSS JOIN b
+),
+counts AS (
+  SELECT o_orderpriority, bin, count(*) AS c FROM binned GROUP BY o_orderpriority, bin
+),
+cum AS (
+  SELECT o_orderpriority, bin, c,
+         sum(c) OVER (PARTITION BY o_orderpriority ORDER BY bin) AS cum_c,
+         sum(c) OVER (PARTITION BY o_orderpriority) AS n
+  FROM counts
+),
+hits AS (
+  SELECT o_orderpriority,
+         min(CASE WHEN cum_c * 2 >= n THEN bin END) AS bin50,
+         min(CASE WHEN cum_c * 10 >= n * 9 THEN bin END) AS bin90
+  FROM cum GROUP BY o_orderpriority
+)
+SELECT h.o_orderpriority,
+       round(b.lo + (h.bin50 + 0.5) * ((b.hi - b.lo) / {_NBINS}), 4) AS approx_median,
+       round(b.lo + (h.bin90 + 0.5) * ((b.hi - b.lo) / {_NBINS}), 4) AS approx_p90
+FROM hits h CROSS JOIN b
+"""
+
+
+@query(
+    "histogram_sketch_percentiles",
+    _HIST_SKETCH_ORACLE,
+    tags=("percentile-sketch", "mergeable-state"),
+)
+def histogram_sketch_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from a MERGEABLE fixed-bin histogram sketch — the
+    deterministic middle ground between ``order_price_percentiles``
+    (exact, needs a per-group sort) and ``approx_order_price_percentiles``
+    (t-digest, engine-specific state ⇒ rows-only check): bin counts are
+    plain integers that merge by addition across partitions/batches/
+    days (the same ⊕ contract as ``merge_algebraic_state``), the error
+    is bounded by the bin width (range/1000 here, pinned against the
+    exact percentile in tests), and — unlike the t-digest — every step
+    is exactly reproducible, so this sketch gets a FULL value oracle.
+
+    Scale shape: one pass for global bounds (2-value aggregate,
+    broadcast back), one map-side-combinable (group, bin) count — the
+    shuffle carries ≤ groups·bins rows of integers — then bin-local
+    window arithmetic on that tiny table. The bin→value report uses
+    bin midpoints; all double arithmetic is identical expressions in
+    both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(_NBINS)
+    binned = orders.crossJoin(F.broadcast(b)).select(
+        "o_orderpriority",
+        "lo",
+        "hi",
+        F.least(
+            F.floor((F.col("o_totalprice") - F.col("lo")) / width).cast("int"),
+            F.lit(_NBINS - 1),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("o_orderpriority", "lo", "hi", "bin").agg(
+        F.count("*").alias("c")
+    )
+    from pyspark.sql import Window
+
+    wcum = Window.partitionBy("o_orderpriority").orderBy("bin")
+    wall = Window.partitionBy("o_orderpriority")
+    cum = counts.select(
+        "o_orderpriority",
+        "lo",
+        "hi",
+        "bin",
+        F.sum("c").over(wcum).alias("cum_c"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    hits = cum.groupBy("o_orderpriority", "lo", "hi").agg(
+        F.min(F.when(F.col("cum_c") * 2 >= F.col("n"), F.col("bin"))).alias("bin50"),
+        F.min(F.when(F.col("cum_c") * 10 >= F.col("n") * 9, F.col("bin"))).alias("bin90"),
+    )
+    return hits.select(
+        "o_orderpriority",
+        F.round(
+            F.col("lo") + (F.col("bin50") + F.lit(0.5)) * width, 4
+        ).alias("approx_median"),
+        F.round(
+            F.col("lo") + (F.col("bin90") + F.lit(0.5)) * width, 4
+        ).alias("approx_p90"),
+    )

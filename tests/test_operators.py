@@ -808,3 +808,35 @@ def test_doc_chunk_windows_overlap(spark, tmp_path):
     # overlap: tokens 49..64 in both chunk 0 and chunk 1
     assert c0.chunk_text.split()[48:64] == c1.chunk_text.split()[:16] == toks[48:64]
     assert by_key[(2, 0)].chunk_text == "tiny doc"
+
+
+def test_histogram_sketch_error_bound(spark, sf_dir):
+    """The mergeable histogram sketch's quantiles must land within one
+    bin width of the exact interpolated percentiles on driver data —
+    the sketch's documented error bound."""
+    from pyspark.sql import functions as F
+
+    from leader_graph_spark.plans import REGISTRY
+    from leader_graph_spark.sources.tables import load_table
+
+    sketch = {
+        r.o_orderpriority: (r.approx_median, r.approx_p90)
+        for r in REGISTRY["histogram_sketch_percentiles"].spark(spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.agg(F.min("o_totalprice"), F.max("o_totalprice")).first()
+    bin_width = (b[1] - b[0]) / 1000
+    exact = {
+        r.o_orderpriority: (r.m, r.p90)
+        for r in orders.groupBy("o_orderpriority")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.5)).alias("m"),
+            F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
+        )
+        .collect()
+    }
+    assert set(sketch) == set(exact)
+    for prio, (am, ap90) in sketch.items():
+        em, ep90 = exact[prio]
+        assert abs(am - em) <= bin_width, (prio, am, em, bin_width)
+        assert abs(ap90 - ep90) <= bin_width, (prio, ap90, ep90, bin_width)
