@@ -135,3 +135,44 @@ def interval_overlap_self_join_bucketed(
         F.least(F.col(f"a.{end_col}"), F.col(f"b.{end_col}")).alias("overlap_end"),
     ]
     return a.join(b, cond & overlap & anchor).select(*out_cols)
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_months: int = 1,
+) -> DataFrame:
+    """Generic RANGE JOIN: every (point, interval) pair with
+    ``start <= point < end`` — the shape behind "orders inside promo
+    windows", "events during an incident", "reading within a
+    calibration period".
+
+    Why not a plain BETWEEN join: a non-equi predicate gives Catalyst
+    no join key, so it plans BroadcastNestedLoopJoin — O(|points|·
+    |intervals|) comparisons, the first thing that dies at 100 TB.
+    This bucketizes time instead: each interval EXPLODES to the month
+    buckets it covers (bounded by interval length / bucket size — tiny
+    for human-scale windows), each point maps to exactly ONE bucket,
+    and the join is a plain equi-join on the bucket with the exact
+    range predicate as a post-filter. No candidate pair is missed (a
+    point inside an interval shares the interval's bucket covering it)
+    and none duplicates (the point has one bucket).
+
+    Shuffle = points keyed by an int bucket + the exploded intervals;
+    with few intervals AQE broadcasts their explosion and the points
+    never shuffle at all. Columns from both inputs are preserved
+    (prefix-free names required).
+    """
+    mo = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    bucket = lambda c: F.floor(mo(c) / bucket_months)  # noqa: E731
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(F.sequence(bucket(F.col(start_col)), bucket(F.col(end_col)))),
+    )
+    pt = points.withColumn("__bucket", bucket(F.col(point_col)))
+    exact = (F.col(start_col) <= F.col(point_col)) & (F.col(point_col) < F.col(end_col))
+    return pt.join(iv, "__bucket").where(exact).drop("__bucket")

@@ -874,3 +874,62 @@ def bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_both"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Generic range join: orders inside promo windows
+# ---------------------------------------------------------------------------
+
+_PROMOS = [
+    (f"holiday_{y}", f"{y}-11-01 00:00:00", f"{y + 1}-01-01 00:00:00")
+    for y in range(1995, 2001)
+]
+
+_PROMO_VALUES = ",\n    ".join(
+    f"('{p}', TIMESTAMP '{s}', TIMESTAMP '{e}')" for p, s, e in _PROMOS
+)
+
+_RANGE_JOIN_ORACLE = f"""
+WITH promos(promo, start_ts, end_ts) AS (VALUES
+    {_PROMO_VALUES})
+SELECT p.promo, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders o
+JOIN promos p ON p.start_ts <= o.o_orderdate AND o.o_orderdate < p.end_ts
+GROUP BY p.promo
+"""
+
+
+@query("orders_in_promo_windows", _RANGE_JOIN_ORACLE, tags=("range-join", "intervals"))
+def orders_in_promo_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic point-in-interval RANGE JOIN, done scalably: orders
+    (points) against holiday promo windows (intervals) through the
+    month-bucketized equi-join (``operators/intervals.py:
+    point_in_interval_join``). The naive BETWEEN join has no equi key,
+    so Catalyst plans BroadcastNestedLoopJoin — |orders|·|windows|
+    comparisons; the bucketed form explodes each window to its covered
+    months, maps each order to ONE month, and equi-joins — candidate
+    work is only same-month pairs, and the plan test pins that no
+    nested-loop join appears. The oracle is the naive BETWEEN join in
+    DuckDB, so the bucketization's exactness (no missed pair, no
+    duplicate) sits under the value hash."""
+    from leader_graph_spark.operators.intervals import point_in_interval_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    promos = spark.createDataFrame(
+        _PROMOS, "promo string, start_s string, end_s string"
+    ).select(
+        "promo",
+        F.to_timestamp("start_s").alias("start_ts"),
+        F.to_timestamp("end_s").alias("end_ts"),
+    )
+    joined = point_in_interval_join(
+        orders, promos, point_col="o_orderdate", start_col="start_ts", end_col="end_ts"
+    )
+    return joined.groupBy("promo").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )

@@ -840,3 +840,41 @@ def test_histogram_sketch_error_bound(spark, sf_dir):
         em, ep90 = exact[prio]
         assert abs(am - em) <= bin_width, (prio, am, em, bin_width)
         assert abs(ap90 - ep90) <= bin_width, (prio, ap90, ep90, bin_width)
+
+
+def test_point_in_interval_join_exact_and_no_bnlj(spark):
+    """The bucketized range join must equal the naive BETWEEN join
+    (boundary points included/excluded correctly, multi-bucket
+    intervals, overlapping windows) and must NOT plan a
+    BroadcastNestedLoopJoin."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from leader_graph_spark.operators.intervals import point_in_interval_join
+
+    pts = spark.createDataFrame(
+        [(i, datetime(1995, 1 + (i * 7) % 12, 1 + (i * 13) % 28)) for i in range(60)],
+        "pid long, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [
+            ("w1", datetime(1995, 2, 1), datetime(1995, 2, 15)),   # sub-month
+            ("w2", datetime(1995, 3, 15), datetime(1995, 7, 2)),   # multi-month
+            ("w3", datetime(1995, 6, 1), datetime(1995, 8, 1)),    # overlaps w2
+            ("w4", datetime(1995, 4, 1), datetime(1995, 4, 1)),    # empty window
+        ],
+        "w string, s timestamp, e timestamp",
+    )
+    bucketed = point_in_interval_join(pts, ivs, point_col="ts", start_col="s", end_col="e")
+    naive = pts.join(ivs, (F.col("s") <= F.col("ts")) & (F.col("ts") < F.col("e")))
+    got = sorted((r.pid, r.w) for r in bucketed.collect())
+    want = sorted((r.pid, r.w) for r in naive.collect())
+    assert got == want and len(want) > 0
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    naive_plan = naive._jdf.queryExecution().executedPlan().toString()
+    # the quadratic trap being avoided: a non-equi join plans as a
+    # nested loop or cartesian product
+    assert ("BroadcastNestedLoopJoin" in naive_plan) or ("CartesianProduct" in naive_plan)
+    assert "CartesianProduct" not in plan
