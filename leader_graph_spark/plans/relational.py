@@ -641,3 +641,99 @@ def json_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.min("k").alias("min_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 / Q14 analogs (fixed-point money arithmetic)
+# ---------------------------------------------------------------------------
+
+_Q6_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_fixed
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("forecast_revenue_change", _Q6_ORACLE, tags=("tpch-q6", "A1"))
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast-revenue-change): a pure scan-filter-
+    aggregate whose entire predicate set pushes to the parquet reader —
+    the query Catalyst should reduce to a near-IO-bound scan, which is
+    why the classic uses it as the pushdown litmus test. Money stays in
+    fixed point (price cents × discount basis points — exact BIGINT
+    products) so the single SUM is order-free under the value hash;
+    the classic's double sum would depend on partial-aggregation
+    order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    bp = F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("bigint")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(cents * bp).cast("bigint").alias("revenue_fixed"),
+        )
+    )
+
+
+_Q14_ORACLE = """
+WITH v AS (
+  SELECT CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+         * (10000 - CAST(floor(l.l_discount * 10000 + 0.5) AS BIGINT)) AS val,
+         p.p_type
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+    AND l.l_shipdate < TIMESTAMP '1996-04-01'
+)
+SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN val ELSE 0 END) AS BIGINT)
+         AS promo_fixed,
+       CAST(sum(val) AS BIGINT) AS total_fixed,
+       round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN val ELSE 0 END) AS DOUBLE)
+             / CAST(sum(val) AS DOUBLE), 6) AS promo_pct
+FROM v
+"""
+
+
+@query("promo_revenue_share", _Q14_ORACLE, tags=("tpch-q14", "J9", "A1"))
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): one month of lineitems joins
+    the part dimension and splits revenue by promo type. The part side
+    broadcasts (dimension bounded by SKU count); discounted revenue is
+    the exact integer cents·(10000−bp) product so both sums are
+    order-free, with the percentage derived from the two exact integers
+    in one identical double expression."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    val = (
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+        * (F.lit(10000) - F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("bigint"))
+    )
+    v = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part.select("p_partkey", "p_type")), li.l_partkey == part.p_partkey)
+        .select(val.alias("val"), "p_type")
+    )
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", F.col("val")).otherwise(0))
+    total = F.sum("val")
+    return v.agg(
+        promo.cast("bigint").alias("promo_fixed"),
+        total.cast("bigint").alias("total_fixed"),
+        F.round(
+            F.lit(100.0) * promo.cast("double") / total.cast("double"), 6
+        ).alias("promo_pct"),
+    )
