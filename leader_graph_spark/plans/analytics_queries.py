@@ -933,3 +933,157 @@ def orders_in_promo_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_orders"),
         F.sum("cents").cast("bigint").alias("total_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Purchase-cadence analytics: inter-order gaps, MoM trend, RFM segments
+# ---------------------------------------------------------------------------
+
+_ORDER_GAPS_ORACLE = """
+WITH gaps AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                   CAST(o_orderdate AS DATE)) AS gap_days
+  FROM orders
+)
+SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(min(gap_days) AS BIGINT) AS min_gap_days,
+       CAST(max(gap_days) AS BIGINT) AS max_gap_days,
+       round(quantile_cont(gap_days, 0.5), 4) AS median_gap_days
+FROM gaps WHERE gap_days IS NOT NULL
+GROUP BY o_custkey
+"""
+
+
+@query("customer_order_gaps", _ORDER_GAPS_ORACLE, tags=("behavior", "cadence", "W1"))
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase cadence per customer: the lag-difference of consecutive
+    order dates, profiled as min/median/max inter-order gaps — the
+    churn-risk signal ("this customer's gap just tripled") and a
+    second, distinct use of exact percentiles (here over DERIVED
+    integer day-gaps, not a raw column). One shuffle: the lag window
+    and the per-customer aggregate share the o_custkey partitioning;
+    the tie-break (date, then key) makes the lag deterministic under
+    same-day orders."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("gap_days"),
+    ).where(F.col("gap_days").isNotNull())
+    return gaps.groupBy("o_custkey").agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.min("gap_days").cast("bigint").alias("min_gap_days"),
+        F.max("gap_days").cast("bigint").alias("max_gap_days"),
+        F.round(F.percentile("gap_days", F.lit(0.5)), 4).alias("median_gap_days"),
+    )
+
+
+_MOM_ORACLE = """
+WITH m AS (
+  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS month_key,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS revenue_cents
+  FROM orders GROUP BY month_key
+)
+SELECT CAST(month_key AS INT) AS month_key,
+       CAST(revenue_cents AS BIGINT) AS revenue_cents,
+       round(100.0 * (CAST(revenue_cents AS DOUBLE)
+              / CAST(lag(revenue_cents) OVER (ORDER BY month_key) AS DOUBLE) - 1.0), 6)
+         AS mom_pct_change
+FROM m
+"""
+
+
+@query("monthly_revenue_mom", _MOM_ORACLE, tags=("timeseries", "W1"))
+def monthly_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue trend: exact cents per month plus the
+    lag-derived percent change — the dashboard time-series every
+    warehouse serves. The global-window lag is over the ~80-row monthly
+    aggregate (calendar-bounded), NOT the orders table, so the
+    single-partition window warning is structurally harmless at any
+    corpus size; the corpus itself reduces map-side to month keys."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("int").alias("month_key")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("revenue_cents")
+    )
+    w = Window.orderBy("month_key")
+    return m.select(
+        "month_key",
+        "revenue_cents",
+        F.round(
+            F.lit(100.0)
+            * (
+                F.col("revenue_cents").cast("double")
+                / F.lag("revenue_cents").over(w).cast("double")
+                - F.lit(1.0)
+            ),
+            6,
+        ).alias("mom_pct_change"),
+    )
+
+
+_RFM_ORACLE = """
+WITH base AS (
+  SELECT o_custkey,
+         date_diff('day', max(CAST(o_orderdate AS DATE)), DATE '2002-01-01') AS recency_days,
+         count(*) AS frequency,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS monetary_cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey,
+       CAST(recency_days AS BIGINT) AS recency_days,
+       CAST(frequency AS BIGINT) AS frequency,
+       CAST(monetary_cents AS BIGINT) AS monetary_cents,
+       CAST(ntile(4) OVER (ORDER BY recency_days, o_custkey) AS INT) AS r_quartile,
+       CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS INT) AS f_quartile,
+       CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, o_custkey) AS INT) AS m_quartile
+FROM base
+"""
+
+
+@query("rfm_customer_segments", _RFM_ORACLE, tags=("behavior", "segmentation"))
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency (days to a fixed anchor), frequency,
+    and monetary value per customer, each cut into quartiles — the
+    classic customer-value grid, here with every ntile ORDER BY carrying
+    a key tie-break so quartile assignment is a total order (bare ntile
+    over tied values is nondeterministic, which would break the hash —
+    the same discipline as every LIMIT in the registry). The three
+    quartile windows run over the per-customer AGGREGATE (one row per
+    customer); at true scale each global ntile becomes the percentile-
+    fence + broadcast-classify pattern of ``doc_length_iqr_profile``."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("2002-01-01").cast("date"), F.max(F.col("o_orderdate").cast("date"))
+        )
+        .cast("bigint")
+        .alias("recency_days"),
+        F.count("*").cast("bigint").alias("frequency"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+    return base.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(4).over(Window.orderBy("recency_days", "o_custkey")).cast("int").alias("r_quartile"),
+        F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))).cast("int").alias("f_quartile"),
+        F.ntile(4).over(Window.orderBy(F.desc("monetary_cents"), F.asc("o_custkey"))).cast("int").alias("m_quartile"),
+    )
