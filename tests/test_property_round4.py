@@ -1,0 +1,93 @@
+"""Property-based tests for the round-4 exact-join operators: the
+symmetric-delete fuzzy join and the bucketized range join must equal
+their brute-force models on ARBITRARY generated inputs, not just the
+crafted fixtures. Few examples, each a whole batch through one job."""
+
+from __future__ import annotations
+
+import itertools
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from leader_graph_spark.operators.intervals import point_in_interval_join
+from leader_graph_spark.operators.stringsim import similar_string_pairs
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+# small alphabet → collisions and near-misses are common
+words = st.lists(st.text(alphabet="abX#", min_size=0, max_size=6), min_size=1, max_size=18)
+
+
+@settings(**_SETTINGS)
+@given(words, st.sampled_from([1, 2]))
+def test_similar_pairs_match_brute(spark, vals, k):
+    df = spark.createDataFrame([(v,) for v in vals], "name string")
+    got = {
+        (r.name_a, r.name_b, r.dist)
+        for r in similar_string_pairs(df, "name", k=k).collect()
+    }
+    uniq = sorted(set(vals))
+    want = {
+        (a, b, _lev(a, b))
+        for a, b in itertools.combinations(uniq, 2)
+        if _lev(a, b) <= k
+    }
+    assert got == want
+
+
+base = datetime(1995, 1, 1)
+pts_st = st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=40)
+ivs_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=400), st.integers(min_value=0, max_value=90)
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(**_SETTINGS)
+@given(pts_st, ivs_st)
+def test_range_join_matches_brute(spark, day_offsets, iv_specs):
+    pts = spark.createDataFrame(
+        [(i, base + timedelta(days=d)) for i, d in enumerate(day_offsets)],
+        "pid long, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (f"w{i}", base + timedelta(days=s), base + timedelta(days=s + ln))
+            for i, (s, ln) in enumerate(iv_specs)
+        ],
+        "w string, s timestamp, e timestamp",
+    )
+    got = sorted(
+        (r.pid, r.w)
+        for r in point_in_interval_join(
+            pts, ivs, point_col="ts", start_col="s", end_col="e"
+        ).collect()
+    )
+    want = sorted(
+        (r.pid, r.w)
+        for r in pts.join(
+            ivs, (F.col("s") <= F.col("ts")) & (F.col("ts") < F.col("e"))
+        ).collect()
+    )
+    assert got == want
