@@ -309,3 +309,69 @@ def histogram_sketch_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lo") + (F.col("bin90") + F.lit(0.5)) * width, 4
         ).alias("approx_p90"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence (categorical drift detection)
+# ---------------------------------------------------------------------------
+
+_CHISQ_ORACLE = """
+WITH cells AS (
+  SELECT lang, source, count(*) AS o FROM documents GROUP BY lang, source
+),
+rows_t AS (SELECT lang, sum(o) AS row_n FROM cells GROUP BY lang),
+cols_t AS (SELECT source, sum(o) AS col_n FROM cells GROUP BY source),
+tot AS (SELECT sum(o) AS n FROM cells),
+contrib AS (
+  SELECT c.lang, c.source,
+         CAST(floor(
+           ((CAST(c.o AS DOUBLE) - (CAST(r.row_n AS DOUBLE) * CAST(cl.col_n AS DOUBLE) / CAST(t.n AS DOUBLE)))
+            * (CAST(c.o AS DOUBLE) - (CAST(r.row_n AS DOUBLE) * CAST(cl.col_n AS DOUBLE) / CAST(t.n AS DOUBLE)))
+            / (CAST(r.row_n AS DOUBLE) * CAST(cl.col_n AS DOUBLE) / CAST(t.n AS DOUBLE)))
+           * 1000000.0 + 0.5) AS BIGINT) AS chi_micro
+  FROM cells c
+  JOIN rows_t r ON c.lang = r.lang
+  JOIN cols_t cl ON c.source = cl.source
+  CROSS JOIN tot t
+)
+SELECT CAST(count(*) AS BIGINT) AS n_nonzero_cells,
+       CAST(sum(chi_micro) AS BIGINT) AS chi_square_micro
+FROM contrib
+"""
+
+
+@query("lang_source_chisquare", _CHISQ_ORACLE, tags=("stats", "drift", "chisquare"))
+def lang_source_chisquare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square statistic for independence of (lang, source)
+    — the categorical drift detector: run it on yesterday's and
+    today's corpus and a jump means the language mix shifted within
+    sources (an ingest change, a scraper losing a locale). Observed
+    counts are exact integers; each cell's (O−E)²/E contribution is
+    collapsed to micro-units via the portable floor(x·1e6+0.5) BEFORE
+    summation, so the statistic is order-free under the value hash
+    (summing raw doubles would depend on partial-aggregation order).
+    Zero-count cells contribute their expectation — omitted here (both
+    engines omit identically: the cell table only materializes observed
+    pairs), which understates χ² equally on both sides and is the
+    standard sparse-table convention.
+
+    Scale shape: the corpus reduces map-side to |langs|·|sources|
+    cells; everything after is arithmetic on that tiny table (marginals
+    join back onto cells; the 1-row total broadcasts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    rows_t = cells.groupBy("lang").agg(F.sum("o").alias("row_n"))
+    cols_t = cells.groupBy("source").agg(F.sum("o").alias("col_n"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    e = F.col("row_n").cast("double") * F.col("col_n").cast("double") / F.col("n").cast("double")
+    chi = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    contrib = (
+        cells.join(F.broadcast(rows_t), "lang")
+        .join(F.broadcast(cols_t), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(F.floor(chi * F.lit(1000000.0) + F.lit(0.5)).cast("bigint").alias("chi_micro"))
+    )
+    return contrib.agg(
+        F.count("*").cast("bigint").alias("n_nonzero_cells"),
+        F.sum("chi_micro").cast("bigint").alias("chi_square_micro"),
+    )
