@@ -166,3 +166,72 @@ def merge_distinct_sketches(*sketch_frames: DataFrame, keys: Sequence[str]) -> D
     return union.groupBy(*keys).agg(
         F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias("n_distinct_est")
     )
+
+
+def apply_retractable_delta(
+    state: DataFrame,
+    changes: DataFrame,
+    current: DataFrame,
+    *,
+    keys: list[str],
+    value_col: str,
+    weight_col: str = "w",
+) -> DataFrame:
+    """Maintain per-key (n, total, min_v, max_v) under INSERTS *and*
+    DELETES — the retraction half :func:`merge_algebraic_state`
+    deliberately excludes.
+
+    ``changes`` carries ``weight_col`` = +1 (insert) / −1 (delete).
+    Count and sum retract algebraically (weighted sums); min/max do
+    NOT — deleting the current minimum needs the runner-up, which the
+    aggregate already discarded. So: groups touched by at least one
+    delete are DIRTY and recompute their min/max from ``current`` (the
+    post-change base relation, probed only for dirty keys — at 100 TB
+    this is the crucial asymmetry: the common insert-mostly stream
+    never rescans anything, and a delete rescans ONE group's rows, not
+    history); insert-only groups merge algebraically. n/total always
+    merge algebraically (exact either way).
+
+    Groups whose count reaches 0 drop out (a fully-deleted group must
+    disappear, not linger as a zero row).
+    """
+    w = F.col(weight_col)
+    delta = changes.groupBy(*keys).agg(
+        F.sum(w).alias("_dn"),
+        F.sum(w * F.col(value_col)).alias("_dtotal"),
+        F.max(F.when(w < 0, 1).otherwise(0)).alias("_has_delete"),
+        F.min(F.when(w > 0, F.col(value_col))).alias("_ins_min"),
+        F.max(F.when(w > 0, F.col(value_col))).alias("_ins_max"),
+    )
+    merged = (
+        state.join(delta, keys, "full")
+        .select(
+            *keys,
+            (F.coalesce("n", F.lit(0)) + F.coalesce("_dn", F.lit(0))).alias("n"),
+            (F.coalesce("total", F.lit(0)) + F.coalesce("_dtotal", F.lit(0))).alias("total"),
+            F.least(F.col("min_v"), F.col("_ins_min")).alias("_clean_min"),
+            F.greatest(F.col("max_v"), F.col("_ins_max")).alias("_clean_max"),
+            F.coalesce("_has_delete", F.lit(0)).alias("_has_delete"),
+        )
+        .where(F.col("n") > 0)
+    )
+    dirty_keys = merged.where(F.col("_has_delete") == 1).select(*keys)
+    recomputed = (
+        current.join(dirty_keys, keys, "left_semi")
+        .groupBy(*keys)
+        .agg(F.min(value_col).alias("_rec_min"), F.max(value_col).alias("_rec_max"))
+    )
+    return (
+        merged.join(recomputed, keys, "left")
+        .select(
+            *keys,
+            "n",
+            "total",
+            F.when(F.col("_has_delete") == 1, F.col("_rec_min"))
+            .otherwise(F.col("_clean_min"))
+            .alias("min_v"),
+            F.when(F.col("_has_delete") == 1, F.col("_rec_max"))
+            .otherwise(F.col("_clean_max"))
+            .alias("max_v"),
+        )
+    )

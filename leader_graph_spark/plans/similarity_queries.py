@@ -8,6 +8,7 @@ neighbor id so top-k is deterministic.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from leader_graph_spark.operators.similarity import (
     ann_lsh_topk,
@@ -298,4 +299,54 @@ def pq_adc_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(
         emb, id_col="vec_id", vec_col="embedding",
         m=4, k=8, iterations=2, n_queries=10, topk=5,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids (exact fixed-point vector aggregation)
+# ---------------------------------------------------------------------------
+
+_CENTROID_ORACLE = """
+WITH comps AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+  FROM embeddings
+)
+SELECT label, CAST(dim AS INT) AS dim,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(q) AS BIGINT) AS sum_micro,
+       round(CAST(sum(q) AS DOUBLE) / count(*) / 1000000.0, 6) AS centroid
+FROM comps GROUP BY label, dim
+"""
+
+
+@query("label_embedding_centroids", _CENTROID_ORACLE, tags=("similarity", "centroids"))
+def label_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids, exactly: each vector component is
+    quantized to micro-units (floor(x·1e6+0.5) on the exact float→
+    double widening) so the per-(label, dim) SUM is integer and
+    order-free — the vector-mean aggregation behind class prototypes,
+    centroid drift monitoring, and IVF coarse-quantizer seeding, with
+    none of the float-summation nondeterminism that forces most vector
+    averages into rows-only checks.
+
+    Scale shape: ``posexplode`` fans each vector into (dim, component)
+    rows that collapse map-side onto |labels|·|dims| keys — the wide
+    intermediate never shuffles at full size; the report is
+    labels×dims rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "label",
+        F.col("dim").cast("int").alias("dim"),
+        F.floor(F.col("v").cast("double") * 1000000 + F.lit(0.5)).cast("bigint").alias("q"),
+    )
+    return comps.groupBy("label", "dim").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.sum("q").cast("bigint").alias("sum_micro"),
+        F.round(
+            F.sum("q").cast("double") / F.count("*") / F.lit(1000000.0), 6
+        ).alias("centroid"),
     )

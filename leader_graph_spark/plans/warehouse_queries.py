@@ -837,3 +837,84 @@ def user_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_micros"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Retractable aggregate maintenance (inserts + deletes)
+# ---------------------------------------------------------------------------
+
+_RETRACT_ORACLE = """
+WITH bucketed AS (
+  SELECT o_orderpriority, year(o_orderdate) * 12 + month(o_orderdate) AS month_key,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         ((instr('0123456789abcdef', substr(md5('ret|' || CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) * 268435456
+          + (instr('0123456789abcdef', substr(md5('ret|' || CAST(o_orderkey AS VARCHAR)), 2, 1)) - 1) * 16777216
+          + (instr('0123456789abcdef', substr(md5('ret|' || CAST(o_orderkey AS VARCHAR)), 3, 1)) - 1) * 1048576
+          + (instr('0123456789abcdef', substr(md5('ret|' || CAST(o_orderkey AS VARCHAR)), 4, 1)) - 1) * 65536
+          + (instr('0123456789abcdef', substr(md5('ret|' || CAST(o_orderkey AS VARCHAR)), 5, 1)) - 1) * 4096
+          + (instr('0123456789abcdef', substr(md5('ret|' || CAST(o_orderkey AS VARCHAR)), 6, 1)) - 1) * 256
+          + (instr('0123456789abcdef', substr(md5('ret|' || CAST(o_orderkey AS VARCHAR)), 7, 1)) - 1) * 16
+          + (instr('0123456789abcdef', substr(md5('ret|' || CAST(o_orderkey AS VARCHAR)), 8, 1)) - 1)) % 1000000
+           AS bucket
+  FROM orders
+),
+final AS (
+  SELECT * FROM bucketed WHERE bucket >= 150000 OR bucket < 50000
+)
+SELECT o_orderpriority, CAST(month_key AS INT) AS month_key,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(min(cents) AS BIGINT) AS min_cents,
+       CAST(max(cents) AS BIGINT) AS max_cents
+FROM final GROUP BY o_orderpriority, month_key
+"""
+
+
+@query("retractable_agg_maintenance", _RETRACT_ORACLE, tags=("ivm", "retraction", "warehouse"))
+def retractable_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate maintenance under inserts AND deletes: orders split
+    deterministically into an initial state (md5 bucket ≥ 100k), a
+    delete batch ([100k, 150k) — rows retracted FROM the state), and an
+    insert batch (< 50k); the per-(priority, month) metric table is
+    maintained through ``operators/skew.py:apply_retractable_delta`` —
+    count/sum retract algebraically, min/max recompute only for the
+    groups a delete touched (probing the current base for dirty keys,
+    never rescanning history). The oracle aggregates the final relation
+    directly, so the whole retraction algebra — including dirty-group
+    min/max repair and untouched-group passthrough — sits under the
+    value hash."""
+    from leader_graph_spark.operators.sampling import _hash_bucket
+    from leader_graph_spark.operators.skew import apply_retractable_delta
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("int").alias("month_key"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        _hash_bucket("o_orderkey", "ret").alias("bucket"),
+    )
+    keys = ["o_orderpriority", "month_key"]
+    v0 = orders.where(F.col("bucket") >= 100_000)
+    inserts = orders.where(F.col("bucket") < 50_000).withColumn("w", F.lit(1))
+    deletes = (
+        orders.where((F.col("bucket") >= 100_000) & (F.col("bucket") < 150_000))
+        .withColumn("w", F.lit(-1))
+    )
+    current = orders.where((F.col("bucket") >= 150_000) | (F.col("bucket") < 50_000))
+
+    state0 = v0.groupBy(*keys).agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("total"),
+        F.min("cents").alias("min_v"),
+        F.max("cents").alias("max_v"),
+    )
+    maintained = apply_retractable_delta(
+        state0, inserts.unionByName(deletes), current, keys=keys, value_col="cents"
+    )
+    return maintained.select(
+        "o_orderpriority",
+        "month_key",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("total").cast("bigint").alias("total_cents"),
+        F.col("min_v").cast("bigint").alias("min_cents"),
+        F.col("max_v").cast("bigint").alias("max_cents"),
+    )

@@ -41,3 +41,47 @@ def test_delta_branches_disjoint(spark):
     assert len(rows) == len(set(rows))  # no row produced by both branches
     # delta-l×delta-r (key 4) arrives exactly once, via the first branch.
     assert sum(1 for t in rows if t[0] == 4) == 1
+
+
+def test_retractable_delta_paths(spark):
+    """All four retraction paths on one crafted table: dirty group's
+    min repaired upward after deleting the minimum; insert-only group
+    merges algebraically; untouched group passes through; fully-deleted
+    group disappears; brand-new group appears."""
+    from pyspark.sql import functions as F
+
+    from leader_graph_spark.operators.skew import apply_retractable_delta
+
+    base = spark.createDataFrame(
+        [("a", 1), ("a", 5), ("a", 9), ("b", 2), ("b", 4), ("c", 7), ("d", 3)],
+        "k string, v long",
+    )
+    state0 = base.groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("v").alias("total"),
+        F.min("v").alias("min_v"), F.max("v").alias("max_v"),
+    )
+    changes = spark.createDataFrame(
+        [
+            ("a", 1, -1),   # delete the min of a → dirty, min must become 5
+            ("b", 6, 1),    # insert-only → algebraic max bump
+            ("d", 3, -1),   # delete d's only row → group drops
+            ("e", 11, 1),   # brand-new group
+        ],
+        "k string, v long, w int",
+    )
+    current = spark.createDataFrame(
+        [("a", 5), ("a", 9), ("b", 2), ("b", 4), ("b", 6), ("c", 7), ("e", 11)],
+        "k string, v long",
+    )
+    out = {
+        r.k: (r.n, r.total, r.min_v, r.max_v)
+        for r in apply_retractable_delta(
+            state0, changes, current, keys=["k"], value_col="v"
+        ).collect()
+    }
+    assert out == {
+        "a": (2, 14, 5, 9),
+        "b": (3, 12, 2, 6),
+        "c": (1, 7, 7, 7),
+        "e": (1, 11, 11, 11),
+    }
