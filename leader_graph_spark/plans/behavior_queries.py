@@ -268,3 +268,113 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             vals, F.lit(0.0), lambda acc, x: acc * F.lit(0.5) + x * F.lit(0.5)
         ).alias("ewma_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event transition matrix (first-order Markov counts)
+# ---------------------------------------------------------------------------
+
+_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n_transitions,
+       CAST(floor(1000000.0 * CAST(count(*) AS DOUBLE)
+            / CAST(sum(count(*)) OVER (PARTITION BY event_type) AS DOUBLE)) AS BIGINT)
+         AS row_share_ppm
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+"""
+
+
+@query("event_transition_matrix", _TRANSITIONS_ORACLE, tags=("behavior", "markov"))
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between consecutive events
+    per user — the behavioral fingerprint behind "what usually follows
+    an error?", and the input to next-event prediction baselines. The
+    per-row normalization (share of transitions leaving each state) is
+    floor-ppm over exact counts, so nothing depends on float summation.
+
+    Scale shape: one lead() window per user partition (hash only — the
+    tie-broken sort is within user), collapsing immediately to the
+    |types|² transition matrix; the ppm window runs over that ≤25-row
+    aggregate."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").cast("timestamp"), "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    counts = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count("*").cast("bigint").alias("n_transitions"))
+    w_row = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.floor(
+            F.lit(1000000.0)
+            * F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w_row).cast("double")
+        )
+        .cast("bigint")
+        .alias("row_share_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Daily volume anomaly flags (z-score over exact statistics)
+# ---------------------------------------------------------------------------
+
+_ANOMALY_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS n_events FROM events GROUP BY day
+),
+stats AS (
+  SELECT count(*) AS k, sum(n_events) AS s, sum(n_events * n_events) AS ss FROM daily
+)
+SELECT d.day, CAST(d.n_events AS BIGINT) AS n_events,
+       (abs(CAST(d.n_events AS DOUBLE) - (CAST(st.s AS DOUBLE) / st.k))
+        > 2.0 * sqrt((CAST(st.ss AS DOUBLE) / st.k)
+                     - (CAST(st.s AS DOUBLE) / st.k) * (CAST(st.s AS DOUBLE) / st.k)))
+         AS is_anomaly
+FROM daily d CROSS JOIN stats st
+"""
+
+
+@query("daily_volume_anomalies", _ANOMALY_ORACLE, tags=("dq", "anomaly", "timeseries"))
+def daily_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-volume anomaly flags: each day's event count against a
+    2σ band from the window's own mean/variance — the pipeline
+    tripwire for a collapsed or doubled feed. Sufficient statistics
+    (k, Σx, Σx²) are exact integers; mean/σ appear only in one
+    identical double expression per engine, so the boolean flag is
+    hash-stable. Population σ (÷k) keeps the expression minimal.
+
+    Scale shape: the corpus reduces map-side to calendar days; the
+    3-value stats row broadcasts back. At 100 TB the identical plan
+    runs per (source, day) with a grouped stats table instead of a
+    global one."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("timestamp").cast("date").alias("day")).agg(
+        F.count("*").alias("n_events")
+    )
+    stats = daily.agg(
+        F.count("*").alias("k"),
+        F.sum("n_events").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("k")
+    var = F.col("ss").cast("double") / F.col("k") - mean * mean
+    return daily.crossJoin(F.broadcast(stats)).select(
+        "day",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        (
+            F.abs(F.col("n_events").cast("double") - mean) > F.lit(2.0) * F.sqrt(var)
+        ).alias("is_anomaly"),
+    )
