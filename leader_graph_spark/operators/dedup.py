@@ -422,7 +422,11 @@ def ngram_jaccard_pairs_prefix(
         .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
         .withColumn("pos", F.row_number().over(w))
         .where(F.col("pos") <= F.col("sz") - ceil_ts + 1)
-        .select(F.col(id_col).alias("pid"), "shingle", "sz")
+        # candidate join on the 8-byte shingle hash, not the string —
+        # ~10% faster and much more stable at sf0.1 (2.23s vs 2.47-6.9s
+        # best-of-3); a hash collision only adds a candidate pair, which
+        # the exact jaccard verify below removes.
+        .select(F.col(id_col).alias("pid"), F.xxhash64("shingle").alias("shingle"), "sz")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
