@@ -91,3 +91,71 @@ def test_range_join_matches_brute(spark, day_offsets, iv_specs):
         ).collect()
     )
     assert got == want
+
+
+changes_st = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c", "d"]),       # key
+        st.integers(min_value=0, max_value=50),      # value
+        st.sampled_from([1, -1]),                    # insert / delete
+    ),
+    min_size=0,
+    max_size=25,
+)
+base_st = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c", "d"]), st.integers(min_value=0, max_value=50)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(**_SETTINGS)
+@given(base_st, changes_st)
+def test_retractable_delta_matches_recompute(spark, base_rows, raw_changes):
+    """Random insert/delete streams: the maintained state must equal a
+    full recompute of the final relation. Deletes are constrained to
+    rows actually present (the operator's caller contract)."""
+    from collections import Counter
+
+    from leader_graph_spark.operators.skew import apply_retractable_delta
+
+    present = Counter(base_rows)
+    changes = []
+    for k, v, w in raw_changes:
+        if w < 0:
+            if present[(k, v)] <= 0:
+                continue  # cannot delete a missing row
+            present[(k, v)] -= 1
+        else:
+            present[(k, v)] += 1
+        changes.append((k, v, w))
+    final_rows = [kv for kv, n in present.items() for _ in range(n)]
+
+    base = spark.createDataFrame(base_rows, "k string, v long")
+    state0 = base.groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("v").alias("total"),
+        F.min("v").alias("min_v"), F.max("v").alias("max_v"),
+    )
+    if not changes:
+        return
+    chg = spark.createDataFrame(changes, "k string, v long, w int")
+    current = (
+        spark.createDataFrame(final_rows, "k string, v long")
+        if final_rows
+        else spark.createDataFrame([], "k string, v long")
+    )
+    got = {
+        r.k: (r.n, r.total, r.min_v, r.max_v)
+        for r in apply_retractable_delta(state0, chg, current, keys=["k"], value_col="v").collect()
+    }
+    want = {}
+    for (k, v), n in present.items():
+        if n <= 0:
+            continue
+        cnt, tot, mn, mx = want.get(k, (0, 0, None, None))
+        cnt += n
+        tot += v * n
+        mn = v if mn is None else min(mn, v)
+        mx = v if mx is None else max(mx, v)
+        want[k] = (cnt, tot, mn, mx)
+    assert got == want
