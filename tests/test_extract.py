@@ -203,3 +203,26 @@ def test_person_links_python_udtf(spark):
     ).collect()
     assert len(rows) > 0 and all(r.org_id == 1 for r in rows)
     assert all(len(r.uuid) == 32 for r in rows)
+
+
+def test_parser_fuzz_never_crashes():
+    """The stdlib-based page parser must survive arbitrary malformed
+    tag soup (unclosed tags, stray brackets, void elements in odd
+    places, entities) and always return its full result dict."""
+    import random
+
+    from leader_graph_spark.extract.html import parse_page
+
+    rng = random.Random(42)
+    frags = [
+        "<html>", "</html>", "<dl>", "<dt>k</dt>", "<dd>v<br>w</dd>", "</dl>",
+        "<h1>", "</h1>", "<p>", "</p>", "text&amp;more", "<img src=x>",
+        "<<>>", "</dd>", "<b", ">", "&#x41;", "<title>t</title>", "\x00",
+        "<input>", "<div class='a", "'>", "中文段落",
+    ]
+    for _ in range(200):
+        soup = "".join(rng.choice(frags) for _ in range(rng.randint(0, 30)))
+        page = parse_page(soup)
+        assert isinstance(page, dict)
+        for key in ("title", "summary", "description"):
+            assert key in page

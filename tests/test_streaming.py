@@ -271,3 +271,44 @@ def test_streaming_join_view_maintenance(spark, sf_smoke, tmp_path):
         dim, on="user_id", view_dir=view, checkpoint=str(tmp_path / "ck2"),
     )
     assert spark.read.parquet(view).count() == expected.count()
+
+
+def test_checkpoint_only_new_across_runs(spark, sf_smoke, tmp_path):
+    """The reference's incremental 'only new' runs, as checkpointed
+    source offsets (§2.9d): a second AvailableNow pass over a landing
+    dir that GREW between runs must process ONLY the files added since
+    the checkpoint — not re-emit history."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from leader_graph_spark.sources.tables import load_table
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    events = load_table(spark, sf_smoke, "events").select("event_id", "user_id")
+    first = events.where(F.col("event_id") % 2 == 0)
+    second = events.where(F.col("event_id") % 2 == 1)
+    first.coalesce(1).write.mode("append").parquet(landing)
+
+    def drain():
+        sdf = spark.readStream.schema(first.schema).parquet(landing)
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == first.count()
+    second.coalesce(1).write.mode("append").parquet(landing)
+    drain()
+    landed = spark.read.parquet(out)
+    assert landed.count() == events.count()  # no re-emission of batch 1
+    assert landed.select("event_id").distinct().count() == events.count()
