@@ -184,3 +184,35 @@ def test_events_epoch_range(con):
     a plausible wall-clock window."""
     lo, hi = con.execute("SELECT min(ts), max(ts) FROM events").fetchone()
     assert lo.year >= 2000 and hi.year <= 2100, (lo, hi)
+
+
+def test_aggregate_query_predicates_nonvacuous(con):
+    """Global-aggregate queries return one row even when their
+    predicates match NOTHING, so the zero-row-oracle audit cannot see
+    their literals go stale (the Q1-row-of-NULLs failure mode). Pin the
+    filtered intermediates of every registered global-aggregate query
+    with data literals directly."""
+    checks = {
+        "forecast_revenue_change (q6 window)": """
+            SELECT count(*) FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+        "promo_revenue_share (q14 month)": """
+            SELECT count(*) FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'""",
+        "promo_revenue_share (PROMO parts)": """
+            SELECT count(*) FROM part WHERE p_type = 'PROMO'""",
+        "bm25/phrase query terms": """
+            SELECT count(*) FROM documents
+            WHERE lower(text) LIKE '%spark%' AND lower(text) LIKE '%vector%'
+              AND lower(text) LIKE '%stream%'""",
+        "user_state_asof anchor inside window": """
+            SELECT count(*) FROM events
+            WHERE ts <= TIMESTAMP '2024-01-16 00:00:00'""",
+        "funnel stages present": """
+            SELECT count(*) FROM events WHERE event_type IN ('view', 'click', 'purchase')""",
+    }
+    empty = [
+        name for name, sql in checks.items() if con.execute(sql).fetchone()[0] == 0
+    ]
+    assert not empty, f"stale literals (regenerated testdata?): {empty}"
