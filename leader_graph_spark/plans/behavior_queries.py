@@ -48,7 +48,7 @@ FROM e3 GROUP BY user_id
 """
 
 
-@query("funnel_view_click_purchase", _FUNNEL_ORACLE, tags=("behavior", "funnel"))
+@query("funnel_view_click_purchase", _FUNNEL_ORACLE, bench=True, tags=("behavior", "funnel"))
 def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user ordered funnel: first view, first click strictly AFTER
     that view, first purchase strictly after that click — the ordering

@@ -287,6 +287,7 @@ FROM c
 @query(
     "corpus_release_manifest",
     _release_manifest_oracle(),
+    bench=True,
     tags=("curation", "packing", "mlprep", "composite", "capstone"),
 )
 def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
