@@ -107,3 +107,124 @@ def extract_image_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def resize_images(
+    df: DataFrame,
+    *,
+    id_col: str,
+    payload_col: str = "payload",
+    meta_col: str = "meta",
+    target_w: int = 224,
+    target_h: int = 224,
+) -> DataFrame:
+    """Resize step of the media pipeline (model-input normalization).
+    The pixel transform is behind the same codec seam as decode — real
+    deployments call PIL/opencv here — but everything the engine is
+    responsible for is real: the payload column is REPLACED (a resized
+    blob, here a deterministic digest-derived stand-in of plausible
+    size), the metadata struct is rewritten to the target dimensions
+    with the original size preserved, and the work is a map-side
+    ``mapInPandas`` — no shuffle, blobs never leave their partition.
+    """
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("payload", T.BinaryType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    list(IMAGE_META_SCHEMA.fields)
+                    + [
+                        T.StructField("orig_width", T.IntegerType()),
+                        T.StructField("orig_height", T.IntegerType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload, meta in zip(pdf[id_col], pdf[payload_col], pdf[meta_col]):
+                raw = bytes(payload)
+                if decode_available():
+                    resized = _decode_image_real(raw)  # pragma: no cover
+                else:
+                    # deterministic stand-in: digest-seeded bytes scaled
+                    # to ~3 bytes/pixel of the TARGET size so downstream
+                    # size accounting behaves like a real resize.
+                    seed = hashlib.md5(raw + f"|{target_w}x{target_h}".encode()).digest()
+                    resized = (seed * (target_w * target_h * 3 // len(seed) + 1))[
+                        : target_w * target_h * 3
+                    ]
+                rows.append(
+                    (
+                        rid,
+                        resized,
+                        {
+                            "format": meta["format"],
+                            "width": target_w,
+                            "height": target_h,
+                            "orig_width": meta["width"],
+                            "orig_height": meta["height"],
+                        },
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[id_col, "payload", "meta"])
+
+    return df.select(id_col, payload_col, meta_col).mapInPandas(run, out_schema)
+
+
+FRAME_SCHEMA_FIELDS = [
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("ts_ms", T.LongType()),
+    T.StructField("frame_phash", T.StringType()),
+]
+
+
+def sample_video_frames(
+    df: DataFrame,
+    *,
+    id_col: str,
+    payload_col: str = "payload",
+    n_frames: int = 4,
+    fps: int = 25,
+    frame_bytes: int = 32,
+) -> DataFrame:
+    """Frame sampling for video blobs: one input row fans out to
+    ``n_frames`` rows at UNIFORM stride over the clip (the standard
+    training-data sampling policy), each with its frame index, its
+    timestamp from the frame rate, and a per-frame fingerprint. The
+    blob is modeled as a sequence of fixed-size frames (real codecs
+    replace the slicing, not the shape); short clips yield every frame
+    they have. flatMap-shaped ``mapInPandas`` — map-side, one Python
+    crossing per Arrow batch, and only the NARROW frame rows continue
+    downstream (the blob is dropped right here, which is the point:
+    per-frame analytics never reshuffle video bytes).
+    """
+    out_schema = T.StructType([df.schema[id_col]] + FRAME_SCHEMA_FIELDS)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                total = max(len(raw) // frame_bytes, 1)
+                k = min(n_frames, total)
+                # uniform stride, first frame always included
+                idxs = sorted({(i * total) // k for i in range(k)})
+                for fi in idxs:
+                    frame = raw[fi * frame_bytes : (fi + 1) * frame_bytes]
+                    rows.append(
+                        (
+                            rid,
+                            fi,
+                            fi * 1000 // fps,
+                            hashlib.md5(frame).hexdigest()[:16],
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "ts_ms", "frame_phash"])
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
