@@ -323,3 +323,40 @@ def test_pq_adc_self_match_and_recall(spark, sf_dir):
         for r in d.withColumn("rn", F.row_number().over(w)).filter("rn<=5").collect()
     }
     assert len(adc & exact) / len(exact) > 0.25
+
+
+def test_ivf_index_probe_matches_inmemory_and_prunes(spark, sf_smoke, tmp_path):
+    """The persisted IVF index probed with the corpus itself (nprobe=1)
+    must reproduce ann_ivf_topk exactly, and the probe join must
+    trigger dynamic partition pruning on the directory-partitioned
+    inverted lists — the engine reads probed lists, not the corpus."""
+    from leader_graph_spark.operators.similarity import (
+        ann_ivf_topk,
+        build_ivf_index,
+        ivf_probe_topk,
+    )
+    from leader_graph_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    path = str(tmp_path / "ivf_index")
+    build_ivf_index(emb, path, id_col="vec_id", vec_col="embedding", centroid_mod=40)
+
+    probed = ivf_probe_topk(
+        spark, path, emb, id_col="vec_id", vec_col="embedding", k=5, nprobe=1
+    )
+    inmem = ann_ivf_topk(emb, id_col="vec_id", vec_col="embedding", k=5, centroid_mod=40)
+    got = sorted(tuple(r) for r in probed.collect())
+    want = sorted(tuple(r) for r in inmem.collect())
+    assert got == want and len(want) > 0
+
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:1500]
+    # nprobe widens candidate lists monotonically: results can only improve
+    wide = ivf_probe_topk(
+        spark, path, emb, id_col="vec_id", vec_col="embedding", k=5, nprobe=3
+    )
+    sims_narrow = {(r.id, r.rank): r.cosine_sim for r in probed.collect()}
+    sims_wide = {(r.id, r.rank): r.cosine_sim for r in wide.collect()}
+    assert all(
+        sims_wide[key] >= sims_narrow[key] - 1e-9 for key in sims_narrow if key in sims_wide
+    )
