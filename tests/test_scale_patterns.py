@@ -447,3 +447,4 @@ def test_dynamic_partition_pruning(spark, tmp_path, sf_smoke):
     # the pruned scan reads only the purchase partition's rows
     n_purchase = fact.filter("event_type = 'purchase'").count()
     assert joined.count() == n_purchase
+
