@@ -266,14 +266,24 @@ def click_purchase_join_stream(
     *,
     watermark: str = "2 hours",
     range_: str = "1 hour",
+    join_type: str = "inner",
+    events: DataFrame | None = None,
 ) -> DataFrame:
-    """Stream-stream inner join: each click joined to the same user's
+    """Stream-stream join: each click joined to the same user's
     purchases in the preceding ``range_``. Both sides carry watermarks
     and the join condition bounds event-time distance, so the state
     store can evict rows older than watermark+range — the canonical
     bounded-state stream-stream join (without the time bound, state
-    would grow forever). Batch twin: ``clicks_with_recent_purchase``."""
-    events = read_events_stream(spark, sf_dir)
+    would grow forever). Batch twin: ``clicks_with_recent_purchase``.
+
+    ``join_type="left_outer"`` keeps never-converted clicks: Spark
+    holds an unmatched click in state until the watermark passes its
+    join window, THEN emits it with nulls — so outer results are
+    correct-but-late by construction, and a test draining a finite
+    source must push the watermark past the data (a sentinel event) to
+    flush the last unmatched rows (asserted in test_streaming).
+    ``events`` overrides the source stream (custom landing dirs)."""
+    events = events if events is not None else read_events_stream(spark, sf_dir)
     clicks = (
         events.filter(F.col("event_type") == "click")
         .select(
@@ -297,6 +307,7 @@ def click_purchase_join_stream(
         (F.col("user_id") == F.col("p_user_id"))
         & (F.col("purchase_ts") <= F.col("click_ts"))
         & (F.col("purchase_ts") >= F.expr(f"click_ts - INTERVAL {range_}")),
+        join_type,
     ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
 
 

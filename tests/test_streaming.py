@@ -312,3 +312,72 @@ def test_checkpoint_only_new_across_runs(spark, sf_smoke, tmp_path):
     landed = spark.read.parquet(out)
     assert landed.count() == events.count()  # no re-emission of batch 1
     assert landed.select("event_id").distinct().count() == events.count()
+
+
+
+def test_stream_stream_left_outer_emits_null_rows(spark, tmp_path):
+    """Left-outer stream-stream join: a click with no purchase in its
+    window must eventually emit WITH NULLS — but the watermark that
+    evicts (and therefore emits) unmatched state is computed from
+    PREVIOUS batches, so each flush needs a later trigger whose
+    restored watermark has passed the click's window: the drains below
+    append far-future sentinels and re-run on the same checkpoint (the
+    documented outer-join lateness contract)."""
+    import datetime as dt
+
+    from leader_graph_spark.streaming.jobs import click_purchase_join_stream
+
+    base = dt.datetime(2024, 1, 1)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+
+    def drain():
+        events = spark.readStream.schema(
+            spark.read.parquet(landing).schema
+        ).parquet(landing)
+        q = (
+            click_purchase_join_stream(
+                spark, landing, join_type="left_outer", events=events
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        import glob as _g
+        if not _g.glob(f"{out}/*.parquet"):
+            return {}
+        return {r.click_id: r.purchase_id for r in spark.read.parquet(out).collect()}
+
+    rows = [
+        (1, base + dt.timedelta(minutes=10), 1, "purchase", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=30), 1, "click", 1.0, "{}"),   # matched
+        (3, base + dt.timedelta(minutes=30), 2, "click", 1.0, "{}"),   # no purchase
+        (4, base + dt.timedelta(minutes=200), 3, "click", 1.0, "{}"),  # no purchase
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(landing)
+    got = drain()
+    assert got.get(2) == 1          # matched pair emits immediately
+    assert 3 not in got and 4 not in got  # unmatched still held in state
+
+    # the global watermark is min(click-side, purchase-side) and each
+    # side only sees ITS event type, so a sentinel must advance BOTH
+    # streams: one far-future click and one far-future purchase.
+    for days in (10, 20):
+        sentinel = [
+            (90 + days, base + dt.timedelta(days=days), 900 + days, "click", 0.0, "{}"),
+            (80 + days, base + dt.timedelta(days=days), 800 + days, "purchase", 0.0, "{}"),
+        ]
+        spark.createDataFrame(sentinel, schema).coalesce(1).write.mode("append").parquet(landing)
+        got = drain()
+
+    assert got[2] == 1
+    assert got[3] is None           # never-purchased clicks flushed with nulls
+    assert got[4] is None
