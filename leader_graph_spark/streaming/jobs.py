@@ -418,3 +418,106 @@ def run_join_view_maintenance(
         .start()
     )
     q.awaitTermination()
+
+
+def user_sessions_stateful(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    gap: str = "5 minutes",
+    events: DataFrame | None = None,
+) -> DataFrame:
+    """Gap-based sessionization as a CUSTOM stateful operator with
+    EVENT-TIME TIMEOUT — the hand-rolled twin of the built-in
+    ``session_window`` aggregation (``session_windows``), for the
+    session shapes the built-in can't express (per-session custom
+    payloads, early emission policies). Semantics are identical by
+    construction and asserted in tests: events within ``gap`` of each
+    other chain into one session; a session CLOSES either when a later
+    in-batch event breaks the gap (emitted immediately) or when the
+    watermark passes last_event+gap (the state's event-time timeout
+    fires and flushes it).
+
+    State is one (start, last, n) tuple per user — bounded by key
+    cardinality; the timeout is what guarantees state cannot leak on
+    users that go silent, which is the entire point of event-time
+    timeouts (NoTimeout + silence = immortal state)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_sec = {"5 minutes": 300, "1 hour": 3600}.get(gap)
+    if gap_sec is None:
+        num, unit = gap.split()
+        gap_sec = int(num) * {"seconds": 1, "minutes": 60, "hours": 3600}[unit]
+
+    src = events if events is not None else read_events_stream(spark, sf_dir)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start", T.TimestampType()),
+            T.StructField("last", T.TimestampType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def emit(uid, sessions):
+        return pd.DataFrame(
+            {
+                "user_id": [uid] * len(sessions),
+                "session_start": [s[0] for s in sessions],
+                "session_end": [s[1] for s in sessions],
+                "n_events": [s[2] for s in sessions],
+            }
+        )
+
+    def update(key, pdfs, state: "GroupState"):
+        uid = key[0]
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield emit(uid, [(start, last, n)])
+            return
+        ts = sorted(t for pdf in pdfs for t in pdf["ts"].tolist())
+        if not ts:
+            return
+        carried = state.get if state.exists else None
+        closed = []
+        if carried is not None and (ts[0] - carried[1]).total_seconds() <= gap_sec:
+            cur = [carried[0], carried[1], carried[2]]
+        else:
+            if carried is not None:
+                closed.append(tuple(carried))
+            cur = [ts[0], ts[0], 0]
+        for t in ts:
+            if (t - cur[1]).total_seconds() <= gap_sec:
+                cur[1] = t
+                cur[2] += 1
+            else:
+                closed.append(tuple(cur))
+                cur = [t, t, 1]
+        state.update(tuple(cur))
+        # flush the open session when the watermark passes last+gap
+        state.setTimeoutTimestamp(int(cur[1].timestamp() * 1000) + gap_sec * 1000)
+        if closed:
+            yield emit(uid, closed)
+
+    return (
+        src.withWatermark("ts", "2 hours")
+        .select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

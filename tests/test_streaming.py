@@ -381,3 +381,66 @@ def test_stream_stream_left_outer_emits_null_rows(spark, tmp_path):
     assert got[2] == 1
     assert got[3] is None           # never-purchased clicks flushed with nulls
     assert got[4] is None
+
+
+def test_stateful_sessionizer_matches_builtin(spark, tmp_path):
+    """The custom event-time-timeout sessionizer must reproduce the
+    built-in session_window semantics exactly: in-batch gap splits emit
+    immediately, the final open session flushes when the watermark
+    passes last+gap (sentinel drain), and session_end+gap equals the
+    built-in's window end."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from leader_graph_spark.streaming.jobs import session_windows, user_sessions_stateful
+
+    base = dt.datetime(2024, 1, 1)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    mk = lambda i, minutes, uid: (i, base + dt.timedelta(minutes=minutes), uid, "view", 1.0, "{}")  # noqa: E731
+    rows = [
+        mk(1, 0, 1), mk(2, 3, 1), mk(3, 4, 1),     # user 1, session A (3 events)
+        mk(4, 30, 1), mk(5, 33, 1),                # user 1, session B
+        mk(6, 10, 2),                              # user 2, singleton
+        mk(7, 60, 2), mk(8, 64, 2), mk(9, 69, 2),  # user 2, chained session
+    ]
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(landing)
+
+    def drain():
+        src = spark.readStream.schema(spark.read.parquet(landing).schema).parquet(landing)
+        q = (
+            user_sessions_stateful(spark, landing, gap="5 minutes", events=src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    # flush: two sentinel drains (watermark lags one trigger)
+    for i, days in enumerate((10, 20)):
+        spark.createDataFrame(
+            [mk(100 + i, days * 24 * 60, 99)], schema
+        ).coalesce(1).write.mode("append").parquet(landing)
+        drain()
+
+    got = {
+        (r.user_id, r.session_start, r.session_end + dt.timedelta(minutes=5), r.n_events)
+        for r in spark.read.parquet(out).collect()
+        if r.user_id != 99
+    }
+    batch = spark.createDataFrame(rows, schema)
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in session_windows(batch, gap="5 minutes").collect()
+    }
+    assert got == want
+    assert len(want) == 4
