@@ -266,3 +266,48 @@ def label_propagation_fixed(edges: DataFrame, *, rounds: int) -> DataFrame:
             .localCheckpoint()
         )
     return labels.select("id", F.col("label").alias("community"))
+
+
+def _jump_rounds_for(distance: int) -> int:
+    """Rounds of jumped propagation needed to cover ``distance``:
+    coverage obeys c₀=0, cₖ = 2·(cₖ₋₁+1) → 2, 6, 14, … (neighbor step
+    adds one hop, the jump doubles the accumulated radius)."""
+    k, c = 0, 0
+    while c < distance:
+        k, c = k + 1, 2 * (c + 1)
+    return k
+
+
+def min_propagation_jumped(
+    vertices: DataFrame, edges: DataFrame, *, distance: int
+) -> DataFrame:
+    """Min-label propagation with POINTER JUMPING: each round takes the
+    neighbor minimum and then replaces every label by its label's label
+    (path halving), so the covered radius DOUBLES per round instead of
+    growing by one — ``⌈log``-ish rounds where plain propagation needs
+    ``distance``. Same converged labels as :func:`min_propagation`
+    whenever ``distance`` ≥ the component diameter (the same contract),
+    with identical per-round plan shape (joins + min-agg + checkpoint):
+    the win is fewer checkpointed rounds, which matters because at
+    sf0.1 the per-round cost is ~0.3s of FIXED scheduler/checkpoint
+    latency (SCALE.md round-4 breakdown) — measured 2.54s → 2.23s on
+    the canonical-docs query. At cluster scale the same trade holds
+    per round-trip of the whole cluster barrier."""
+    sym = symmetrize(edges).localCheckpoint()
+    labels = _active_vertices(sym)
+    for _ in range(_jump_rounds_for(distance)):
+        labels = _min_propagation_round(sym, labels)
+        jump_to = labels.select(
+            F.col("id").alias("_jid"), F.col("component").alias("_jcomp")
+        )
+        labels = (
+            labels.join(jump_to, labels.component == F.col("_jid"), "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("_jcomp", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+    return _with_isolated(vertices, labels)

@@ -561,7 +561,7 @@ def canonical_near_dup_docs(
     fixed unroll equals converged components on real corpora (asserted
     in tests); the bounded round count is what keeps the whole operator
     expressible as one deterministic plan — and one SQL oracle."""
-    from leader_graph_spark.graph.algorithms import min_propagation
+    from leader_graph_spark.graph.algorithms import min_propagation_jumped
 
     pairs = minhash_near_duplicates(
         df,
@@ -574,7 +574,11 @@ def canonical_near_dup_docs(
     )
     ids = df.select(F.col(id_col).alias("id"))
     edges = pairs.select(F.col("id_1").alias("src"), F.col("id_2").alias("dst"))
-    labels = min_propagation(ids, edges, rounds=rounds)
+    # pointer-jumped rounds cover the same ``rounds`` diameter with
+    # half the checkpoint barriers (graph/algorithms.py) — output is
+    # identical (converged either way; equality is oracle- and
+    # test-checked), only the number of fixed-latency rounds drops.
+    labels = min_propagation_jumped(ids, edges, distance=rounds)
     return labels.select(
         F.col("id").alias(id_col),
         F.col("component").alias("canonical_id"),

@@ -166,3 +166,38 @@ def test_khop_distance_strata(spark, sf_smoke):
     assert set(by_dist) == {0, 1, 2}
     assert by_dist[0] == load_table(spark, sf_smoke, "region").count()
     assert by_dist[1] == load_table(spark, sf_smoke, "nation").select("n_name").distinct().count()
+
+
+def test_jumped_propagation_equals_plain(spark):
+    """Pointer-jumped propagation must produce the same converged
+    labels as plain fixed-round propagation on a graph whose diameter
+    equals the covered distance — including a path graph (worst case
+    for propagation) and isolated vertices."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from leader_graph_spark.graph.algorithms import (
+        _jump_rounds_for,
+        min_propagation,
+        min_propagation_jumped,
+    )
+
+    # path 1-2-3-4-5 (diameter 4), triangle 10-11-12, isolated 99
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12)],
+        "src long, dst long",
+    )
+    vertices = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 5, 10, 11, 12, 99)], "id long"
+    )
+    plain = {
+        (r.id, r.component)
+        for r in min_propagation(vertices, edges, rounds=4).collect()
+    }
+    jumped = {
+        (r.id, r.component)
+        for r in min_propagation_jumped(vertices, edges, distance=4).collect()
+    }
+    assert plain == jumped
+    assert (99, 99) in jumped and (5, 1) in jumped and (12, 10) in jumped
+    # round-count arithmetic: coverage 2, 6, 14 …
+    assert [_jump_rounds_for(d) for d in (1, 2, 3, 6, 7, 14)] == [1, 1, 2, 2, 3, 3]
