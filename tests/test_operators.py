@@ -878,3 +878,45 @@ def test_point_in_interval_join_exact_and_no_bnlj(spark):
     # nested loop or cartesian product
     assert ("BroadcastNestedLoopJoin" in naive_plan) or ("CartesianProduct" in naive_plan)
     assert "CartesianProduct" not in plan
+
+
+def test_csv_corrupt_record_modes(spark, tmp_path):
+    """Malformed rows at the ingest boundary: PERMISSIVE mode must
+    capture them in _corrupt_record (pipeline quarantines them, the
+    X9/X11 pattern), FAILFAST must raise — and neither may silently
+    drop or mangle the good rows."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    p = str(tmp_path / "dirty.csv")
+    with open(p, "w") as f:
+        f.write("id,n\n1,10\n2,not_a_number\n3,30\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(p)
+        .cache()  # corrupt-record column requires materialization before filtering
+    )
+    good = df.where(F.col("_corrupt_record").isNull())
+    bad = df.where(F.col("_corrupt_record").isNotNull())
+    assert {(r.id, r.n) for r in good.collect()} == {(1, 10), (3, 30)}
+    assert [r._corrupt_record for r in bad.collect()] == ["2,not_a_number"]
+
+    strict = (
+        spark.read.schema("id long, n long")
+        .option("header", True)
+        .option("mode", "FAILFAST")
+        .csv(p)
+    )
+    with _pytest.raises(Exception, match="(?i)malformed|failfast"):
+        strict.collect()
