@@ -193,7 +193,11 @@ SHUFFLE_BUDGETS = {
     "pricing_summary": 1,
     "schoolmates_shared_part": 2,
     "shipping_priority_top10": 1,
-    "supplier_nation_reach": 2,
+    # round-4 bitmap-distinct rewrite: two branches (one per distinct
+    # column), each shuffling ≤4KB bitmaps on (supplier, bucket) then
+    # supplier — narrow where the old expand plan doubled the full
+    # joined rows; the join exchanges are shared via reuse.
+    "supplier_nation_reach": 4,
     "ngram_jaccard_prefix_filtered": 6,
 }
 
