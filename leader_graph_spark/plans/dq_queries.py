@@ -143,8 +143,9 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one narrow scan PER COLUMN (columnar formats read just
     that column — at 100 TB six single-column scans beat one six-column
     scan feeding 6 count-distincts, because multiple exact distincts in
-    one aggregate force Spark's expand, multiplying the shuffle ×6:
-    cf. ``supplier_nation_reach``'s documented expand cost). Exact
+    one aggregate force Spark's expand, multiplying the shuffle ×6 —
+    the cost that pushed ``supplier_nation_reach`` to bitmap branches).
+    Exact
     distinct per column is the profile's honest form; the approx path
     at extreme cardinality is ``approx_distinct_users``'s HLL."""
     orders = load_table(spark, sf_dir, "orders")
