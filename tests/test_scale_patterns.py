@@ -199,6 +199,13 @@ SHUFFLE_BUDGETS = {
     # joined rows; the join exchanges are shared via reuse.
     "supplier_nation_reach": 4,
     "ngram_jaccard_prefix_filtered": 6,
+    # one hash exchange (asserted exactly in test_operators) + the
+    # final interval-lead sort exchange
+    "user_state_scd2": 2,
+    "dup_span_coverage": 3,
+    # composed capstone: curation signals + packing prefix-sum + split —
+    # the sum of its stages' budgets, nothing added by the composition
+    "corpus_release_manifest": 13,
 }
 
 # Same contract for non-bench queries whose scale story IS a shuffle
