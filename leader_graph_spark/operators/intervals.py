@@ -169,7 +169,12 @@ def point_in_interval_join(
     """
     mo = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
     bucket = lambda c: F.floor(mo(c) / bucket_months)  # noqa: E731
-    iv = intervals.withColumn(
+    # Reversed intervals (end < start) can never satisfy the range
+    # predicate, but Spark's sequence() would DESCEND through their
+    # buckets and fan out garbage candidates — drop them before the
+    # explode (semantics unchanged: the naive BETWEEN join also emits
+    # nothing for them).
+    iv = intervals.where(F.col(start_col) <= F.col(end_col)).withColumn(
         "__bucket",
         F.explode(F.sequence(bucket(F.col(start_col)), bucket(F.col(end_col)))),
     )

@@ -920,3 +920,26 @@ def test_csv_corrupt_record_modes(spark, tmp_path):
     )
     with _pytest.raises(Exception, match="(?i)malformed|failfast"):
         strict.collect()
+
+
+def test_point_in_interval_join_reversed_interval_dropped(spark):
+    """A reversed interval (end before start) matches nothing in the
+    naive BETWEEN semantics; the bucketized form must drop it BEFORE
+    the bucket explode (sequence() would otherwise descend through its
+    buckets and fan out garbage candidates)."""
+    from datetime import datetime
+
+    from leader_graph_spark.operators.intervals import point_in_interval_join
+
+    pts = spark.createDataFrame(
+        [(1, datetime(1995, 3, 10))], "pid long, ts timestamp"
+    )
+    ivs = spark.createDataFrame(
+        [
+            ("ok", datetime(1995, 3, 1), datetime(1995, 4, 1)),
+            ("reversed", datetime(1995, 12, 1), datetime(1995, 1, 1)),
+        ],
+        "w string, s timestamp, e timestamp",
+    )
+    out = point_in_interval_join(pts, ivs, point_col="ts", start_col="s", end_col="e")
+    assert [r.w for r in out.collect()] == ["ok"]
