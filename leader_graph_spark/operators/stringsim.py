@@ -59,21 +59,42 @@ def _deletion_variants_expr(col: str, k: int) -> str:
     raise ValueError(f"k={k} not supported (1 or 2)")
 
 
-def similar_string_pairs(df: DataFrame, col: str, *, k: int = 1) -> DataFrame:
+def similar_string_pairs(
+    df: DataFrame, col: str, *, k: int = 1, max_len: int = 64
+) -> DataFrame:
     """All unordered pairs of distinct ``col`` values within Levenshtein
     distance ``k`` (exact — candidate generation is complete and every
     candidate is verified).
 
     Scale shape: variant fan-out is map-side (len+1 variants per row at
-    k=1); the candidate join shuffles only ``xxhash64`` keys; duplicate
-    candidates collapse BEFORE the levenshtein verify so each surviving
-    pair is compared once. Returns (name_a, name_b, dist) with
-    ``name_a < name_b``.
+    k=1, (len+1)² at k=2), and duplicate variants of one string collapse
+    map-side too (``array_distinct`` before the explode — a string with
+    repeated characters emits the same deletion many times; a run of L
+    identical chars would otherwise put L copies of one hash in a join
+    bucket and pay L² post-join condition evaluations, where Catalyst
+    runs the pushed-down ``levenshtein`` verify per matched row). The
+    candidate join shuffles only ``xxhash64`` keys; after the map-side
+    collapse a pair is verified once per SHARED variant hash (bounded by
+    len+1, typically 1-2), and the final ``distinct`` dedupes pairs that
+    matched through several shared variants. Returns
+    (name_a, name_b, dist) with ``name_a < name_b``.
+
+    ``max_len`` EXCLUDES longer values from matching entirely — the
+    deletion neighborhood is for KEYS (names, codes, titles), and a
+    stray document-sized string at k=2 would fan out len² variants (25M
+    rows for 5000 chars); if long-text similarity is the actual goal,
+    that is the shingle/MinHash family's job, not this operator's.
     """
-    names = df.select(F.col(col).alias("name")).where(F.col("name").isNotNull()).distinct()
+    names = (
+        df.select(F.col(col).alias("name"))
+        .where(F.col("name").isNotNull() & (F.length("name") <= max_len))
+        .distinct()
+    )
     variants = names.select(
         "name",
-        F.explode(F.expr(_deletion_variants_expr("name", k))).alias("variant"),
+        F.explode(
+            F.array_distinct(F.expr(_deletion_variants_expr("name", k)))
+        ).alias("variant"),
     ).select("name", F.xxhash64("variant").alias("vh"))
     a = variants.alias("a")
     b = variants.alias("b")

@@ -65,3 +65,17 @@ def test_nulls_ignored(spark):
     df = spark.createDataFrame([("abc",), (None,), ("abd",)], ["name"])
     rows = similar_string_pairs(df, "name", k=1).collect()
     assert [(r.name_a, r.name_b) for r in rows] == [("abc", "abd")]
+
+
+def test_long_values_excluded(spark):
+    """Document-sized strings are excluded by max_len — the deletion
+    neighborhood is for keys; a 5000-char string at k=2 would fan out
+    ~25M variants. Long-text similarity is the MinHash family's job."""
+    df = spark.createDataFrame(
+        [("short",), ("shore",), ("x" * 500,), ("x" * 500 + "y",)], ["name"]
+    )
+    rows = similar_string_pairs(df, "name", k=1).collect()
+    assert [(r.name_a, r.name_b) for r in rows] == [("shore", "short")]
+    # raising the cap brings the long pair back
+    rows2 = similar_string_pairs(df, "name", k=1, max_len=1000).collect()
+    assert len(rows2) == 2
