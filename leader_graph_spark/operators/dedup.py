@@ -68,12 +68,19 @@ def shingle_rows(
 ) -> DataFrame:
     """n-word shingles per document: (id, shingle), distinct by default.
 
-    Built with array higher-order functions (JVM-side); the explode is
-    immediately consumed by downstream partial aggregation.
-    ``distinct=False`` skips the dedup shuffle for consumers that are
-    insensitive to duplicates (MinHash minimums)."""
-    out = df.select(F.col(id_col), F.explode(shingle_array(text_col, n)).alias("shingle"))
-    return out.distinct() if distinct else out
+    Built with array higher-order functions (JVM-side). The dedup is
+    MAP-SIDE: ``array_distinct`` on the in-row shingle array before the
+    explode — zero exchanges, where ``.distinct()`` on the exploded rows
+    would shuffle the full shingle stream once just to dedupe it (the
+    consumers then re-shuffle by shingle or by id anyway). Assumes one
+    input row per ``id_col`` (the document-table contract); duplicate
+    ids would need the row-level distinct back. ``distinct=False``
+    skips even the in-row dedup for consumers that are insensitive to
+    duplicates (MinHash minimums)."""
+    arr = shingle_array(text_col, n)
+    if distinct:
+        arr = F.array_distinct(arr)
+    return df.select(F.col(id_col), F.explode(arr).alias("shingle"))
 
 
 MINHASH_PRIME = 2147483647  # 2^31 - 1
