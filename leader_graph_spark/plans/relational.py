@@ -737,3 +737,57 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(100.0) * promo.cast("double") / total.cast("double"), 6
         ).alias("promo_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered join (explicit runtime-filter scale path for J1/J6-class
+# joins whose build side is too big to broadcast as rows)
+# ---------------------------------------------------------------------------
+
+_BLOOM_JOIN_ORACLE = """
+SELECT o.o_orderpriority AS o_orderpriority,
+       count(*) AS n_items,
+       CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_totalprice > 450000
+GROUP BY o.o_orderpriority
+"""
+
+
+@query("bloom_prefiltered_order_join", _BLOOM_JOIN_ORACLE, tags=("J1", "J9"))
+def bloom_prefiltered_order_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-value orders joined to their lineitems THROUGH a bloom
+    pre-filter (`operators/bloom.py`): the selective order-key set is
+    folded into a broadcast 128 KB bitmap and lineitem rows are pruned
+    map-side before the join's shuffle. Result is exactly the plain
+    join's (bloom false positives are removed by the real join; false
+    negatives are impossible), which is what the oracle checks — the
+    pruning shows up in the plan, not the answer. The 100 TB shape:
+    when the filtered dimension has too many keys to broadcast as rows,
+    the bitmap still fits on every executor and the fact-side exchange
+    shrinks by the join's selectivity (~10% here).
+
+    Reference parity: the reference's dict-lookup joins
+    (``src/mysql2neo4j.py:398-489``) are the row-at-a-time analog of
+    exactly this prune-before-join shape."""
+    from leader_graph_spark.operators.bloom import bloom_prefiltered_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 450000
+    )
+    joined = bloom_prefiltered_join(
+        li.select("l_orderkey", "l_extendedprice"),
+        orders.select("o_orderkey", "o_orderpriority"),
+        big_key="l_orderkey",
+        small_key="o_orderkey",
+        m_bits=1 << 16,
+        k_hashes=3,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(28,2)")
+        .cast("double")
+        .alias("revenue"),
+    )
