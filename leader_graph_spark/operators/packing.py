@@ -135,3 +135,77 @@ def pack_greedy_partitions(
         return pdf.assign(pack_id=pack_ids, pack_tokens=pack_used)
 
     return df.groupBy(partition_col).applyInPandas(pack, out_schema)
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    *,
+    id_col: str,
+    token_col: str,
+    bucket_width: int,
+    batch_size: int,
+) -> DataFrame:
+    """Dynamic-batching prep: assign each document to a LENGTH BUCKET
+    (floor(tokens / bucket_width)) and, within the bucket, to a fixed
+    ``batch_size`` batch in (tokens, id) order.
+
+    Why buckets: a training/inference loader pads every sequence in a
+    batch to the batch maximum, so batching randomly-ordered documents
+    wastes ~(max−mean)/max of the compute; batching within narrow
+    length buckets bounds padding per row at ``bucket_width − 1``
+    tokens. This emits the assignment (doc → bucket, batch_idx,
+    position) — :func:`padding_report` aggregates the waste.
+
+    Scale shape: the bucket key is map-side arithmetic; ONE hash
+    exchange by bucket feeds the per-bucket sort window, and every
+    downstream per-(bucket, batch) aggregation reuses that
+    partitioning (bucket partitioning co-locates (bucket, batch)), so
+    the whole pipeline is a single shuffle. Buckets are balanced by
+    construction — width is fixed, so a skewed length distribution
+    spreads over more buckets rather than growing one partition
+    (contrast partitioning by source/domain)."""
+    bucket = F.floor(F.col(token_col) / F.lit(bucket_width)).alias("length_bucket")
+    w = Window.partitionBy("length_bucket").orderBy(
+        F.col(token_col), F.col(id_col)
+    )
+    rn = F.row_number().over(w)
+    return df.select(F.col(id_col), F.col(token_col), bucket).select(
+        "*",
+        F.floor((rn - F.lit(1)) / F.lit(batch_size)).alias("batch_idx"),
+        ((rn - F.lit(1)) % F.lit(batch_size)).alias("batch_pos"),
+    )
+
+
+def padding_report(
+    batches: DataFrame, *, token_col: str, batch_size: int
+) -> DataFrame:
+    """Per-length-bucket padding economics for an assignment produced
+    by :func:`length_bucketed_batches`: every batch pads its rows to
+    the batch max, so ``padded_cells = Σ_batches max·rows`` and
+    ``waste = padded_cells − Σ tokens``. All-integer output (waste in
+    ppm of padded cells via exact floor division) so the oracle
+    comparison never rests on float rounding."""
+    per_batch = batches.groupBy("length_bucket", "batch_idx").agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.max(token_col).alias("mx"),
+        F.sum(token_col).alias("tok"),
+    )
+    return (
+        per_batch.groupBy("length_bucket")
+        .agg(
+            F.sum("rows").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+            F.sum("tok").cast("bigint").alias("total_tokens"),
+            F.sum(F.col("mx") * F.col("rows")).cast("bigint").alias("padded_cells"),
+        )
+        .select(
+            "length_bucket",
+            "n_docs",
+            "n_batches",
+            "total_tokens",
+            "padded_cells",
+            F.expr(
+                "CAST((1000000 * (padded_cells - total_tokens)) div padded_cells AS BIGINT)"
+            ).alias("waste_ppm"),
+        )
+    )

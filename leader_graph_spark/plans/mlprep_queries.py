@@ -323,3 +323,60 @@ def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("val")
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batching + padding economics (dynamic-batching prep)
+# ---------------------------------------------------------------------------
+
+_BUCKET_W, _BATCH_N = 64, 8
+
+_PADDING_ORACLE = f"""
+WITH assigned AS (
+  SELECT n_chars,
+         n_chars // {_BUCKET_W} AS length_bucket,
+         (row_number() OVER (PARTITION BY n_chars // {_BUCKET_W}
+                             ORDER BY n_chars, doc_id) - 1) // {_BATCH_N} AS batch_idx
+  FROM documents
+), per_batch AS (
+  SELECT length_bucket, batch_idx,
+         count(*) AS n_rows, max(n_chars) AS mx, sum(n_chars) AS tok
+  FROM assigned GROUP BY length_bucket, batch_idx
+)
+SELECT length_bucket,
+       CAST(sum(n_rows) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_batches,
+       CAST(sum(tok) AS BIGINT) AS total_tokens,
+       CAST(sum(mx * n_rows) AS BIGINT) AS padded_cells,
+       CAST((1000000 * (sum(mx * n_rows) - sum(tok))) // sum(mx * n_rows) AS BIGINT)
+         AS waste_ppm
+FROM per_batch GROUP BY length_bucket
+"""
+
+
+@query("length_bucket_padding_report", _PADDING_ORACLE, tags=("packing", "mlprep", "W2"))
+def length_bucket_padding_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-batching prep (`operators/packing.py:
+    length_bucketed_batches`): documents grouped into 64-char length
+    buckets, batched 8 at a time within each bucket in (length, id)
+    order, and the padding a loader would spend (pad-to-batch-max)
+    reported per bucket as exact integers — waste in ppm via floor
+    division so parity never rests on float rounding. One hash
+    exchange by bucket serves the assignment window AND both
+    aggregations (bucket partitioning co-locates (bucket, batch));
+    fixed bucket width turns length skew into more buckets, not a
+    bigger partition."""
+    from leader_graph_spark.operators.packing import (
+        length_bucketed_batches,
+        padding_report,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select("doc_id", "n_chars")
+    batches = length_bucketed_batches(
+        docs,
+        id_col="doc_id",
+        token_col="n_chars",
+        bucket_width=_BUCKET_W,
+        batch_size=_BATCH_N,
+    )
+    return padding_report(batches, token_col="n_chars", batch_size=_BATCH_N)

@@ -943,3 +943,70 @@ def test_point_in_interval_join_reversed_interval_dropped(spark):
     )
     out = point_in_interval_join(pts, ivs, point_col="ts", start_col="s", end_col="e")
     assert [r.w for r in out.collect()] == ["ok"]
+
+
+def test_length_bucketed_batching_padding(spark):
+    """Hand-computed padding on a tiny corpus, plus the economic claim:
+    bucketed batching wastes less than naive id-order batching."""
+    from leader_graph_spark.operators.packing import (
+        length_bucketed_batches,
+        padding_report,
+    )
+
+    # two buckets at width 100: [10, 20, 90] and [150, 160]
+    docs = spark.createDataFrame(
+        [(1, 90), (2, 10), (3, 150), (4, 20), (5, 160)], ["doc_id", "n_tok"]
+    )
+    b = length_bucketed_batches(
+        docs, id_col="doc_id", token_col="n_tok", bucket_width=100, batch_size=2
+    )
+    rep = {
+        r.length_bucket: r
+        for r in padding_report(b, token_col="n_tok", batch_size=2).collect()
+    }
+    # bucket 0 in (tok, id) order: [10, 20 | 90] -> padded 2*20 + 90
+    assert rep[0].n_docs == 3 and rep[0].n_batches == 2
+    assert rep[0].padded_cells == 2 * 20 + 90 == 130
+    assert rep[0].waste_ppm == (1_000_000 * (130 - 120)) // 130
+    # bucket 1: [150, 160] -> padded 2*160
+    assert rep[1].padded_cells == 320 and rep[1].total_tokens == 310
+
+    def naive_padding(sizes, batch_size):
+        waste = 0
+        for i in range(0, len(sizes), batch_size):
+            chunk = sizes[i : i + batch_size]
+            waste += max(chunk) * len(chunk) - sum(chunk)
+        return waste
+
+    sizes_by_id = [90, 10, 150, 20, 160]  # loader order = arrival order
+    bucketed_waste = sum(
+        r.padded_cells - r.total_tokens for r in rep.values()
+    )
+    assert bucketed_waste < naive_padding(sizes_by_id, 2)
+
+
+def test_length_bucketed_batch_sizes(spark):
+    """Every batch has exactly batch_size rows except at most one
+    remainder batch per bucket, and positions are 0..n-1 within it."""
+    from leader_graph_spark.operators.packing import length_bucketed_batches
+
+    docs = spark.range(0, 97).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 13 % 301).alias("n_tok")
+    )
+    b = length_bucketed_batches(
+        docs, id_col="doc_id", token_col="n_tok", bucket_width=50, batch_size=8
+    ).collect()
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in b:
+        groups[(r.length_bucket, r.batch_idx)].append(r.batch_pos)
+    for (bucket, _), positions in groups.items():
+        assert sorted(positions) == list(range(len(positions)))
+    by_bucket = defaultdict(list)
+    for (bucket, bi), positions in groups.items():
+        by_bucket[bucket].append((bi, len(positions)))
+    for bucket, sizes in by_bucket.items():
+        sizes.sort()
+        # all full except possibly the last
+        assert all(n == 8 for _, n in sizes[:-1])

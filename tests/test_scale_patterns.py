@@ -216,6 +216,11 @@ REGISTRY_SHUFFLE_BUDGETS = {
     "event_sequence_regex_match": 1,   # ordered string build, one exchange
     "cohort_retention_daily": 2,       # day-set agg + rollup, NO join
     "incremental_join_maintenance": 1, # delta branches broadcast at this size
+    # one hash exchange by length_bucket serves the assignment window
+    # and BOTH downstream aggregations (bucket partitioning co-locates
+    # (bucket, batch)); the other is fan_out's round-robin on the tiny
+    # single-file input, a no-op at scale
+    "length_bucket_padding_report": 2,
 }
 
 
