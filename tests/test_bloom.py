@@ -78,3 +78,44 @@ def test_bitmap_shape(spark):
     set_bits = sum(bin(w & ((1 << 64) - 1)).count("1") for w in row.bitmap)
     # ≤ k·n distinct positions, and at least one bit per distinct key
     assert 50 <= set_bits <= 150
+
+
+# --- property tests -------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_key_sets = st.tuples(
+    st.lists(st.integers(min_value=-(2**40), max_value=2**40), min_size=0, max_size=60),
+    st.lists(st.integers(min_value=-(2**40), max_value=2**40), min_size=1, max_size=60),
+    st.sampled_from([256, 1024, 4096]),
+    st.integers(min_value=1, max_value=4),
+)
+
+
+@settings(**_SETTINGS)
+@given(_key_sets)
+def test_property_no_false_negatives(spark, case):
+    """For ANY key sets, m, and k: every big-side row whose key is in
+    the small set survives the pre-filter (bloom can over-approximate,
+    never under-approximate)."""
+    small_keys, big_keys, m_bits, k_hashes = case
+    big = spark.createDataFrame([(k,) for k in big_keys], "k long")
+    small = spark.createDataFrame(
+        [(k,) for k in small_keys] or [(None,)], "sk long"
+    )
+    pre = {
+        r.k
+        for r in bloom_prefilter(
+            big, small, big_key="k", small_key="sk",
+            m_bits=m_bits, k_hashes=k_hashes,
+        ).collect()
+    }
+    must_pass = set(big_keys) & set(small_keys)
+    assert must_pass <= pre
