@@ -209,3 +209,52 @@ def padding_report(
             ).alias("waste_ppm"),
         )
     )
+
+
+def striped_shard_assignment(
+    df: DataFrame,
+    *,
+    id_col: str,
+    token_col: str,
+    n_shards: int,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Token-balanced shard assignment for data-parallel training:
+    documents in (tokens DESC, id) order are dealt onto ``n_shards``
+    in serpentine rounds (0,1,…,n−1,n−1,…,1,0,…) — the classic
+    longest-processing-time striping, which bounds the shard token
+    spread by roughly one document of each size band instead of the
+    O(n_docs/n_shards · spread) a hash split can reach on a skewed
+    length distribution.
+
+    The global rank is NOT a bare ``Window.orderBy`` (that moves every
+    row to one reducer) but the same two-phase form as
+    :func:`pack_by_cumsum`: range-partition by the sort key, count
+    within each partition, add the per-partition carry-in (one
+    metadata-sized row per partition, broadcast back). Scales as an
+    ordinary sort. Output: input columns + ``shard``."""
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    order = [F.col(token_col).desc(), F.col(id_col)]
+    ranged = df.repartitionByRange(n, *order).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_before = F.coalesce(F.count(F.lit(1)).over(w_local), F.lit(0))
+    totals = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_ptotal"))
+    w_carry = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    carry = totals.select(
+        "_pid", F.coalesce(F.sum("_ptotal").over(w_carry), F.lit(0)).alias("_carry")
+    )
+    rank0 = (F.col("_carry") + local_before).cast("bigint")
+    rnd = F.floor(rank0 / F.lit(n_shards))
+    pos = F.pmod(rank0, F.lit(n_shards))
+    shard = F.when(F.pmod(rnd, F.lit(2)) == 0, pos).otherwise(
+        F.lit(n_shards - 1) - pos
+    )
+    return ranged.join(F.broadcast(carry), "_pid").select(
+        *[c for c in df.columns], shard.cast("int").alias("shard")
+    )

@@ -380,3 +380,47 @@ def length_bucket_padding_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_size=_BATCH_N,
     )
     return padding_report(batches, token_col="n_chars", batch_size=_BATCH_N)
+
+
+# ---------------------------------------------------------------------------
+# Token-balanced shard striping (data-parallel training shards)
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 8
+
+_SHARD_ORACLE = f"""
+WITH ranked AS (
+  SELECT n_chars,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS r
+  FROM documents
+)
+SELECT CAST(CASE WHEN (r // {_N_SHARDS}) % 2 = 0
+            THEN r % {_N_SHARDS}
+            ELSE {_N_SHARDS - 1} - (r % {_N_SHARDS}) END AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_tokens
+FROM ranked GROUP BY 1
+"""
+
+
+@query("balanced_shard_report", _SHARD_ORACLE, tags=("packing", "mlprep", "skew"))
+def balanced_shard_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard assignment (`operators/packing.py:
+    striped_shard_assignment`): documents dealt serpentine-order onto 8
+    shards from a (tokens DESC, id) global rank, reported as per-shard
+    doc and token totals. The rank is the two-phase range-partitioned
+    form (no single-reducer window); the oracle replays rank → shard →
+    totals in plain SQL, so the whole assignment — not just the
+    counts — is value-checked. Balance itself is asserted in
+    test_operators (shard token spread ≤ one max-sized document,
+    versus the ~spread×n_docs/n a hash split allows)."""
+    from leader_graph_spark.operators.packing import striped_shard_assignment
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select("doc_id", "n_chars")
+    assigned = striped_shard_assignment(
+        docs, id_col="doc_id", token_col="n_chars", n_shards=_N_SHARDS
+    )
+    return assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_tokens"),
+    )

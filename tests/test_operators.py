@@ -1010,3 +1010,40 @@ def test_length_bucketed_batch_sizes(spark):
         sizes.sort()
         # all full except possibly the last
         assert all(n == 8 for _, n in sizes[:-1])
+
+
+def test_striped_shards_balance_and_partition_invariance(spark):
+    """Serpentine striping bounds the shard token spread by ~one
+    document; the two-phase global rank must not depend on the input's
+    partitioning."""
+    from leader_graph_spark.operators.packing import striped_shard_assignment
+
+    docs = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 37 % 997 + 5).alias("n_tok")
+    )
+    out = striped_shard_assignment(
+        docs, id_col="doc_id", token_col="n_tok", n_shards=8
+    )
+    totals = {
+        r.shard: r.tok
+        for r in out.groupBy("shard").agg(F.sum("n_tok").alias("tok")).collect()
+    }
+    assert sorted(totals) == list(range(8))
+    max_doc = 997 + 4
+    assert max(totals.values()) - min(totals.values()) <= max_doc
+    # a hash split's spread on the same data, for contrast: striping
+    # must beat it (hash spread here is ~thousands of tokens)
+    hash_totals = {
+        r.b: r.tok
+        for r in docs.groupBy(F.pmod(F.xxhash64("doc_id"), F.lit(8)).alias("b"))
+        .agg(F.sum("n_tok").alias("tok"))
+        .collect()
+    }
+    assert max(totals.values()) - min(totals.values()) < max(
+        hash_totals.values()
+    ) - min(hash_totals.values())
+    # partition invariance: 1-partition input gives the identical assignment
+    one = striped_shard_assignment(
+        docs.coalesce(1), id_col="doc_id", token_col="n_tok", n_shards=8
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, one.collect()))
