@@ -1,0 +1,165 @@
+"""Scale-stress harness: measure how the headline queries ACTUALLY
+scale, not just how their plans read.
+
+    python scripts/scale_stress.py [--factor 8] [--out /tmp/sf_stress]
+
+Builds a key-consistent ~factor× replica of /root/testdata/sf0.1
+(foreign keys offset per replica so joins keep their selectivity;
+document text passed through a per-replica alphabet rotation and
+embeddings rotated per replica so the dedup/ANN pipelines do NOT see
+replicas as near-duplicates — the goal is "the same workload, bigger",
+not a pathological all-duplicates corpus), then times a battery of
+registered queries at both scales and prints observed time ratio vs
+the data ratio. A linear-plan query should land near the data ratio
+(below it while the small scale is dominated by fixed per-query
+latency); anything far above is a scaling bug.
+
+Dimension tables (nation/region) are NOT replicated — at 100 TB the
+dimensions stay dimension-sized; replicating facts against fixed dims
+is exactly how the real table ratios evolve.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import string
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+OFF = 100_000_000  # id offset per replica — far above any base key
+
+# (table, [id columns to offset per replica]). nation IS replicated
+# (with customer/supplier nation keys offset to match) so per-nation
+# group sizes stay CONSTANT as data grows — the realistic 100 TB shape
+# ("more workplaces", not quadratically denser ones); that keeps the
+# interval-join pair output linear in the factor, so the flagship
+# queries can be measured too. region stays a fixed dimension.
+FACT_TABLES = {
+    "nation": ["n_nationkey"],
+    "customer": ["c_custkey", "c_nationkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "supplier": ["s_suppkey", "s_nationkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+DIM_TABLES = ["region"]
+
+QUERIES = [
+    "pricing_summary",
+    "shipping_priority_top10",
+    "local_supplier_volume",
+    "supplier_nation_reach",
+    "flagship_colleagues_interval",
+    "flagship_colleagues_bucketed",
+    "schoolmates_shared_part",
+    "events_tumbling_hourly",
+    "user_state_scd2",
+    "minhash_near_dup_docs",
+    "dedup_canonical_docs",
+    "ngram_jaccard_prefix_filtered",
+    "ann_lsh_topk",
+    "dup_span_coverage",
+    "balanced_shard_report",
+    "length_bucket_padding_report",
+    "funnel_view_click_purchase",
+]
+
+
+def _rotated(r: int) -> str:
+    a = string.ascii_lowercase
+    return a[r % 26 :] + a[: r % 26]
+
+
+def build_replica(spark, out_dir: str, factor: int) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for t in DIM_TABLES:
+        shutil.copy(f"{BASE}/{t}.parquet", f"{out_dir}/{t}.parquet")
+    for t, keys in FACT_TABLES.items():
+        base = spark.read.parquet(f"{BASE}/{t}.parquet")
+        parts = []
+        for r in range(factor):
+            df = base
+            for k in keys:
+                df = df.withColumn(k, F.col(k) + F.lit(r * OFF))
+            if t == "documents" and r > 0:
+                # per-replica alphabet rotation: deterministic, length-
+                # preserving, destroys cross-replica shingle overlap
+                df = df.withColumn(
+                    "text",
+                    F.translate("text", string.ascii_lowercase, _rotated(r)),
+                )
+            if t == "embeddings" and r > 0:
+                # rotate the vector by r dims: norm-preserving, kills
+                # cross-replica cosine similarity
+                n = 64
+                rr = r % n or 1
+                df = df.withColumn(
+                    "embedding",
+                    F.concat(
+                        F.slice("embedding", rr + 1, n - rr),
+                        F.slice("embedding", 1, rr),
+                    ),
+                )
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+        print(f"built {t}: {out.count()} rows", flush=True)
+
+
+def time_queries(spark, sf_dir: str, names, runs: int) -> dict[str, float]:
+    from leader_graph_spark.plans import REGISTRY
+
+    # warm codegen/worker paths at the smoke scale
+    for n in names:
+        REGISTRY[n].spark(spark, "/root/testdata/sf0.001").write.format(
+            "noop"
+        ).mode("overwrite").save()
+    best: dict[str, float] = {n: float("inf") for n in names}
+    for _ in range(runs):
+        for n in names:
+            t0 = time.time()
+            REGISTRY[n].spark(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best[n] = min(best[n], time.time() - t0)
+    return best
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--factor", type=int, default=8)
+    p.add_argument("--out", default="/tmp/sf_stress")
+    p.add_argument("--runs", type=int, default=2)
+    p.add_argument("--skip-build", action="store_true")
+    args = p.parse_args()
+
+    from leader_graph_spark.session import get_spark
+
+    spark = get_spark("scale_stress")
+    if not args.skip_build:
+        build_replica(spark, args.out, args.factor)
+    small = time_queries(spark, BASE, QUERIES, args.runs)
+    big = time_queries(spark, args.out, QUERIES, args.runs)
+    print(f"\n{'query':34s} {'sf0.1':>8s} {args.factor}x{'':>5s} ratio")
+    for n in QUERIES:
+        ratio = big[n] / small[n]
+        flag = "" if ratio <= args.factor * 1.3 else "  <-- SUPERLINEAR"
+        print(f"{n:34s} {small[n]:8.3f} {big[n]:8.3f} {ratio:6.2f}{flag}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
