@@ -30,6 +30,12 @@ def main(argv: list[str] | None = None) -> int:
     p_run.add_argument("--explain", action="store_true")
     p_run.add_argument("--json", action="store_true")
 
+    p_plan = sub.add_parser(
+        "plan", help="show a query's executed plan + exchange summary"
+    )
+    p_plan.add_argument("query")
+    p_plan.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+
     args = p.parse_args(argv)
 
     from leader_graph_spark.plans import REGISTRY
@@ -54,6 +60,13 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(f"cli_{args.query}")
     df = spec.spark(spark, args.sf_dir)
+    if args.cmd == "plan":
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+        broadcasts = plan.count("BroadcastExchange")
+        print(f"shuffles={shuffles} broadcasts={broadcasts}\n")
+        print(plan)
+        return 0
     if args.explain:
         df.explain("formatted")
         return 0

@@ -45,3 +45,12 @@ def test_run_json(spark, sf_smoke):
     rows = [json.loads(line) for line in out.strip().splitlines()]
     assert 1 <= len(rows) <= 3
     assert "l_returnflag" in rows[0]
+
+
+def test_cli_plan(capsys):
+    from leader_graph_spark.__main__ import main
+
+    assert main(["plan", "pricing_summary", "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("shuffles=")
+    assert "HashAggregate" in out
