@@ -159,3 +159,69 @@ def test_retractable_delta_matches_recompute(spark, base_rows, raw_changes):
         mx = v if mx is None else max(mx, v)
         want[k] = (cnt, tot, mn, mx)
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**6), st.integers(0, 2000)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    st.sampled_from([32, 100]),
+    st.sampled_from([2, 8]),
+)
+def test_length_bucketed_batches_match_model(spark, rows, width, bsize):
+    """Assignment equals the obvious single-threaded model for any
+    corpus, bucket width, and batch size."""
+    from leader_graph_spark.operators.packing import length_bucketed_batches
+
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+    got = {
+        r.doc_id: (r.length_bucket, r.batch_idx, r.batch_pos)
+        for r in length_bucketed_batches(
+            df, id_col="doc_id", token_col="n_tok",
+            bucket_width=width, batch_size=bsize,
+        ).collect()
+    }
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for doc_id, tok in rows:
+        buckets[tok // width].append((tok, doc_id))
+    want = {}
+    for b, docs in buckets.items():
+        for i, (tok, doc_id) in enumerate(sorted(docs)):
+            want[doc_id] = (b, i // bsize, i % bsize)
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**6), st.integers(0, 2000)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    st.sampled_from([1, 3, 8]),
+)
+def test_striped_shards_match_model(spark, rows, n_shards):
+    """Serpentine deal equals the single-threaded model regardless of
+    how Spark partitions the input."""
+    from leader_graph_spark.operators.packing import striped_shard_assignment
+
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok"]).repartition(7)
+    got = {
+        r.doc_id: r.shard
+        for r in striped_shard_assignment(
+            df, id_col="doc_id", token_col="n_tok", n_shards=n_shards
+        ).collect()
+    }
+    order = sorted(rows, key=lambda t: (-t[1], t[0]))
+    want = {}
+    for r0, (doc_id, _) in enumerate(order):
+        rnd, pos = divmod(r0, n_shards)
+        want[doc_id] = pos if rnd % 2 == 0 else n_shards - 1 - pos
+    assert got == want
