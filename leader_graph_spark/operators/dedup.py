@@ -980,3 +980,98 @@ def excise_duplicated_spans(
             f"size(filter(cut_pos, h -> h <= t AND t < h + {k})) = 0), t -> tokens[t - 1])"
         )).alias("clean_text"),
     )
+
+
+def containment_pairs_prefix(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    t_num: int = 9,
+    t_den: int = 10,
+) -> DataFrame:
+    """Exact shingle-CONTAINMENT pairs at threshold t = t_num/t_den:
+    ``|A ∩ B| / min(|A|, |B|) ≥ t`` — the asymmetric near-dup relation
+    (a wire-story quoted inside a longer article, a doc re-released
+    with a preamble) that symmetric Jaccard misses whenever the size
+    ratio drags ``|A∩B|/|A∪B|`` below its threshold.
+
+    Scale path — prefix filtering on the PROBE side only: order each
+    doc's shingles by global rarity (df asc, then shingle); if none of
+    the smaller set A's first ``|A| − ⌈t·|A|⌉ + 1`` shingles is in B,
+    then |A∩B| ≤ ⌈t·|A|⌉ − 1 < t·|A| — true for ANY B, so the bound
+    needs no ordering of the index side: candidates = A-prefix rows ⋈
+    B-full rows on the 8-byte shingle hash, probe = the smaller set
+    (tie: smaller id). Unlike the symmetric PPJoin there is no size
+    filter (containment allows any size ratio) and the index side
+    stays full — the frequency ordering still keeps stopword-like
+    shingles out of probe prefixes, which is what bounds the join.
+    Thresholds are integer cross products (ceil in doubles rounds the
+    wrong way; see ngram_jaccard_pairs_prefix).
+
+    Output: (id_1, id_2, contained_id, containment) with id_1 < id_2,
+    ``contained_id`` the smaller set (tie: id_1), containment rounded
+    to 6. The registered oracle computes the NAIVE all-sharing-pairs
+    form, so the driver hash check proves this prefix pruning is
+    complete, not just fast."""
+    from pyspark.sql import Window
+
+    fanned = fan_out(df)
+    sh = shingle_rows(
+        fanned, id_col=id_col, text_col=text_col, n=shingle_n
+    ).localCheckpoint()
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("shingle"))
+    ceil_ts = F.expr(f"(({t_num} * sz + {t_den - 1}) div {t_den})")
+    with_sz = sh.join(dfreq, "shingle").withColumn(
+        "sz", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    )
+    probe = (
+        with_sz.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= F.col("sz") - ceil_ts + 1)
+        .select(F.col(id_col).alias("pid"), F.xxhash64("shingle").alias("shash"), F.col("sz").alias("psz"))
+    )
+    index = with_sz.select(
+        F.col(id_col).alias("iid"), F.xxhash64("shingle").alias("shash"), F.col("sz").alias("isz")
+    )
+    cand = (
+        probe.join(
+            index,
+            (probe.shash == index.shash)
+            & (
+                (probe.psz < index.isz)
+                | ((probe.psz == index.isz) & (probe.pid < index.iid))
+            ),
+        )
+        .select(
+            F.least("pid", "iid").alias("id_1"),
+            F.greatest("pid", "iid").alias("id_2"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sa = sh.select(F.col(id_col).alias("id_1"), "shingle")
+    sb = sh.select(F.col(id_col).alias("id_2"), "shingle")
+    inter = (
+        cand.join(sa, "id_1")
+        .join(sb, ["id_2", "shingle"])
+        .groupBy("id_1", "id_2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sizes.select(F.col(id_col).alias("id_1"), F.col("sz").alias("sz_1"))
+    zb = sizes.select(F.col(id_col).alias("id_2"), F.col("sz").alias("sz_2"))
+    m = inter.join(za, "id_1").join(zb, "id_2")
+    containment = F.col("inter") / F.least("sz_1", "sz_2").cast("double")
+    return (
+        m.where(F.lit(t_den) * F.col("inter") >= F.lit(t_num) * F.least("sz_1", "sz_2"))
+        .select(
+            "id_1",
+            "id_2",
+            F.when(F.col("sz_1") < F.col("sz_2"), F.col("id_1"))
+            .when(F.col("sz_2") < F.col("sz_1"), F.col("id_2"))
+            .otherwise(F.col("id_1"))
+            .alias("contained_id"),
+            F.round(containment, 6).alias("containment"),
+        )
+    )

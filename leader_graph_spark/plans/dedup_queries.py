@@ -317,8 +317,10 @@ def simhash_near_dup_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(docs, id_col="doc_id", text_col="text")
 
 
-def _canonical_oracle_sql(rounds: int = 4) -> str:
-    """Unrolled min-label propagation over the minhash pair CTEs."""
+def _canonical_oracle_sql(rounds: int = 4, final_select: str | None = None) -> str:
+    """Unrolled min-label propagation over the minhash pair CTEs.
+    ``final_select`` (over ``lbl{rounds}(id, comp)``) lets composed
+    queries reuse the propagation; default emits the canonical rows."""
     parts = [
         f"pairs AS ({_MINHASH_FINAL})",
         "sym AS (SELECT id_1 AS src, id_2 AS dst FROM pairs"
@@ -337,11 +339,10 @@ lbl{i + 1} AS (
   ) nm ON l.id = nm.id
 )"""
         )
-    return (
-        f"WITH {_MINHASH_CTES},\n"
-        + ",\n".join(parts)
-        + f"\nSELECT id AS doc_id, comp AS canonical_id, id = comp AS is_kept FROM lbl{rounds}"
+    tail = final_select or (
+        f"SELECT id AS doc_id, comp AS canonical_id, id = comp AS is_kept FROM lbl{rounds}"
     )
+    return f"WITH {_MINHASH_CTES},\n" + ",\n".join(parts) + "\n" + tail
 
 
 @query(
@@ -498,4 +499,110 @@ def ngram_jaccard_prefix_filtered(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs_prefix(
         docs, id_col="doc_id", text_col="text", shingle_n=SHINGLE_N, t_num=4, t_den=5
+    )
+
+
+# Containment (asymmetric near-dup): |A∩B| / min(|A|,|B|) ≥ 0.9.
+# The oracle is the NAIVE all-sharing-pairs form, so the hash match
+# proves the operator's probe-side prefix filter is COMPLETE.
+_CONTAIN_T_NUM, _CONTAIN_T_DEN = 9, 10
+
+_CONTAINMENT_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_1, i.id_2,
+       CASE WHEN sa.sz < sb.sz THEN i.id_1
+            WHEN sb.sz < sa.sz THEN i.id_2
+            ELSE i.id_1 END AS contained_id,
+       round(i.inter / CAST(least(sa.sz, sb.sz) AS DOUBLE), 6) AS containment
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_1
+JOIN sizes sb ON sb.doc_id = i.id_2
+WHERE {_CONTAIN_T_DEN} * i.inter >= {_CONTAIN_T_NUM} * least(sa.sz, sb.sz)
+"""
+
+
+@query("containment_near_dup_pairs", _CONTAINMENT_ORACLE, tags=("dedup-containment",))
+def containment_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection (`operators/dedup.py:
+    containment_pairs_prefix`): pairs where the smaller shingle set is
+    ≥ 90% contained in the other — catches subset relations (quoted
+    wire stories, re-releases with preambles) that symmetric Jaccard
+    misses when the size ratio dilutes the union. The operator prunes
+    candidates with a probe-side-only rarity prefix (no size filter —
+    containment allows any ratio; the index side stays full, which is
+    the standard containment-join shape); the oracle computes the
+    naive all-sharing-pairs form, so the driver hash check proves the
+    pruning misses nothing."""
+    from leader_graph_spark.operators.dedup import containment_pairs_prefix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs_prefix(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        shingle_n=SHINGLE_N,
+        t_num=_CONTAIN_T_NUM,
+        t_den=_CONTAIN_T_DEN,
+    )
+
+
+# Leakage-safe split: the train/val/test hash split keyed on the
+# near-dup CLUSTER label instead of the doc id, so near-duplicates can
+# never straddle splits (the eval-contamination bug a per-doc split
+# silently commits whenever two near-dups hash to different buckets).
+_LEAKAGE_FINAL = f"""
+SELECT id AS doc_id, comp AS canonical_id,
+       CASE WHEN ((instr('0123456789abcdef', substr(md5(CAST(comp AS VARCHAR)), 1, 1)) - 1) * 16
+                + (instr('0123456789abcdef', substr(md5(CAST(comp AS VARCHAR)), 2, 1)) - 1)) < 204
+            THEN 'train'
+            WHEN ((instr('0123456789abcdef', substr(md5(CAST(comp AS VARCHAR)), 1, 1)) - 1) * 16
+                + (instr('0123456789abcdef', substr(md5(CAST(comp AS VARCHAR)), 2, 1)) - 1)) < 230
+            THEN 'val' ELSE 'test' END AS split
+FROM lbl4
+"""
+
+
+@query(
+    "leakage_safe_split",
+    _canonical_oracle_sql(4, final_select=_LEAKAGE_FINAL),
+    tags=("sampling", "dedup-canonical", "mlprep"),
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split keyed on the near-dup cluster label
+    (canonical id from min-label propagation) rather than the doc id —
+    every member of a near-dup cluster lands in the SAME split, closing
+    the eval-contamination hole `doc_hash_split` leaves open (a pair of
+    near-dups whose ids hash to different buckets trains on one and
+    evaluates on the other). Composition of two already-verified
+    pieces: cluster labels (`dedup_canonical_docs`) + md5-bucket split
+    (`doc_hash_split`), with the bucket computed on ``canonical_id``."""
+    from leader_graph_spark.operators.dedup import canonical_near_dup_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    labels = canonical_near_dup_docs(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        shingle_n=SHINGLE_N,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        threshold=THRESHOLD,
+        rounds=4,
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("canonical_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    return labels.select(
+        "doc_id",
+        "canonical_id",
+        F.when(bucket < 204, "train")
+        .when(bucket < 230, "val")
+        .otherwise("test")
+        .alias("split"),
     )

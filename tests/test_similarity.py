@@ -360,3 +360,111 @@ def test_ivf_index_probe_matches_inmemory_and_prunes(spark, sf_smoke, tmp_path):
     assert all(
         sims_wide[key] >= sims_narrow[key] - 1e-9 for key in sims_narrow if key in sims_wide
     )
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """A short doc quoted inside a much longer one: containment ≈ 1,
+    Jaccard low. The prefix-filtered operator must find it, agree with
+    brute force, and direct contained_id at the smaller set."""
+    from leader_graph_spark.operators.dedup import (
+        containment_pairs_prefix,
+        ngram_jaccard_pairs,
+    )
+
+    quote = " ".join(f"w{i}" for i in range(12))
+    article = quote + " " + " ".join(f"x{i}" for i in range(60))
+    other = " ".join(f"y{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, quote), (2, article), (3, other)], ["doc_id", "text"]
+    )
+    rows = containment_pairs_prefix(
+        df, id_col="doc_id", text_col="text", t_num=9, t_den=10
+    ).collect()
+    assert [(r.id_1, r.id_2, r.contained_id) for r in rows] == [(1, 2, 1)]
+    assert rows[0].containment == 1.0
+    # symmetric Jaccard at 0.8 misses the same pair
+    jac = ngram_jaccard_pairs(
+        df, id_col="doc_id", text_col="text", threshold=0.8
+    ).collect()
+    assert jac == []
+
+
+def test_containment_prefix_matches_bruteforce(spark):
+    """Random-ish corpus with overlapping tails: prefix-filtered result
+    equals the all-pairs brute force (completeness under size skew)."""
+    from leader_graph_spark.operators.dedup import containment_pairs_prefix
+
+    docs = []
+    base = [f"t{i}" for i in range(40)]
+    for d in range(12):
+        # doc d: a sliding window of the shared vocabulary plus a tail
+        words = base[d : d + 14] + [f"u{d}_{j}" for j in range(d % 4)]
+        docs.append((d, " ".join(words)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.id_1, r.id_2): (r.contained_id, r.containment)
+        for r in containment_pairs_prefix(
+            df, id_col="doc_id", text_col="text", t_num=7, t_den=10
+        ).collect()
+    }
+
+    def shingles(text):
+        toks = text.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    want = {}
+    sets = {d: shingles(t) for d, t in docs}
+    for a in range(12):
+        for b in range(a + 1, 12):
+            inter = len(sets[a] & sets[b])
+            small = min(len(sets[a]), len(sets[b]))
+            if 10 * inter >= 7 * small:
+                contained = a if len(sets[a]) <= len(sets[b]) else b
+                want[(a, b)] = (contained, round(inter / small, 6))
+    assert got == want and want  # non-vacuous
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Docs 1 (train-bucket) and 3 (test-bucket) are near-duplicates:
+    a per-doc hash split puts one in train and one in test (the eval
+    contamination), while the cluster-keyed split lands both in the
+    SAME split keyed by the canonical id."""
+    import hashlib
+
+    from leader_graph_spark.operators.dedup import canonical_near_dup_docs
+    from pyspark.sql import functions as F
+
+    text = " ".join(f"w{i}" for i in range(30))
+    near = text + " tail"
+    df = spark.createDataFrame(
+        [(1, text), (3, near), (5, " ".join(f"z{i}" for i in range(25)))],
+        ["doc_id", "text"],
+    )
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:2], 16)
+
+    def split_of(b):
+        return "train" if b < 204 else ("val" if b < 230 else "test")
+
+    # precondition: per-doc split WOULD separate the near-dup pair
+    assert split_of(bucket(1)) != split_of(bucket(3))
+
+    labels = canonical_near_dup_docs(
+        df, id_col="doc_id", text_col="text",
+        shingle_n=3, num_hashes=16, bands=4, threshold=0.8, rounds=4,
+    )
+    b = F.conv(
+        F.substring(F.md5(F.col("canonical_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    out = {
+        r.doc_id: (r.canonical_id, r.split)
+        for r in labels.select(
+            "doc_id",
+            "canonical_id",
+            F.when(b < 204, "train").when(b < 230, "val").otherwise("test").alias("split"),
+        ).collect()
+    }
+    assert out[1][0] == out[3][0] == 1       # same cluster, canonical = min id
+    assert out[1][1] == out[3][1]            # same split — no leakage
+    assert out[5][0] == 5                    # singleton untouched
