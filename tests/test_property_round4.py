@@ -225,3 +225,46 @@ def test_striped_shards_match_model(spark, rows, n_shards):
         rnd, pos = divmod(r0, n_shards)
         want[doc_id] = pos if rnd % 2 == 0 else n_shards - 1 - pos
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(st.integers(0, 25), min_size=3, max_size=30),
+        min_size=2,
+        max_size=10,
+    ),
+    st.sampled_from([(7, 10), (9, 10), (1, 2)]),
+)
+def test_containment_prefix_matches_bruteforce_random(spark, token_lists, t):
+    """Prefix-filtered containment equals all-pairs brute force on
+    random small-vocabulary corpora (heavy shingle sharing — the case
+    where an unsound prefix bound would actually drop pairs)."""
+    from leader_graph_spark.operators.dedup import containment_pairs_prefix
+
+    t_num, t_den = t
+    docs = [(i, " ".join(f"w{x}" for x in toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.id_1, r.id_2): (r.contained_id, r.containment)
+        for r in containment_pairs_prefix(
+            df, id_col="doc_id", text_col="text", t_num=t_num, t_den=t_den
+        ).collect()
+    }
+
+    def shingles(text):
+        toks = text.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: shingles(txt) for i, txt in docs}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a >= b or not sets[a] or not sets[b]:
+                continue
+            inter = len(sets[a] & sets[b])
+            small = min(len(sets[a]), len(sets[b]))
+            if t_den * inter >= t_num * small:
+                contained = a if len(sets[a]) <= len(sets[b]) else b
+                want[(a, b)] = (contained, round(inter / small, 6))
+    assert got == want
