@@ -1050,18 +1050,27 @@ def containment_pairs_prefix(
         )
         .distinct()
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    sa = sh.select(F.col(id_col).alias("id_1"), "shingle")
-    sb = sh.select(F.col(id_col).alias("id_2"), "shingle")
-    inter = (
-        cand.join(sa, "id_1")
-        .join(sb, ["id_2", "shingle"])
-        .groupBy("id_1", "id_2")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # In-row verify: per-doc shingle ARRAYS joined onto the candidate
+    # pairs, intersected with array higher-order functions — the same
+    # form minhash_near_duplicates measured ~1.7× over re-joining the
+    # exploded shingle stream (two full-stream shuffles saved).
+    sets = fanned.select(
+        F.col(id_col),
+        F.array_distinct(shingle_array(text_col, shingle_n)).alias("shs"),
     )
-    za = sizes.select(F.col(id_col).alias("id_1"), F.col("sz").alias("sz_1"))
-    zb = sizes.select(F.col(id_col).alias("id_2"), F.col("sz").alias("sz_2"))
-    m = inter.join(za, "id_1").join(zb, "id_2")
+    sa = sets.select(F.col(id_col).alias("id_1"), F.col("shs").alias("sh_1"))
+    sb = sets.select(F.col(id_col).alias("id_2"), F.col("shs").alias("sh_2"))
+    m = (
+        cand.join(sa, "id_1")
+        .join(sb, "id_2")
+        .select(
+            "id_1",
+            "id_2",
+            F.size(F.array_intersect("sh_1", "sh_2")).alias("inter"),
+            F.size("sh_1").alias("sz_1"),
+            F.size("sh_2").alias("sz_2"),
+        )
+    )
     containment = F.col("inter") / F.least("sz_1", "sz_2").cast("double")
     return (
         m.where(F.lit(t_den) * F.col("inter") >= F.lit(t_num) * F.least("sz_1", "sz_2"))

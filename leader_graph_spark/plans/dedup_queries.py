@@ -527,7 +527,12 @@ WHERE {_CONTAIN_T_DEN} * i.inter >= {_CONTAIN_T_NUM} * least(sa.sz, sb.sz)
 """
 
 
-@query("containment_near_dup_pairs", _CONTAINMENT_ORACLE, tags=("dedup-containment",))
+@query(
+    "containment_near_dup_pairs",
+    _CONTAINMENT_ORACLE,
+    bench=True,
+    tags=("dedup-containment",),
+)
 def containment_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric near-dup detection (`operators/dedup.py:
     containment_pairs_prefix`): pairs where the smaller shingle set is

@@ -206,6 +206,9 @@ SHUFFLE_BUDGETS = {
     # composed capstone: curation signals + packing prefix-sum + split —
     # the sum of its stages' budgets, nothing added by the composition
     "corpus_release_manifest": 13,
+    # probe-prefix build (dfreq join + windows) + full-index candidate
+    # join + in-row array-intersect verify
+    "containment_near_dup_pairs": 7,
 }
 
 # Same contract for non-bench queries whose scale story IS a shuffle
