@@ -73,6 +73,9 @@ QUERIES = [
     "balanced_shard_report",
     "length_bucket_padding_report",
     "funnel_view_click_purchase",
+    "containment_near_dup_pairs",
+    "bloom_prefiltered_order_join",
+    "leakage_safe_split",
 ]
 
 
