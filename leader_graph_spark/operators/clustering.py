@@ -426,3 +426,94 @@ FROM (SELECT qid, nid, approx_sq_dist,
       FROM totals)
 WHERE rn <= {topk}"""
     )
+
+
+def pq_adc_rerank_topk(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 8,
+    iterations: int = 2,
+    n_queries: int = 10,
+    coarse_k: int = 20,
+    topk: int = 5,
+) -> DataFrame:
+    """Two-stage retrieval — the production ANN read path: a WIDE
+    approximate candidate set from code-only PQ-ADC scoring
+    (:func:`pq_adc_topk` with ``coarse_k`` candidates), then an EXACT
+    re-rank that touches raw vectors only for the |queries| × coarse_k
+    survivors. Quantization error costs recall at the coarse stage
+    only; the final ordering is exact over the candidates.
+
+    Scale shape: the coarse stage never shuffles a vector (codes +
+    broadcast LUTs); the re-rank joins the tiny candidate list to the
+    corpus by id twice (query side, neighbor side) — point lookups a
+    lake layout serves with pruned scans — and computes the exact
+    fixed-point distance in-row. Work touching raw vectors is
+    O(n_queries · coarse_k), independent of corpus size.
+
+    Output: (query_id, neighbor_id, exact_sq_dist, rank ≤ topk); ties
+    break toward the smaller neighbor id."""
+    coarse = pq_adc_topk(
+        emb, id_col=id_col, vec_col=vec_col, m=m, k=k,
+        iterations=iterations, n_queries=n_queries, topk=coarse_k,
+    ).select("query_id", "neighbor_id")
+    fixed = emb.select(
+        F.col(id_col), to_fixed_point(F.col(vec_col)).alias("fv")
+    )
+    qv = fixed.select(F.col(id_col).alias("query_id"), F.col("fv").alias("qv"))
+    nv = fixed.select(F.col(id_col).alias("neighbor_id"), F.col("fv").alias("nv"))
+    scored = (
+        coarse.join(qv, "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _sq_dist(F.col("qv"), F.col("nv")).alias("exact_sq_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("exact_sq_dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "exact_sq_dist",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def pq_adc_rerank_oracle_sql(
+    *, m: int = 4, dim: int = 64, k: int = 8, iterations: int = 2,
+    n_queries: int = 10, coarse_k: int = 20, topk: int = 5,
+) -> str:
+    """DuckDB twin of :func:`pq_adc_rerank_topk`: the coarse oracle as
+    a derived table, exact micro-unit distances recomputed per
+    candidate by indexing both raw vectors."""
+    coarse = pq_adc_oracle_sql(
+        m=m, dim=dim, k=k, iterations=iterations,
+        n_queries=n_queries, topk=coarse_k,
+    )
+    fx = "CAST(floor(CAST({v}[i] AS DOUBLE) * 1000000) AS BIGINT)"
+    qf, nf = fx.format(v="q.embedding"), fx.format(v="n.embedding")
+    return f"""
+WITH coarse AS ({coarse}),
+exact AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST(sum(({qf} - {nf}) * ({qf} - {nf})) AS BIGINT) AS exact_sq_dist
+  FROM coarse c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings n ON n.vec_id = c.neighbor_id
+  CROSS JOIN (SELECT unnest(range(1, {dim} + 1)) AS i)
+  GROUP BY c.query_id, c.neighbor_id
+)
+SELECT query_id, neighbor_id, exact_sq_dist, CAST(rn AS INTEGER) AS rank
+FROM (SELECT query_id, neighbor_id, exact_sq_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY exact_sq_dist, neighbor_id) AS rn
+      FROM exact)
+WHERE rn <= {topk}"""

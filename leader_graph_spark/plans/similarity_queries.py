@@ -350,3 +350,29 @@ def label_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("q").cast("double") / F.count("*") / F.lit(1000000.0), 6
         ).alias("centroid"),
     )
+
+
+from leader_graph_spark.operators.clustering import (  # noqa: E402
+    pq_adc_rerank_topk,
+    pq_adc_rerank_oracle_sql,
+)
+
+
+@query(
+    "pq_adc_rerank_topk",
+    pq_adc_rerank_oracle_sql(m=4, dim=64, k=8, iterations=2, n_queries=10, coarse_k=20, topk=5),
+    tags=("similarity-ann-pq", "rerank", "pq"),
+)
+def pq_adc_rerank_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: code-only PQ-ADC coarse search widens to 20
+    candidates per query, then an exact fixed-point re-rank over raw
+    vectors (touched only for the 10×20 survivors) returns the final
+    top-5 — the production ANN read path, where quantization error can
+    cost recall at the coarse stage but never the final ordering.
+    Exact integer arithmetic end-to-end; the oracle replays coarse
+    search AND re-rank."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_rerank_topk(
+        emb, id_col="vec_id", vec_col="embedding",
+        m=4, k=8, iterations=2, n_queries=10, coarse_k=20, topk=5,
+    )

@@ -468,3 +468,41 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     assert out[1][0] == out[3][0] == 1       # same cluster, canonical = min id
     assert out[1][1] == out[3][1]            # same split — no leakage
     assert out[5][0] == 5                    # singleton untouched
+
+
+def test_pq_adc_rerank_is_exact_over_candidates(spark, sf_smoke):
+    """The re-rank stage must order the coarse candidate set by TRUE
+    fixed-point distance — verified against numpy on the same data."""
+    import math
+
+    from leader_graph_spark.operators.clustering import (
+        pq_adc_rerank_topk,
+        pq_adc_topk,
+    )
+    from leader_graph_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    kw = dict(id_col="vec_id", vec_col="embedding", m=4, k=8, iterations=2,
+              n_queries=5)
+    coarse = pq_adc_topk(emb, topk=10, **kw).collect()
+    rerank = pq_adc_rerank_topk(emb, coarse_k=10, topk=3, **kw).collect()
+
+    vecs = {
+        r.vec_id: [math.floor(float(x) * 1_000_000) for x in r.embedding]
+        for r in emb.collect()
+    }
+
+    def exact(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(vecs[a], vecs[b]))
+
+    from collections import defaultdict
+
+    cands = defaultdict(list)
+    for r in coarse:
+        cands[r.query_id].append(r.neighbor_id)
+    got = defaultdict(list)
+    for r in sorted(rerank, key=lambda r: (r.query_id, r.rank)):
+        got[r.query_id].append((r.neighbor_id, r.exact_sq_dist))
+    for q, nbrs in cands.items():
+        want = sorted(((exact(q, n), n) for n in nbrs))[:3]
+        assert got[q] == [(n, d) for d, n in want]
