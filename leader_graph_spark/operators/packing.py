@@ -176,9 +176,7 @@ def length_bucketed_batches(
     )
 
 
-def padding_report(
-    batches: DataFrame, *, token_col: str, batch_size: int
-) -> DataFrame:
+def padding_report(batches: DataFrame, *, token_col: str) -> DataFrame:
     """Per-length-bucket padding economics for an assignment produced
     by :func:`length_bucketed_batches`: every batch pads its rows to
     the batch max, so ``padded_cells = Σ_batches max·rows`` and

@@ -379,7 +379,7 @@ def length_bucket_padding_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_width=_BUCKET_W,
         batch_size=_BATCH_N,
     )
-    return padding_report(batches, token_col="n_chars", batch_size=_BATCH_N)
+    return padding_report(batches, token_col="n_chars")
 
 
 # ---------------------------------------------------------------------------

@@ -147,7 +147,11 @@ def main() -> int:
     p.add_argument("--out", default="/tmp/sf_stress")
     p.add_argument("--runs", type=int, default=2)
     p.add_argument("--skip-build", action="store_true")
+    p.add_argument("--queries", help="comma-separated subset of QUERIES")
     args = p.parse_args()
+    if args.queries:
+        global QUERIES
+        QUERIES = [q for q in args.queries.split(",") if q]
 
     from leader_graph_spark.session import get_spark
 

@@ -962,7 +962,7 @@ def test_length_bucketed_batching_padding(spark):
     )
     rep = {
         r.length_bucket: r
-        for r in padding_report(b, token_col="n_tok", batch_size=2).collect()
+        for r in padding_report(b, token_col="n_tok").collect()
     }
     # bucket 0 in (tok, id) order: [10, 20 | 90] -> padded 2*20 + 90
     assert rep[0].n_docs == 3 and rep[0].n_batches == 2
