@@ -119,3 +119,24 @@ def test_property_no_false_negatives(spark, case):
     }
     must_pass = set(big_keys) & set(small_keys)
     assert must_pass <= pre
+
+
+def test_bloom_bitmap_persists_as_lake_artifact(spark, tmp_path):
+    """The bitmap row is an ordinary DataFrame: write it once when the
+    dimension updates, broadcast-probe it from any later job — the
+    persisted-index pattern (same seam as the IVF index)."""
+    big, small = _tables(spark)
+    path = str(tmp_path / "bloom_idx")
+    bloom_build(small, "sk", m_bits=1 << 12, k_hashes=3).write.parquet(path)
+    from leader_graph_spark.operators.bloom import bloom_probe_sql
+
+    reloaded = spark.read.parquet(path)
+    pre = (
+        big.join(F.broadcast(reloaded))
+        .where(F.expr(bloom_probe_sql("k", m_bits=1 << 12, k_hashes=3)))
+        .drop("bitmap")
+    )
+    live = bloom_prefilter(
+        big, small, big_key="k", small_key="sk", m_bits=1 << 12, k_hashes=3
+    )
+    assert sorted(map(tuple, pre.collect())) == sorted(map(tuple, live.collect()))
