@@ -467,3 +467,39 @@ def test_dynamic_partition_pruning(spark, tmp_path, sf_smoke):
     n_purchase = fact.filter("event_type = 'purchase'").count()
     assert joined.count() == n_purchase
 
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE's OptimizeSkewedJoin: a 90%-hot join key makes one shuffle
+    partition dwarf the median; with the size thresholds scaled down to
+    local data, the FINAL adaptive plan marks the sort-merge join
+    skew=true (the hot partition split into subpartitions) — the
+    runtime half of the skew story whose manual half is
+    operators/skew.py's salting."""
+    left = spark.range(0, 150_000).select(
+        F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id")).alias("k"),
+        F.concat(F.lit("p" * 64), F.col("id")).alias("payload"),
+    )
+    right = spark.range(0, 30_000).select(
+        F.col("id").alias("rk"), (F.col("id") * 2).alias("rv")
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = left.join(right, left.k == right.rk)
+        n = len(j.collect())  # collect drives j's own execution to the final plan
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # 135k hot-key-0 rows + the 3k cold keys that fall below rk<30k
+        assert n == 138_000
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
