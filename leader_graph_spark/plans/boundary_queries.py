@@ -180,3 +180,90 @@ def dir_union_append_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("bigint").alias("n_chars"),
         F.regexp_extract("_source_file", "(part_[ab])", 1).alias("ingest_part"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming boundary round-trips (§2.9c/d made oracle-visible)
+# ---------------------------------------------------------------------------
+
+_EVENTS_IDENTITY_ORACLE = """
+SELECT event_id, ts, user_id, event_type, value FROM events
+"""
+
+
+def _fresh_tmp(name: str) -> str:
+    """A NEW scratch dir per call: streaming checkpoints remember which
+    files were processed, so reusing one across driver re-runs would
+    make the replay emit nothing the second time."""
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=f"lgs_{name}_")
+
+
+@query(
+    "stream_microbatch_roundtrip",
+    _EVENTS_IDENTITY_ORACLE,
+    tags=("streaming-2.9c", "K1", "boundary"),
+)
+def stream_microbatch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9c made oracle-visible: the events landing file replays
+    through the file-stream source under Trigger.AvailableNow into the
+    idempotent foreachBatch parquet sink (per-batch dynamic partition
+    overwrite — the reference's producer/consumer pipeline,
+    ``processor/data_processor.py:262-316``), and the sink's output is
+    read back. The oracle is the identity over the original events
+    table, so a dropped batch, a replayed-batch duplicate, or a
+    timestamp-unit slip in the stream schema path breaks the hash."""
+    import os
+
+    from leader_graph_spark.streaming.jobs import (
+        read_events_stream,
+        run_foreach_batch_to_parquet,
+    )
+
+    tmp = _fresh_tmp("microbatch")
+    out, ckpt = os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+    sdf = read_events_stream(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    run_foreach_batch_to_parquet(sdf, out_dir=out, checkpoint=ckpt)
+    return spark.read.parquet(out).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+@query(
+    "stream_dedup_roundtrip",
+    _EVENTS_IDENTITY_ORACLE,
+    tags=("streaming-2.9d", "boundary"),
+)
+def stream_dedup_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9d made oracle-visible: the events file lands TWICE (producer
+    retry / file replay — the reference's requeue-on-failure,
+    ``processor/data_processor.py:331-419``), streams through
+    ``dropDuplicatesWithinWatermark`` on event_id, and the deduped
+    stream replays to completion. The oracle is the identity over the
+    single-copy events table: a dedup miss doubles rows, an over-drop
+    loses them — either breaks the count and the hash."""
+    import os
+    import shutil
+
+    from leader_graph_spark.streaming.jobs import (
+        deduped_events_stream,
+        run_available_now,
+    )
+
+    tmp = _fresh_tmp("streamdedup")
+    landing = os.path.join(tmp, "landing")
+    os.makedirs(landing)
+    src = f"{sf_dir}/events.parquet"
+    shutil.copy(src, os.path.join(landing, "copy1.parquet"))
+    shutil.copy(src, os.path.join(landing, "copy2.parquet"))
+    sdf = deduped_events_stream(spark, landing).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    name = os.path.basename(tmp)
+    table = run_available_now(
+        sdf, name=name, checkpoint=os.path.join(tmp, "ckpt"), output_mode="append"
+    )
+    return table
