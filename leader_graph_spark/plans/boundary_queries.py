@@ -267,3 +267,41 @@ def stream_dedup_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         sdf, name=name, checkpoint=os.path.join(tmp, "ckpt"), output_mode="append"
     )
     return table
+
+
+_RUN_COUNTERS_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS total_price
+FROM orders
+"""
+
+
+@query("run_counter_metrics", _RUN_COUNTERS_ORACLE, tags=("A10", "observe", "boundary"))
+def run_counter_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 made oracle-visible: the run-statistics counters the
+    reference tallies per worker (``processor/data_processor.py:72-79``)
+    are ``df.observe`` metrics piggybacked on a real pass over the
+    data (noop sink — no second scan, the counters ride the action).
+    The observed values come back as a one-row DataFrame whose oracle
+    is the same aggregates computed by SQL — a counter drifting from
+    the data it claims to count breaks the hash."""
+    from pyspark.sql import Observation
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs = Observation("run_counters")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("o_orderstatus") == "O").cast("long")).alias("n_open"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(28,2)")
+        .cast("double")
+        .alias("total_price"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_open"], m["total_price"])],
+        "n_rows bigint, n_open bigint, total_price double",
+    )
