@@ -1084,3 +1084,37 @@ def containment_pairs_prefix(
             F.round(containment, 6).alias("containment"),
         )
     )
+
+
+# Homoglyph confusables folded to their ASCII skeletons: the common
+# Cyrillic and Greek lowercase lookalikes (applied after lower()).
+# Deliberately a small, auditable map, not the full Unicode
+# confusables table — these are the characters adversarial duplicates
+# actually use, and both engines must agree on the mapping exactly.
+_CONFUSABLE_FROM = "аеорсхуіјѕϲɑοα"  # Cyrillic а е о р с х у і ј ѕ, Latin ϲ ɑ, Greek ο α
+_CONFUSABLE_TO = "aeopcxyijscaoa"
+
+
+def confusable_skeleton(text) -> "F.Column":
+    """Lower + whitespace-collapse + homoglyph fold: the dedup key that
+    spoofed duplicates (Cyrillic 'а' for Latin 'a', Greek 'ο' for 'o')
+    cannot evade. Pure built-ins (``translate``), so the same skeleton
+    is computable in ANSI-ish SQL for the oracle; compose with
+    :func:`~leader_graph_spark.operators.quality.normalize_unicode`
+    (NFKC) upstream when compatibility forms (full-width digits,
+    ligatures) are also in play — that seam is Python and stays out of
+    the oracle-checked path."""
+    return F.translate(normalized(text), _CONFUSABLE_FROM, _CONFUSABLE_TO)
+
+
+def confusable_dedup_keys(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup by confusable-skeleton hash — the adversarial
+    upgrade of :func:`exact_dedup_keys`: one row per distinct skeleton,
+    smallest id wins. Identical scale shape (md5 groupBy, map-side
+    combinable)."""
+    return (
+        fan_out(df)
+        .select(F.col(id_col), F.md5(confusable_skeleton(text_col)).alias("skeleton_hash"))
+        .groupBy("skeleton_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )

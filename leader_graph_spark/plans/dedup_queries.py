@@ -611,3 +611,35 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+# Homoglyph-robust exact dedup: the skeleton both engines compute with
+# the same auditable confusables map (operators/dedup.py).
+from leader_graph_spark.operators.dedup import (  # noqa: E402
+    _CONFUSABLE_FROM,
+    _CONFUSABLE_TO,
+    confusable_dedup_keys,
+)
+
+_HOMOGLYPH_ORACLE = f"""
+SELECT md5(translate(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                     '{_CONFUSABLE_FROM}', '{_CONFUSABLE_TO}')) AS skeleton_hash,
+       min(doc_id) AS keep_id,
+       count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+@query("homoglyph_dedup_docs", _HOMOGLYPH_ORACLE, tags=("dedup-exact", "adversarial"))
+def homoglyph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keyed on the confusable SKELETON (lower + whitespace
+    collapse + homoglyph fold): spoofed duplicates that swap Latin
+    letters for Cyrillic/Greek lookalikes — which defeat plain
+    content-hash dedup byte-for-byte — collapse to one key. Same md5
+    groupBy scale shape as ``exact_dedup_docs``; the fold is a single
+    ``translate`` over an auditable map embedded identically in both
+    engines. Compose with NFKC (`operators/quality.py:
+    normalize_unicode`, the Python seam) when compatibility forms are
+    in play."""
+    docs = load_table(spark, sf_dir, "documents")
+    return confusable_dedup_keys(docs, id_col="doc_id", text_col="text")

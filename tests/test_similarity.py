@@ -506,3 +506,20 @@ def test_pq_adc_rerank_is_exact_over_candidates(spark, sf_smoke):
     for q, nbrs in cands.items():
         want = sorted(((exact(q, n), n) for n in nbrs))[:3]
         assert got[q] == [(n, d) for d, n in want]
+
+
+def test_homoglyph_dedup_catches_spoofed_duplicates(spark):
+    """A Cyrillic-spoofed copy defeats byte-level exact dedup but
+    collapses under the confusable skeleton."""
+    from leader_graph_spark.operators.dedup import (
+        confusable_dedup_keys,
+        exact_dedup_keys,
+    )
+
+    latin = "the cat sat on the mat"
+    spoofed = "the с" + "а" + "t sat on the mat"  # Cyrillic с and а
+    df = spark.createDataFrame([(1, latin), (2, spoofed)], ["doc_id", "text"])
+    exact = exact_dedup_keys(df, id_col="doc_id", text_col="text").collect()
+    assert len(exact) == 2  # byte-level dedup is fooled
+    skel = confusable_dedup_keys(df, id_col="doc_id", text_col="text").collect()
+    assert len(skel) == 1 and skel[0].keep_id == 1 and skel[0].n_dups == 2
