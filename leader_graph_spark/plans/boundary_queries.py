@@ -194,9 +194,15 @@ SELECT event_id, ts, user_id, event_type, value FROM events
 def _fresh_tmp(name: str) -> str:
     """A NEW scratch dir per call: streaming checkpoints remember which
     files were processed, so reusing one across driver re-runs would
-    make the replay emit nothing the second time."""
+    make the replay emit nothing the second time. Prior calls' dirs
+    are best-effort removed first so repeated driver runs don't
+    accumulate scratch."""
+    import glob
+    import shutil
     import tempfile
 
+    for stale in glob.glob(os.path.join(tempfile.gettempdir(), f"lgs_{name}_*")):
+        shutil.rmtree(stale, ignore_errors=True)
     return tempfile.mkdtemp(prefix=f"lgs_{name}_")
 
 
