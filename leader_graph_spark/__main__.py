@@ -22,6 +22,9 @@ def main(argv: list[str] | None = None) -> int:
 
     p_list = sub.add_parser("list", help="list registered queries")
     p_list.add_argument("--tag", help="filter by tag substring")
+    p_list.add_argument(
+        "--doc", action="store_true", help="include each query's first doc line"
+    )
 
     p_run = sub.add_parser("run", help="run one query")
     p_run.add_argument("query")
@@ -46,7 +49,11 @@ def main(argv: list[str] | None = None) -> int:
             if args.tag and args.tag not in tags:
                 continue
             kind = "oracle" if spec.oracle is not None else "rows-only"
-            print(f"{name}\t{kind}\t{tags}")
+            line = f"{name}\t{kind}\t{tags}"
+            if args.doc:
+                first = (spec.doc or "").strip().splitlines()
+                line += "\t" + (first[0] if first else "")
+            print(line)
         return 0
 
     spec = REGISTRY.get(args.query)
