@@ -1047,3 +1047,15 @@ def test_striped_shards_balance_and_partition_invariance(spark):
         docs.coalesce(1), id_col="doc_id", token_col="n_tok", n_shards=8
     )
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, one.collect()))
+
+
+def test_join_size_estimate_upper_bounds_exact(spark, sf_dir):
+    """The CMS inner-product estimate must never undercount the true
+    join size (collisions only add mass) and should be within a small
+    multiple at this sketch width."""
+    from leader_graph_spark.plans import REGISTRY
+
+    row = REGISTRY["join_size_estimate_cms"].spark(spark, sf_dir).collect()[0]
+    assert row.exact_rows > 0
+    assert row.estimated_rows >= row.exact_rows
+    assert row.estimated_rows <= 2 * row.exact_rows
