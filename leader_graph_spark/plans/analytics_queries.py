@@ -1188,3 +1188,102 @@ def join_size_estimate_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("exact_rows")
     )
     return est.crossJoin(exact)
+
+
+# ---------------------------------------------------------------------------
+# Range-selectivity estimation from an equi-depth histogram summary
+# ---------------------------------------------------------------------------
+
+_ED_BUCKETS = 20
+_ED_THRESHOLD = 400000
+
+
+def _ed_oracle() -> str:
+    return f"""
+WITH ranked AS (
+  SELECT o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS r,
+         count(*) OVER () AS n
+  FROM orders
+),
+summary AS (
+  SELECT (r * {_ED_BUCKETS}) // n AS bucket,
+         count(*) AS n_rows, max(o_totalprice) AS ub
+  FROM ranked GROUP BY 1
+)
+SELECT CAST({_ED_BUCKETS} AS INT) AS n_buckets,
+       CAST((SELECT sum(n_rows) FROM summary WHERE ub > {_ED_THRESHOLD}) AS BIGINT)
+         AS est_above,
+       CAST((SELECT count(*) FROM orders WHERE o_totalprice > {_ED_THRESHOLD}) AS BIGINT)
+         AS exact_above,
+       CAST((SELECT max(n_rows) FROM summary) AS BIGINT) AS max_bucket_rows
+"""
+
+
+@query(
+    "range_selectivity_estimate",
+    _ed_oracle(),
+    tags=("histogram", "join-planning", "approx-exact"),
+)
+def range_selectivity_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-predicate selectivity from a 20-number summary: rows get
+    equi-depth buckets from an exact global rank, the summary keeps
+    (count, upper bound) per bucket, and ``count(x > T)`` is estimated
+    as the total of buckets whose upper bound exceeds T — off by at
+    most one bucket (≈ N/20), deterministic in both engines (no float
+    interpolation). With NDV (HLL), frequency (CMS), and join size
+    (CMS inner product) this completes the optimizer-statistics set a
+    planner consults before committing to a 100 TB plan. The rank is
+    the two-phase range-partitioned form (no single-reducer window);
+    the exact count rides along so the oracle pins estimate AND truth.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    n_parts = orders.sparkSession.sparkContext.defaultParallelism
+    order = [F.col("o_totalprice"), F.col("o_orderkey")]
+    ranged = orders.repartitionByRange(n_parts, *order).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_before = F.coalesce(F.count(F.lit(1)).over(w_local), F.lit(0))
+    totals = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_ptotal"))
+    w_carry = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    carry = totals.select(
+        "_pid", F.coalesce(F.sum("_ptotal").over(w_carry), F.lit(0)).alias("_carry")
+    )
+    n_total = totals.agg(F.sum("_ptotal").alias("_n"))
+    ranked = (
+        ranged.join(F.broadcast(carry), "_pid")
+        .withColumn("r", (F.col("_carry") + local_before).cast("bigint"))
+        .crossJoin(F.broadcast(n_total))
+    )
+    summary = (
+        ranked.withColumn(
+            "bucket", F.expr(f"(r * {_ED_BUCKETS}) div _n")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.max("o_totalprice").alias("ub"))
+    )
+    est = summary.agg(
+        F.sum(F.when(F.col("ub") > _ED_THRESHOLD, F.col("n_rows")).otherwise(0))
+        .cast("bigint")
+        .alias("est_above"),
+        F.max("n_rows").cast("bigint").alias("max_bucket_rows"),
+    )
+    exact = orders.where(F.col("o_totalprice") > _ED_THRESHOLD).agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_above")
+    )
+    return (
+        est.crossJoin(exact)
+        .select(
+            F.lit(_ED_BUCKETS).cast("int").alias("n_buckets"),
+            "est_above",
+            "exact_above",
+            "max_bucket_rows",
+        )
+    )

@@ -1059,3 +1059,14 @@ def test_join_size_estimate_upper_bounds_exact(spark, sf_dir):
     assert row.exact_rows > 0
     assert row.estimated_rows >= row.exact_rows
     assert row.estimated_rows <= 2 * row.exact_rows
+
+
+def test_range_selectivity_estimate_error_bound(spark, sf_dir):
+    """The equi-depth summary estimate is off by at most one bucket."""
+    from leader_graph_spark.plans import REGISTRY
+
+    row = REGISTRY["range_selectivity_estimate"].spark(spark, sf_dir).collect()[0]
+    assert row.exact_above > 0
+    assert abs(row.est_above - row.exact_above) <= row.max_bucket_rows
+    # and the estimate always over-approximates (upper-bound convention)
+    assert row.est_above >= row.exact_above
