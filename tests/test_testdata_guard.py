@@ -216,3 +216,15 @@ def test_aggregate_query_predicates_nonvacuous(con):
         name for name, sql in checks.items() if con.execute(sql).fetchone()[0] == 0
     ]
     assert not empty, f"stale literals (regenerated testdata?): {empty}"
+
+
+def test_event_ids_unique(con):
+    """stream_dedup_roundtrip's identity oracle assumes each event_id
+    appears once in the source (the query dedups a DOUBLE-landed copy
+    back to the single-copy table). If a regeneration ships duplicate
+    ids, that oracle silently flips red at the driver — fail here first,
+    loudly, with the count."""
+    n, d = con.execute(
+        "SELECT count(*), count(DISTINCT event_id) FROM events"
+    ).fetchone()
+    assert n == d, f"events.event_id not unique: {n} rows, {d} distinct"
