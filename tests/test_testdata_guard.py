@@ -228,3 +228,19 @@ def test_event_ids_unique(con):
         "SELECT count(*), count(DISTINCT event_id) FROM events"
     ).fetchone()
     assert n == d, f"events.event_id not unique: {n} rows, {d} distinct"
+
+
+def test_primary_ids_unique(con):
+    """Global ranks, shard striping, and point lookups assume the key
+    tables' ids are unique; a regeneration breaking that should fail
+    here, not as a downstream hash mismatch."""
+    for table, col in [
+        ("documents", "doc_id"),
+        ("orders", "o_orderkey"),
+        ("customer", "c_custkey"),
+        ("embeddings", "vec_id"),
+    ]:
+        n, d = con.execute(
+            f"SELECT count(*), count(DISTINCT {col}) FROM {table}"
+        ).fetchone()
+        assert n == d, f"{table}.{col} not unique: {n} rows, {d} distinct"
