@@ -268,3 +268,30 @@ def test_containment_prefix_matches_bruteforce_random(spark, token_lists, t):
                 contained = a if len(sets[a]) <= len(sets[b]) else b
                 want[(a, b)] = (contained, round(inter / small, 6))
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(0, 10**6), min_size=5, max_size=80),
+    st.integers(0, 10**6),
+)
+def test_equidepth_estimate_bound_random(values, threshold):
+    """The estimation RULE range_selectivity_estimate implements —
+    bucket by (rank·B) div N, estimate count(x > T) from buckets whose
+    upper bound exceeds T — over-approximates and is off by at most one
+    bucket for ANY data and threshold. (Pure model check: the Spark
+    implementation of the same rule is pinned value-exactly by the
+    query's oracle; this pins the rule's claimed bound itself.)"""
+    B = 4
+    n = len(values)
+    ranked = sorted((v, i) for i, v in enumerate(values))
+    buckets = {}
+    for r, (v, _) in enumerate(ranked):
+        b = (r * B) // n
+        cnt, ub = buckets.get(b, (0, None))
+        buckets[b] = (cnt + 1, v if ub is None else max(ub, v))
+    est = sum(cnt for cnt, ub in buckets.values() if ub > threshold)
+    exact = sum(1 for v in values if v > threshold)
+    max_bucket = max(cnt for cnt, _ in buckets.values())
+    assert est >= exact
+    assert est - exact <= max_bucket
