@@ -268,34 +268,35 @@ def label_propagation_fixed(edges: DataFrame, *, rounds: int) -> DataFrame:
     return labels.select("id", F.col("label").alias("community"))
 
 
-def _jump_rounds_for(distance: int) -> int:
-    """Rounds of jumped propagation needed to cover ``distance``:
-    coverage obeys c₀=0, cₖ = 2·(cₖ₋₁+1) → 2, 6, 14, … (neighbor step
-    adds one hop, the jump doubles the accumulated radius)."""
-    k, c = 0, 0
-    while c < distance:
-        k, c = k + 1, 2 * (c + 1)
-    return k
-
-
 def min_propagation_jumped(
     vertices: DataFrame, edges: DataFrame, *, distance: int
 ) -> DataFrame:
-    """Min-label propagation with POINTER JUMPING: each round takes the
-    neighbor minimum and then replaces every label by its label's label
-    (path halving), so the covered radius DOUBLES per round instead of
-    growing by one — ``⌈log``-ish rounds where plain propagation needs
-    ``distance``. Same converged labels as :func:`min_propagation`
-    whenever ``distance`` ≥ the component diameter (the same contract),
-    with identical per-round plan shape (joins + min-agg + checkpoint):
-    the win is fewer checkpointed rounds, which matters because at
-    sf0.1 the per-round cost is ~0.3s of FIXED scheduler/checkpoint
-    latency (SCALE.md round-4 breakdown) — measured 2.54s → 2.23s on
-    the canonical-docs query. At cluster scale the same trade holds
-    per round-trip of the whole cluster barrier."""
+    """Min-label propagation with a POINTER-JUMP accelerator: each of
+    ``distance`` rounds takes the neighbor minimum and then replaces
+    every label by ``least(label, label-of-label)``.
+
+    SOUNDNESS NOTE (round-5 fix): the coverage guarantee comes ONLY
+    from the ``distance`` neighbor-min rounds — exactly the plain
+    :func:`min_propagation` bound. The jump is a pure accelerator: a
+    vertex's label is always the id of some vertex in its own
+    component (propagation invariant), so chasing ``label(label(v))``
+    can only move the label further DOWN toward the component minimum,
+    never outside the component — it may reach convergence in fewer
+    rounds but can never make the result wrong. An earlier version ran
+    only ``⌈log``-ish rounds on the claim that the jump doubles the
+    covered radius (cₖ = 2·(cₖ₋₁+1)); that recurrence is UNSOUND —
+    jumping to the ball-minimum's label adds only that one vertex's
+    ball, not a radius-doubling — and an adversarially ordered path
+    (ids 2-5-4-3-1) splits into two components under it. See
+    ``test_jumped_propagation_adversarial_path``. A provably
+    O(log n)-round alternative is the large-star/small-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"),
+    whose primitive differs; this function keeps the plain-propagation
+    round count and contract: identical to :func:`min_propagation`
+    whenever ``distance`` ≥ the component diameter."""
     sym = symmetrize(edges).localCheckpoint()
     labels = _active_vertices(sym)
-    for _ in range(_jump_rounds_for(distance)):
+    for _ in range(distance):
         labels = _min_propagation_round(sym, labels)
         jump_to = labels.select(
             F.col("id").alias("_jid"), F.col("component").alias("_jcomp")

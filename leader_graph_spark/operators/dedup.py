@@ -64,7 +64,13 @@ def shingle_array(text_col: Column | str, n: int = 3) -> Column:
 
 
 def shingle_rows(
-    df: DataFrame, *, id_col: str, text_col: str, n: int = 3, distinct: bool = True
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    distinct: bool = True,
+    rows_distinct: bool = False,
 ) -> DataFrame:
     """n-word shingles per document: (id, shingle), distinct by default.
 
@@ -72,15 +78,24 @@ def shingle_rows(
     MAP-SIDE: ``array_distinct`` on the in-row shingle array before the
     explode — zero exchanges, where ``.distinct()`` on the exploded rows
     would shuffle the full shingle stream once just to dedupe it (the
-    consumers then re-shuffle by shingle or by id anyway). Assumes one
-    input row per ``id_col`` (the document-table contract); duplicate
-    ids would need the row-level distinct back. ``distinct=False``
-    skips even the in-row dedup for consumers that are insensitive to
-    duplicates (MinHash minimums)."""
+    consumers then re-shuffle by shingle or by id anyway).
+
+    CONTRACT: ``distinct=True`` guarantees distinct (id, shingle)
+    output only under ONE INPUT ROW PER ``id_col`` (the document-table
+    contract; every in-repo caller satisfies it — test-asserted). A
+    caller that cannot guarantee it must pass ``rows_distinct=True``,
+    which restores the cross-row ``.distinct()`` (one extra exchange)
+    — per-id shingle-set sizes and Jaccard counts downstream would
+    otherwise silently double-count (round-5 advice fix).
+    ``distinct=False`` skips even the in-row dedup for consumers that
+    are insensitive to duplicates (MinHash minimums)."""
     arr = shingle_array(text_col, n)
     if distinct:
         arr = F.array_distinct(arr)
-    return df.select(F.col(id_col), F.explode(arr).alias("shingle"))
+    out = df.select(F.col(id_col), F.explode(arr).alias("shingle"))
+    if rows_distinct:
+        out = out.distinct()
+    return out
 
 
 MINHASH_PRIME = 2147483647  # 2^31 - 1
@@ -568,7 +583,7 @@ def canonical_near_dup_docs(
     fixed unroll equals converged components on real corpora (asserted
     in tests); the bounded round count is what keeps the whole operator
     expressible as one deterministic plan — and one SQL oracle."""
-    from leader_graph_spark.graph.algorithms import min_propagation_jumped
+    from leader_graph_spark.graph.algorithms import min_propagation
 
     pairs = minhash_near_duplicates(
         df,
@@ -581,11 +596,14 @@ def canonical_near_dup_docs(
     )
     ids = df.select(F.col(id_col).alias("id"))
     edges = pairs.select(F.col("id_1").alias("src"), F.col("id_2").alias("dst"))
-    # pointer-jumped rounds cover the same ``rounds`` diameter with
-    # half the checkpoint barriers (graph/algorithms.py) — output is
-    # identical (converged either way; equality is oracle- and
-    # test-checked), only the number of fixed-latency rounds drops.
-    labels = min_propagation_jumped(ids, edges, distance=rounds)
+    # Plain fixed-round propagation: the ``rounds``-hop coverage bound
+    # is the correctness contract vs the unrolled SQL oracle. The
+    # pointer-jumped variant's reduced round count was UNSOUND (its
+    # radius-doubling recurrence fails on adversarially ordered paths,
+    # splitting a dup chain into several clusters — round-5 advice
+    # fix); the jump survives only as an accelerator that keeps the
+    # full neighbor-round count, which buys nothing here.
+    labels = min_propagation(ids, edges, rounds=rounds)
     return labels.select(
         F.col("id").alias(id_col),
         F.col("component").alias("canonical_id"),

@@ -508,11 +508,25 @@ def build_ivf_index(
     is paid once per corpus version; daily query batches probe the
     artifact (see :func:`ivf_probe_topk`) without touching the
     assignment pipeline — the same build-once/probe-many contract as
-    the MinHash band index (``dedup.lsh_band_buckets``)."""
+    the MinHash band index (``dedup.lsh_band_buckets``).
+
+    Centroid selection is ``id % mod`` — deliberately engine-portable
+    so the DuckDB oracles (and :func:`ann_ivf_topk`, whose output the
+    probe must reproduce exactly) can pin the same pick; the cost is a
+    dense-numeric-id assumption. Round-5 advice fix: when that
+    assumption fails the pick is EMPTY and every subsequent probe of
+    the written index would silently return zero rows — so an empty
+    pick now raises at build time instead."""
     centroids = emb.filter(F.col(id_col) % centroid_mod == 0).select(
         F.col(id_col).alias("centroid_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
     )
+    if centroids.limit(1).count() == 0:
+        raise ValueError(
+            f"build_ivf_index: centroid_mod={centroid_mod} selected zero "
+            "centroids from the corpus — lower centroid_mod below the "
+            "corpus row count"
+        )
     from leader_graph_spark.sources.tables import fan_out
 
     vecs = (

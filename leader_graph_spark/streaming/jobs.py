@@ -488,21 +488,30 @@ def user_sessions_stateful(
         ts = sorted(t for pdf in pdfs for t in pdf["ts"].tolist())
         if not ts:
             return
-        carried = state.get if state.exists else None
-        closed = []
-        if carried is not None and (ts[0] - carried[1]).total_seconds() <= gap_sec:
-            cur = [carried[0], carried[1], carried[2]]
-        else:
-            if carried is not None:
-                closed.append(tuple(carried))
-            cur = [ts[0], ts[0], 0]
-        for t in ts:
-            if (t - cur[1]).total_seconds() <= gap_sec:
-                cur[1] = t
-                cur[2] += 1
+        # Gap-merge the carried session INTERVAL together with the
+        # batch's event points, sorted by interval start. A forward-only
+        # scan seeded at carried.last mishandled late-but-in-watermark
+        # events older than the carried session (negative deltas always
+        # passed the gap test and moved session_end BACKWARD — round-5
+        # advice fix); interval merge gives the built-in session_window
+        # semantics: merge iff within gap of the session's span, start =
+        # min, end = max (monotone), late-older events either extend the
+        # session backward or form their own session.
+        items = [[t, t, 1] for t in ts]
+        if state.exists:
+            c = state.get
+            items.append([c[0], c[1], c[2]])
+            items.sort(key=lambda it: (it[0], it[1]))
+        merged = [items[0]]
+        for s, e, n in items[1:]:
+            prev = merged[-1]
+            if (s - prev[1]).total_seconds() <= gap_sec:
+                prev[1] = max(prev[1], e)
+                prev[2] += n
             else:
-                closed.append(tuple(cur))
-                cur = [t, t, 1]
+                merged.append([s, e, n])
+        closed = [tuple(iv) for iv in merged[:-1]]
+        cur = merged[-1]
         state.update(tuple(cur))
         # flush the open session when the watermark passes last+gap
         state.setTimeoutTimestamp(int(cur[1].timestamp() * 1000) + gap_sec * 1000)

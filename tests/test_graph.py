@@ -176,7 +176,6 @@ def test_jumped_propagation_equals_plain(spark):
     from pyspark.sql import functions as F  # noqa: F401
 
     from leader_graph_spark.graph.algorithms import (
-        _jump_rounds_for,
         min_propagation,
         min_propagation_jumped,
     )
@@ -199,5 +198,44 @@ def test_jumped_propagation_equals_plain(spark):
     }
     assert plain == jumped
     assert (99, 99) in jumped and (5, 1) in jumped and (12, 10) in jumped
-    # round-count arithmetic: coverage 2, 6, 14 …
-    assert [_jump_rounds_for(d) for d in (1, 2, 3, 6, 7, 14)] == [1, 1, 2, 2, 3, 3]
+
+
+def test_jumped_propagation_adversarial_path(spark):
+    """Regression for the unsound radius-doubling round count (round-5
+    advice, high): on a path whose vertex ids are ordered so the jump
+    target never points toward the minimum, the old ⌈log⌉-round
+    variant split one component in two. The fixed variant runs the
+    full ``distance`` neighbor rounds (jump = accelerator only) and
+    must agree with plain propagation AND with the true component
+    minimum on every adversarial ordering."""
+    from leader_graph_spark.graph.algorithms import (
+        min_propagation,
+        min_propagation_jumped,
+    )
+
+    cases = [
+        # path 2-5-4-3-1 (diameter 4): the exact counterexample from
+        # the advice — the old variant left vertex 2 in component 2.
+        ([(2, 5), (5, 4), (4, 3), (3, 1)], 4, [1, 2, 3, 4, 5]),
+        # 9-vertex path with ids decreasing away from the tail min.
+        (
+            [(2, 9), (9, 8), (8, 7), (7, 6), (6, 5), (5, 4), (4, 3), (3, 1)],
+            8,
+            [1, 2, 3, 4, 5, 6, 7, 8, 9],
+        ),
+    ]
+    for edge_rows, dist, ids in cases:
+        edges = spark.createDataFrame(edge_rows, "src long, dst long")
+        vertices = spark.createDataFrame([(i,) for i in ids], "id long")
+        jumped = {
+            (r.id, r.component)
+            for r in min_propagation_jumped(
+                vertices, edges, distance=dist
+            ).collect()
+        }
+        plain = {
+            (r.id, r.component)
+            for r in min_propagation(vertices, edges, rounds=dist).collect()
+        }
+        assert jumped == {(i, 1) for i in ids}
+        assert plain == jumped

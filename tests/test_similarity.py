@@ -523,3 +523,41 @@ def test_homoglyph_dedup_catches_spoofed_duplicates(spark):
     assert len(exact) == 2  # byte-level dedup is fooled
     skel = confusable_dedup_keys(df, id_col="doc_id", text_col="text").collect()
     assert len(skel) == 1 and skel[0].keep_id == 1 and skel[0].n_dups == 2
+
+
+def test_shingle_rows_duplicate_id_contract(spark):
+    """Round-5 advice (low): distinct=True dedups shingles only WITHIN
+    a row — two input rows for the same id yield duplicate (id,
+    shingle) pairs, which would double-count downstream Jaccard sizes.
+    rows_distinct=True restores the cross-row distinct for callers
+    that cannot guarantee the one-row-per-id contract."""
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (1, "a b c d"), (2, "a b c")],
+        ["doc_id", "text"],
+    )
+    in_row = shingle_rows(df, id_col="doc_id", text_col="text", n=3).collect()
+    # id 1 appears twice → its 2 shingles appear twice each
+    assert len(in_row) == 5
+    cross = shingle_rows(
+        df, id_col="doc_id", text_col="text", n=3, rows_distinct=True
+    ).collect()
+    assert len(cross) == 3
+    assert len(set((r.doc_id, r.shingle) for r in cross)) == 3
+
+
+def test_ivf_index_empty_centroid_pick_raises(spark, tmp_path):
+    """Round-5 advice (low): sparse ids where no id % centroid_mod == 0
+    must raise at build time instead of silently writing an index whose
+    every probe returns zero rows."""
+    import pytest as _pytest
+
+    from leader_graph_spark.operators.similarity import build_ivf_index
+
+    emb = spark.createDataFrame(
+        [(7, [1.0, 0.0]), (13, [0.0, 1.0]), (21, [1.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    with _pytest.raises(ValueError, match="zero\\s+centroids"):
+        build_ivf_index(
+            emb, str(tmp_path / "ivf"), centroid_mod=5
+        )

@@ -444,3 +444,64 @@ def test_stateful_sessionizer_matches_builtin(spark, tmp_path):
     }
     assert got == want
     assert len(want) == 4
+
+
+def test_stateful_sessionizer_late_older_events(spark, tmp_path):
+    """Regression (round-5 advice, low): a late-but-in-watermark event
+    OLDER than the carried session must not shrink session_end. The old
+    forward-only merge let any negative delta pass the gap test and
+    then moved session_end backward; the interval merge must instead
+    (a) backward-extend the session when the late event is within gap
+    of session_start, and (b) emit a separate session when it is not —
+    matching batch session_window over the union of all events."""
+    import datetime as dt
+
+    from leader_graph_spark.streaming.jobs import session_windows, user_sessions_stateful
+
+    base = dt.datetime(2024, 1, 1)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    mk = lambda i, minutes, uid: (i, base + dt.timedelta(minutes=minutes), uid, "view", 1.0, "{}")  # noqa: E731
+    batch1 = [mk(1, 10, 1), mk(2, 12, 1)]          # carried session [10, 12]
+    batch2 = [mk(3, 8, 1), mk(4, 0, 1)]            # late: 8 extends back, 0 is its own
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+
+    def drain():
+        src = spark.readStream.schema(spark.read.parquet(landing).schema).parquet(landing)
+        q = (
+            user_sessions_stateful(spark, landing, gap="5 minutes", events=src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for rows in (batch1, batch2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(landing)
+        drain()
+    for i, days in enumerate((10, 20)):  # sentinel drains advance the watermark
+        spark.createDataFrame(
+            [mk(100 + i, days * 24 * 60, 99)], schema
+        ).coalesce(1).write.mode("append").parquet(landing)
+        drain()
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(out).collect()
+        if r.user_id != 99
+    }
+    batch = spark.createDataFrame(batch1 + batch2, schema)
+    want = {
+        (r.user_id, r.session_start, r.session_end - dt.timedelta(minutes=5), r.n_events)
+        for r in session_windows(batch, gap="5 minutes").collect()
+    }
+    assert got == want
+    # the merged session backward-extends to minute 8, never shrinks
+    assert (1, base + dt.timedelta(minutes=8), base + dt.timedelta(minutes=12), 3) in got
+    assert (1, base, base, 1) in got
