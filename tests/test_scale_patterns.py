@@ -224,6 +224,14 @@ REGISTRY_SHUFFLE_BUDGETS = {
     # (bucket, batch)); the other is fan_out's round-robin on the tiny
     # single-file input, a no-op at scale
     "length_bucket_padding_report": 2,
+    # round-5 two-phase distributed-ntile rewrite: each quartile pass
+    # is ONE range exchange plus two aggregate-bounded tiny exchanges
+    # (32-row totals + carry), materialized behind a localCheckpoint —
+    # the visible plan is the final pass only (checkpoint truncates),
+    # hence the small pin; the point of the budget is that no pass
+    # ships a data-sized single-reducer sort (the window lint asserts
+    # the rest).
+    "rfm_customer_segments": 3,
 }
 
 
