@@ -111,14 +111,30 @@ def _min_propagation_round(sym: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
-def min_propagation(vertices: DataFrame, edges: DataFrame, *, rounds: int) -> DataFrame:
+def min_propagation(
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    rounds: int,
+    hops_per_checkpoint: int = 2,
+) -> DataFrame:
     """Exactly ``rounds`` min-label propagation rounds with NO
     convergence check — a deterministic plan an unrolled SQL oracle can
     reproduce row-for-row (propagation is idempotent once converged, so
     extra rounds don't change labels). Exact equality to the converged
     :func:`connected_components` holds iff ``rounds`` ≥ the component
     diameter — true by construction for near-dup clusters (small,
-    dense), asserted in tests for the shipped data."""
+    dense), asserted in tests for the shipped data.
+
+    ``hops_per_checkpoint`` composes that many neighbor-min hops into
+    ONE checkpointed stage — a pure plan-shape knob: the computed
+    function is identical (it IS ``rounds`` plain hops, just fewer
+    materialization barriers), unlike the retired pointer-jump whose
+    reduced ROUND COUNT was unsound. At sf0.1 the per-checkpoint cost
+    is ~0.3s of fixed scheduler latency (SCALE.md round-4 breakdown),
+    so halving barriers recovers the pointer-jump's measured win with
+    none of its risk; at cluster scale the same trade holds per
+    whole-cluster barrier round-trip."""
     # One-shot edge materialization — see connected_components: without
     # it each round recomputes the upstream pair-producing pipeline.
     # Rounds run over the ACTIVE subgraph only (see _active_vertices);
@@ -127,8 +143,13 @@ def min_propagation(vertices: DataFrame, edges: DataFrame, *, rounds: int) -> Da
     # nor receive a label — so the unrolled SQL oracle is unchanged.
     sym = symmetrize(edges).localCheckpoint()
     labels = _active_vertices(sym)
-    for _ in range(rounds):
-        labels = _min_propagation_round(sym, labels).localCheckpoint()
+    done = 0
+    while done < rounds:
+        hops = min(hops_per_checkpoint, rounds - done)
+        for _ in range(hops):
+            labels = _min_propagation_round(sym, labels)
+        labels = labels.localCheckpoint()
+        done += hops
     return _with_isolated(vertices, labels)
 
 

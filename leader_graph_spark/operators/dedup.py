@@ -402,6 +402,72 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_prefix_candidates(
+    sh: DataFrame, *, id_col: str, t_num: int, t_den: int
+) -> DataFrame:
+    """The candidate-pair stage of :func:`ngram_jaccard_pairs_prefix`,
+    factored out so the scale-stress harness can measure CANDIDATE
+    growth directly (the quantity the prefix filter exists to bound —
+    see the shared-vocabulary battery, ``scripts/profile_zipf_prefix``
+    and SCALE.md round-5): rarity-ordered prefixes (df asc, shingle)
+    per doc, self-joined on the 8-byte shingle hash with the integer
+    size filter AND the PPJoin positional filter (Xiao et al. 2008):
+    a match at 1-based canonical positions (i, j) bounds the overlap
+    by ``min(sx−i, sy−j) + 1`` (every later common element sits after
+    both positions), which must reach the required overlap
+    ``α = ⌈t/(1+t)·(sx+sy)⌉``. A true pair's FIRST common shingle lies
+    in both prefixes and passes the bound, so completeness holds; a
+    hash-collision match can only be pruned, never a real first-common
+    one. Measured on the shared-vocabulary Zipf battery (SCALE.md
+    round-5): prunes the superlinear mid-frequency candidate mass the
+    size filter cannot see. Input is the (id, shingle) rows; output
+    (id_1, id_2) distinct candidates, a superset of the true ≥t
+    pairs."""
+    from pyspark.sql import Window
+
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("shingle"))
+    ceil_ts = F.expr(f"(({t_num} * sz + {t_den - 1}) div {t_den})")
+    prefix = (
+        sh.join(dfreq, "shingle")
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+        .withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= F.col("sz") - ceil_ts + 1)
+        # candidate join on the 8-byte shingle hash, not the string —
+        # ~10% faster and much more stable at sf0.1 (2.23s vs 2.47-6.9s
+        # best-of-3); a hash collision only adds a candidate pair, which
+        # the exact jaccard verify removes.
+        .select(
+            F.col(id_col).alias("pid"),
+            F.xxhash64("shingle").alias("shingle"),
+            "sz",
+            "pos",
+        )
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    ubound = (
+        F.least(
+            F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
+        )
+        + 1
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.pid") < F.col("b.pid"))
+            & (F.lit(t_den) * F.col("a.sz") >= F.lit(t_num) * F.col("b.sz"))
+            & (F.lit(t_den) * F.col("b.sz") >= F.lit(t_num) * F.col("a.sz"))
+            & (
+                F.lit(t_num + t_den) * ubound
+                >= F.lit(t_num) * (F.col("a.sz") + F.col("b.sz"))
+            ),
+        )
+        .select(F.col("a.pid").alias("id_1"), F.col("b.pid").alias("id_2"))
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs_prefix(
     df: DataFrame,
     *,
@@ -410,10 +476,24 @@ def ngram_jaccard_pairs_prefix(
     shingle_n: int = 3,
     t_num: int = 4,
     t_den: int = 5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs at threshold t = t_num/t_den via
     All-Pairs/PPJoin prefix filtering — the SCALE path for what
     ``ngram_jaccard_pairs`` computes quadratically. Same output.
+
+    ``max_df`` (off by default) switches to STOPWORD-FILTERED
+    semantics: shingles appearing in more than ``max_df`` docs are
+    removed from every doc's shingle set BEFORE the pipeline, and
+    Jaccard is computed over the filtered sets — the prefix algorithm
+    run on a transformed input, so the completeness proof is
+    unchanged. This is the principled cut for shared-vocabulary
+    corpora where constant-relative-frequency phrases make candidate
+    counts grow ∝ N² (measured, SCALE.md round-5): boilerplate
+    shingles carry no discriminative signal, and dropping them
+    bounds per-shingle candidate fan-out by max_df². A doc whose
+    every shingle is hot ends with an empty set and pairs with
+    nothing (it is pure boilerplate).
 
     Why it scales: order each doc's shingle set by global rarity
     (document frequency asc, then shingle); two sets with J ≥ t MUST
@@ -432,36 +512,17 @@ def ngram_jaccard_pairs_prefix(
     can round the wrong way (0.8·35 = 28.000000000000004) and silently
     shorten a prefix, breaking the completeness guarantee.
     """
-    from pyspark.sql import Window
-
     fanned = fan_out(df)
     sh = shingle_rows(fanned, id_col=id_col, text_col=text_col, n=shingle_n).localCheckpoint()
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("shingle"))
-    ceil_ts = F.expr(f"(({t_num} * sz + {t_den - 1}) div {t_den})")
-    prefix = (
-        sh.join(dfreq, "shingle")
-        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
-        .withColumn("pos", F.row_number().over(w))
-        .where(F.col("pos") <= F.col("sz") - ceil_ts + 1)
-        # candidate join on the 8-byte shingle hash, not the string —
-        # ~10% faster and much more stable at sf0.1 (2.23s vs 2.47-6.9s
-        # best-of-3); a hash collision only adds a candidate pair, which
-        # the exact jaccard verify below removes.
-        .select(F.col(id_col).alias("pid"), F.xxhash64("shingle").alias("shingle"), "sz")
-    )
-    a, b = prefix.alias("a"), prefix.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.pid") < F.col("b.pid"))
-            & (F.lit(t_den) * F.col("a.sz") >= F.lit(t_num) * F.col("b.sz"))
-            & (F.lit(t_den) * F.col("b.sz") >= F.lit(t_num) * F.col("a.sz")),
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("shingle")
         )
-        .select(F.col("a.pid").alias("id_1"), F.col("b.pid").alias("id_2"))
-        .distinct()
-    )
+        sh = sh.join(hot, "shingle", "left_anti").localCheckpoint()
+    cand = jaccard_prefix_candidates(sh, id_col=id_col, t_num=t_num, t_den=t_den)
     jac = jaccard_on_pairs(cand, sh, id_col=id_col)
     return jac.filter(F.col("jaccard") >= t_num / t_den).select(
         "id_1", "id_2", F.round("jaccard", 6).alias("jaccard")
@@ -1000,6 +1061,64 @@ def excise_duplicated_spans(
     )
 
 
+def containment_prefix_candidates(
+    sh: DataFrame, *, id_col: str, t_num: int, t_den: int
+) -> DataFrame:
+    """The candidate-pair stage of :func:`containment_pairs_prefix`,
+    factored out for the scale-stress harness (candidate growth is the
+    scaling quantity; see ``scripts/profile_zipf_prefix`` / SCALE.md):
+    probe-side-only rarity prefixes joined against the FULL index side
+    on the 8-byte shingle hash. Input (id, shingle) rows; output
+    (id_1, id_2) distinct candidates."""
+    from pyspark.sql import Window
+
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("shingle"))
+    ceil_ts = F.expr(f"(({t_num} * sz + {t_den - 1}) div {t_den})")
+    with_sz = sh.join(dfreq, "shingle").withColumn(
+        "sz", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    )
+    with_pos = with_sz.withColumn("pos", F.row_number().over(w))
+    probe = (
+        with_pos.where(F.col("pos") <= F.col("sz") - ceil_ts + 1)
+        .select(
+            F.col(id_col).alias("pid"),
+            F.xxhash64("shingle").alias("shash"),
+            F.col("sz").alias("psz"),
+            F.col("pos").alias("ppos"),
+        )
+    )
+    index = with_pos.select(
+        F.col(id_col).alias("iid"),
+        F.xxhash64("shingle").alias("shash"),
+        F.col("sz").alias("isz"),
+        F.col("pos").alias("ipos"),
+    )
+    # PPJoin positional filter, containment form: a match at canonical
+    # positions (i, j) bounds |A∩B| by min(psz−i, isz−j)+1, which must
+    # reach ⌈t·psz⌉; a true pair's first common shingle is inside the
+    # probe prefix and passes, so completeness holds (same argument as
+    # jaccard_prefix_candidates; index-side pos costs nothing extra —
+    # it rides the sz window pass).
+    ubound = F.least(F.col("psz") - F.col("ppos"), F.col("isz") - F.col("ipos")) + 1
+    return (
+        probe.join(
+            index,
+            (probe.shash == index.shash)
+            & (
+                (probe.psz < index.isz)
+                | ((probe.psz == index.isz) & (probe.pid < index.iid))
+            )
+            & (F.lit(t_den) * ubound >= F.lit(t_num) * F.col("psz")),
+        )
+        .select(
+            F.least("pid", "iid").alias("id_1"),
+            F.greatest("pid", "iid").alias("id_2"),
+        )
+        .distinct()
+    )
+
+
 def containment_pairs_prefix(
     df: DataFrame,
     *,
@@ -1033,41 +1152,11 @@ def containment_pairs_prefix(
     to 6. The registered oracle computes the NAIVE all-sharing-pairs
     form, so the driver hash check proves this prefix pruning is
     complete, not just fast."""
-    from pyspark.sql import Window
-
     fanned = fan_out(df)
     sh = shingle_rows(
         fanned, id_col=id_col, text_col=text_col, n=shingle_n
     ).localCheckpoint()
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("shingle"))
-    ceil_ts = F.expr(f"(({t_num} * sz + {t_den - 1}) div {t_den})")
-    with_sz = sh.join(dfreq, "shingle").withColumn(
-        "sz", F.count(F.lit(1)).over(Window.partitionBy(id_col))
-    )
-    probe = (
-        with_sz.withColumn("pos", F.row_number().over(w))
-        .where(F.col("pos") <= F.col("sz") - ceil_ts + 1)
-        .select(F.col(id_col).alias("pid"), F.xxhash64("shingle").alias("shash"), F.col("sz").alias("psz"))
-    )
-    index = with_sz.select(
-        F.col(id_col).alias("iid"), F.xxhash64("shingle").alias("shash"), F.col("sz").alias("isz")
-    )
-    cand = (
-        probe.join(
-            index,
-            (probe.shash == index.shash)
-            & (
-                (probe.psz < index.isz)
-                | ((probe.psz == index.isz) & (probe.pid < index.iid))
-            ),
-        )
-        .select(
-            F.least("pid", "iid").alias("id_1"),
-            F.greatest("pid", "iid").alias("id_2"),
-        )
-        .distinct()
-    )
+    cand = containment_prefix_candidates(sh, id_col=id_col, t_num=t_num, t_den=t_den)
     # In-row verify: per-doc shingle ARRAYS joined onto the candidate
     # pairs, intersected with array higher-order functions — the same
     # form minhash_near_duplicates measured ~1.7× over re-joining the

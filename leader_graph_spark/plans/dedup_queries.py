@@ -502,6 +502,70 @@ def ngram_jaccard_prefix_filtered(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# Stopword-filtered Jaccard: shingles in more than MAX_DF docs leave
+# the universe before pairing — the asymptotic defense for
+# shared-vocabulary corpora where constant-relative-frequency phrases
+# make prefix candidates grow ∝ N² (measured on the Zipf battery,
+# SCALE.md round-5). max_df=3 is non-vacuous at sf0.01 (max shingle
+# df there is 7; the filtered pair set differs from the exact one).
+_STOPWORD_MAX_DF = 3
+
+_STOPWORD_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+fsh AS (
+  SELECT s.doc_id, s.shingle FROM sh s JOIN dfreq d USING (shingle)
+  WHERE d.df <= {_STOPWORD_MAX_DF}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+  FROM fsh a JOIN fsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM fsh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_1, c.id_2, count(*) AS inter
+  FROM pairs c
+  JOIN fsh a ON a.doc_id = c.id_1
+  JOIN fsh b ON b.doc_id = c.id_2 AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT i.id_1, i.id_2,
+       round(i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_1
+JOIN sizes sb ON sb.doc_id = i.id_2
+WHERE i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= {THRESHOLD}
+"""
+
+
+@query(
+    "ngram_jaccard_stopword_filtered",
+    _STOPWORD_ORACLE,
+    tags=("dedup-ngram-jaccard", "stopword"),
+)
+def ngram_jaccard_stopword_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Df-capped (stopword-filtered) Jaccard pairs: boilerplate
+    shingles (df > {max_df}) are removed from every doc's set before
+    the prefix pipeline, and Jaccard is computed over the filtered
+    sets — the prefix algorithm on a transformed input, completeness
+    proof unchanged. This is the documented asymptotic cut for
+    shared-vocabulary corpora (SCALE.md round-5: candidate fan-out
+    per shingle bounded by max_df² regardless of corpus size, where
+    the exact form's candidates grew ∝ N² before positional
+    filtering and linger superlinear on the containment side after
+    it). The oracle reproduces the same filtered-set semantics."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs_prefix(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        shingle_n=SHINGLE_N,
+        t_num=4,
+        t_den=5,
+        max_df=_STOPWORD_MAX_DF,
+    )
+
+
 # Containment (asymmetric near-dup): |A∩B| / min(|A|,|B|) ≥ 0.9.
 # The oracle is the NAIVE all-sharing-pairs form, so the hash match
 # proves the operator's probe-side prefix filter is COMPLETE.
