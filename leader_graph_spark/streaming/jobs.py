@@ -209,17 +209,14 @@ def user_running_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def run_foreach_batch_to_parquet(
-    sdf: DataFrame, *, out_dir: str, checkpoint: str
-) -> None:
-    """Micro-batch sink via foreachBatch — the consumer side of the
-    reference's producer/consumer pipeline (``processor/data_processor.py:
-    262-316``): each batch lands idempotently. foreachBatch is
-    at-least-once (a batch can replay after failure/restart with the
-    same batch_id), so the sink partitions by ``_batch_id`` and
-    dynamically overwrites ONLY that partition — a replayed batch
-    replaces its own output instead of appending duplicates, restoring
-    exactly-once at the sink."""
+def batch_id_partitioned_sink(out_dir: str):
+    """The idempotent foreachBatch sink: partition by ``_batch_id`` and
+    dynamically overwrite ONLY that partition, so an at-least-once
+    replay (same batch_id after failure/restart) REPLACES its own
+    output — including any partial files a mid-batch crash left behind
+    — instead of appending duplicates. Factored out of
+    :func:`run_foreach_batch_to_parquet` so the crash-recovery test
+    can wrap it with an injected mid-batch failure."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         (
@@ -230,6 +227,22 @@ def run_foreach_batch_to_parquet(
             .parquet(out_dir)
         )
 
+    return sink
+
+
+def run_foreach_batch_to_parquet(
+    sdf: DataFrame, *, out_dir: str, checkpoint: str, sink_wrapper=None
+) -> None:
+    """Micro-batch sink via foreachBatch — the consumer side of the
+    reference's producer/consumer pipeline (``processor/data_processor.py:
+    262-316``): each batch lands idempotently via
+    :func:`batch_id_partitioned_sink` (exactly-once restored at the
+    sink). ``sink_wrapper`` is a test seam: wraps the sink callable so
+    crash-recovery tests can inject a mid-batch failure between the
+    data write and the checkpoint commit."""
+    sink = batch_id_partitioned_sink(out_dir)
+    if sink_wrapper is not None:
+        sink = sink_wrapper(sink)
     q = (
         sdf.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint)
