@@ -87,6 +87,62 @@ class DeterministicFakeBackend:
         return events
 
 
+class HttpExtractionBackend:
+    """Real-HTTP seam for the X8 extraction service (the reference
+    POSTs to OpenAI at ``leader/bio_processor.py:403``; here the
+    endpoint is injected so tests can stand up a MISBEHAVING local
+    server — timeouts, 429s, 5xx, garbage payloads — and drive the
+    retry/ratelimit/DLQ machinery against a real socket instead of
+    injected Python exceptions). stdlib ``urllib`` only.
+
+    Contract: POST the text body, expect ``{"events": [...]}`` JSON
+    back. Failures raise with a stable taxonomy prefix the DLQ
+    records verbatim: ``timeout:``, ``http-429:``, ``http-<code>:``,
+    ``bad-json:``. An optional :class:`TokenBucket` gates every
+    request (including retries) — the per-worker slice of the global
+    req/s budget."""
+
+    cost_per_row = 0.0001
+
+    def __init__(self, url: str, *, timeout: float = 5.0, bucket: "TokenBucket | None" = None):
+        self.url = url
+        self.timeout = timeout
+        self.bucket = bucket
+
+    def extract(self, text: str) -> list[dict]:
+        import socket
+        import urllib.error
+        import urllib.request
+
+        if self.bucket is not None:
+            self.bucket.acquire()
+        req = urllib.request.Request(
+            self.url,
+            data=(text or "").encode("utf-8"),
+            headers={"Content-Type": "text/plain; charset=utf-8"},
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                body = resp.read()
+        except urllib.error.HTTPError as exc:
+            raise RuntimeError(f"http-{exc.code}: {exc.reason}") from exc
+        except (TimeoutError, socket.timeout) as exc:
+            raise RuntimeError(f"timeout: no response in {self.timeout}s") from exc
+        except urllib.error.URLError as exc:
+            if isinstance(exc.reason, (TimeoutError, socket.timeout)):
+                raise RuntimeError(f"timeout: no response in {self.timeout}s") from exc
+            raise RuntimeError(f"connect: {exc.reason}") from exc
+        try:
+            payload = json.loads(body.decode("utf-8"))
+            events = payload["events"]
+            if not isinstance(events, list):
+                raise ValueError("events is not a list")
+        except Exception as exc:  # noqa: BLE001 — taxonomy boundary
+            raise RuntimeError(f"bad-json: {exc}") from exc
+        return events
+
+
 class TokenBucket:
     """Per-partition rate limiter: ``rate`` requests/second with burst
     ``burst`` — the distributed version of the reference's global
@@ -234,7 +290,13 @@ def structured_extraction_with_dlq(
                 rows.append((rid, payload, err, attempts))
             yield pd.DataFrame(rows, columns=[id_col, "events_json", "error", "attempts"])
 
-    raw = df.select(id_col, text_col).mapInPandas(run, out_schema)
+    # persist BEFORE the ok/dlq split: both branches derive from the
+    # same mapInPandas, and without materialization each downstream
+    # action re-executes it — i.e. re-calls the PAID external service
+    # once per branch (observed live against the scripted HTTP server:
+    # the flaky doc was hit 4×, not 3). The result is id+json+error —
+    # tiny next to the calls it avoids.
+    raw = df.select(id_col, text_col).mapInPandas(run, out_schema).persist()
     ok = raw.filter(F.col("error").isNull()).select(
         id_col,
         F.from_json(F.get_json_object("events_json", "$.events"), EVENTS_SCHEMA).alias(
