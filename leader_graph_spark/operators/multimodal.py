@@ -46,9 +46,37 @@ def decode_available() -> bool:
 
 
 def _decode_image_real(payload: bytes) -> dict:
-    raise NotImplementedError(
-        "real image decode requires PIL/opencv, not present in this container"
-    )
+    """Real decode: PIL when importable; PNG payloads decode through
+    the hermetic stdlib codec (``pngcodec.py`` — round-5; PNG is zlib
+    + filters, no third-party code needed) with a TRUE mean pixel and
+    a real 64-bit average-hash. JPEG/WEBP without PIL stay behind the
+    narrow NotImplementedError seam (DCT/VP8 are not something a
+    hermetic reimplementation should attempt)."""
+    from leader_graph_spark.operators import pngcodec
+
+    if payload[:8] == pngcodec.PNG_MAGIC:
+        w, h, ch, px = pngcodec.decode_png(payload)
+        return {
+            "mean_pixel": sum(px) / len(px) / 255.0,
+            "phash": pngcodec.average_hash(px, w, h, ch),
+            "n_bytes": len(payload),
+        }
+    try:
+        import io
+
+        from PIL import Image  # noqa: F401
+
+        img = Image.open(io.BytesIO(payload)).convert("RGB")
+        px = img.tobytes()
+        return {
+            "mean_pixel": sum(px) / len(px) / 255.0,
+            "phash": hashlib.md5(px).hexdigest()[:16],
+            "n_bytes": len(payload),
+        }
+    except ImportError:
+        raise NotImplementedError(
+            "non-PNG image decode requires PIL/opencv, not present in this container"
+        ) from None
 
 
 def _decode_image_fake(payload: bytes) -> dict:
@@ -91,7 +119,17 @@ def extract_image_features(
 ) -> DataFrame:
     """Decode/feature-extract over mapInPandas. Uses the real decoder
     when available, else the deterministic fake (clearly marked)."""
-    decode = _decode_image_real if decode_available() else _decode_image_fake
+    def decode(payload: bytes) -> dict:
+        # per-PAYLOAD routing (round-5): PNG decodes for real through
+        # the stdlib codec regardless of PIL; other formats decode for
+        # real only under PIL, else the clearly-marked deterministic
+        # fake keeps the plumbing testable.
+        from leader_graph_spark.operators.pngcodec import PNG_MAGIC
+
+        if payload[:8] == PNG_MAGIC or decode_available():
+            return _decode_image_real(payload)
+        return _decode_image_fake(payload)
+
     out_schema = T.StructType([df.schema[id_col]] + list(FEATURE_SCHEMA.fields))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -147,10 +185,22 @@ def resize_images(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
+            from leader_graph_spark.operators import pngcodec
+
             for rid, payload, meta in zip(pdf[id_col], pdf[payload_col], pdf[meta_col]):
                 raw = bytes(payload)
-                if decode_available():
-                    resized = _decode_image_real(raw)  # pragma: no cover
+                if raw[:8] == pngcodec.PNG_MAGIC:
+                    # REAL resize path (round-5): stdlib PNG decode →
+                    # nearest-neighbor resample → re-encode. Actual
+                    # source dimensions override the metadata claim.
+                    w, h, ch, px = pngcodec.decode_png(raw)
+                    resized = pngcodec.encode_png(
+                        target_w,
+                        target_h,
+                        pngcodec.resize_nearest(px, w, h, ch, target_w, target_h),
+                        channels=ch,
+                    )
+                    orig_w, orig_h = w, h
                 else:
                     # deterministic stand-in: digest-seeded bytes scaled
                     # to ~3 bytes/pixel of the TARGET size so downstream
@@ -159,6 +209,7 @@ def resize_images(
                     resized = (seed * (target_w * target_h * 3 // len(seed) + 1))[
                         : target_w * target_h * 3
                     ]
+                    orig_w, orig_h = meta["width"], meta["height"]
                 rows.append(
                     (
                         rid,
@@ -167,8 +218,8 @@ def resize_images(
                             "format": meta["format"],
                             "width": target_w,
                             "height": target_h,
-                            "orig_width": meta["width"],
-                            "orig_height": meta["height"],
+                            "orig_width": orig_w,
+                            "orig_height": orig_h,
                         },
                     )
                 )

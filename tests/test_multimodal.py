@@ -47,3 +47,84 @@ def test_frame_sampling_uniform_and_short_clips(spark):
     # fingerprints differ across distinct frames
     hashes = {r.frame_phash for r in out if r.vid == 1}
     assert len(hashes) == 4
+
+
+def test_png_codec_roundtrip_all_filters():
+    """decode(encode(x, filter=f)) must reproduce the exact pixels for
+    every PNG filter type (0-4) and channel count — the five decoder
+    branches the spec defines."""
+    from leader_graph_spark.operators.pngcodec import decode_png, encode_png
+
+    w, h = 7, 5
+    for ch in (1, 3, 4):
+        px = bytes((x * 37 + 11) % 256 for x in range(w * h * ch))
+        for ft in range(5):
+            payload = encode_png(w, h, px, channels=ch, filter_type=ft)
+            gw, gh, gch, gpx = decode_png(payload)
+            assert (gw, gh, gch) == (w, h, ch)
+            assert gpx == px, f"filter {ft} channels {ch}"
+
+
+def test_png_nearest_resize_exact():
+    from leader_graph_spark.operators.pngcodec import resize_nearest
+
+    # 2x2 RGB checkerboard upscaled 2x: each source pixel becomes 2x2
+    blk, wht = b"\x00\x00\x00", b"\xff\xff\xff"
+    src = blk + wht + wht + blk
+    out = resize_nearest(src, 2, 2, 3, 4, 4)
+    rows = [out[i * 12 : (i + 1) * 12] for i in range(4)]
+    assert rows[0] == blk * 2 + wht * 2
+    assert rows[1] == blk * 2 + wht * 2
+    assert rows[2] == wht * 2 + blk * 2
+    assert rows[3] == wht * 2 + blk * 2
+
+
+def test_extract_features_real_png_payloads(spark):
+    """Real PNG payloads take the REAL decode path: true mean pixel and
+    a real average-hash, not the md5 fake."""
+    from leader_graph_spark.operators.multimodal import extract_image_features
+    from leader_graph_spark.operators.pngcodec import encode_png
+
+    solid_gray = encode_png(4, 4, bytes([100]) * 48, channels=3)
+    solid_white = encode_png(4, 4, bytes([255]) * 48, channels=3)
+    df = spark.createDataFrame(
+        [(1, bytearray(solid_gray)), (2, bytearray(solid_white))],
+        "img_id long, payload binary",
+    )
+    got = {r.img_id: r for r in extract_image_features(df, id_col="img_id").collect()}
+    assert abs(got[1].mean_pixel - 100 / 255) < 1e-9
+    assert abs(got[2].mean_pixel - 1.0) < 1e-9
+    # flat images have no above-mean pixels: average-hash all zeros
+    assert got[1].phash == "0" * 16
+    assert got[2].phash == "0" * 16
+
+
+def test_resize_images_real_png_path(spark):
+    """PNG payloads resize for REAL: output decodes to the target
+    dimensions and the metadata carries the actual source size (not
+    the metadata claim)."""
+    from pyspark.sql import functions as F
+
+    from leader_graph_spark.operators.multimodal import resize_images
+    from leader_graph_spark.operators.pngcodec import decode_png, encode_png
+
+    px = bytes((x * 13) % 256 for x in range(10 * 6 * 3))
+    payload = encode_png(10, 6, px, channels=3)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "img_id long, payload binary"
+    ).select(
+        "img_id",
+        "payload",
+        F.struct(
+            F.lit("png").alias("format"),
+            F.lit(999).alias("width"),    # wrong on purpose
+            F.lit(999).alias("height"),
+        ).alias("meta"),
+    )
+    out = resize_images(df, id_col="img_id", target_w=4, target_h=4).collect()[0]
+    w, h, ch, rpx = decode_png(bytes(out.payload))
+    assert (w, h, ch) == (4, 4, 3)
+    assert out.meta["width"] == 4 and out.meta["height"] == 4
+    assert out.meta["orig_width"] == 10 and out.meta["orig_height"] == 6
+    # spot-check nearest-neighbor: target (0,0) samples source (0,0)
+    assert rpx[:3] == px[:3]
