@@ -111,6 +111,104 @@ def _min_propagation_round(sym: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
+def connected_components_two_phase(
+    vertices: DataFrame, edges: DataFrame, *, max_iter: int = 40
+) -> DataFrame:
+    """Connected components by LARGE-STAR / SMALL-STAR alternation
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond") — the provably O(log² n)-ROUND converged CC, vs the
+    O(diameter) rounds of min-label propagation. This is the variant
+    the plain-propagation docstrings defer to for adversarial
+    long-path graphs (and the SOUND replacement for the retired
+    pointer-jump, whose radius-doubling claim was false): both star
+    operations only ever reconnect a vertex to the minimum of its
+    current neighborhood, so every intermediate edge set stays within
+    the original components, and at the fixed point the edge set is a
+    star per component centered at its minimum id.
+
+    Per round: two groupBy-min + join passes over the edge set (same
+    per-round primitive cost as one propagation round on each star
+    phase), checkpointed; convergence is detected by an order-free
+    (count, xxhash-sum) fingerprint of the canonical edge set — one
+    tiny aggregate per round, no edge-set self-join. Returns
+    (id, component) like :func:`connected_components` — output is
+    value-identical (both are "minimum reachable id"), which the
+    recursive-CTE oracle of ``connected_components_membership``
+    verifies in full for the registered query."""
+    sym = symmetrize(edges).localCheckpoint()
+
+    def canonical(e: DataFrame) -> DataFrame:
+        # undirected edge set as (lo, hi), self-loops dropped
+        return (
+            e.select(
+                F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+            )
+            .where(F.col("lo") != F.col("hi"))
+            .distinct()
+        )
+
+    def both_dirs(e: DataFrame) -> DataFrame:
+        return e.select(F.col("lo").alias("src"), F.col("hi").alias("dst")).unionByName(
+            e.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))
+        )
+
+    def fingerprint(e: DataFrame):
+        # order-free set fingerprint; bit_xor cannot overflow under
+        # ANSI (a hash SUM can and did)
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("lo", "hi")).alias("h"),
+        ).first()
+        return (row.n, row.h)
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # per center u: every neighbor v > u connects to
+        # m = min(Γ(u) ∪ {u})
+        nb = both_dirs(e)
+        mins = nb.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        return canonical(
+            nb.where(F.col("dst") > F.col("src"))
+            .join(mins, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # per center u: every neighbor v < u (and u itself) connects to
+        # m = min of that set
+        nb = both_dirs(e)
+        small = nb.where(F.col("dst") < F.col("src"))
+        mins = small.groupBy("src").agg(F.min("dst").alias("m"))
+        moved = (
+            small.join(mins, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .unionByName(mins.select("src", F.col("m").alias("dst")))
+        )
+        return canonical(moved)
+
+    e = canonical(sym).localCheckpoint()
+    fp = fingerprint(e)
+    for _ in range(max_iter):
+        e = small_star(large_star(e)).localCheckpoint()
+        nfp = fingerprint(e)
+        if nfp == fp:
+            break
+        fp = nfp
+    # converged: stars (leaf, center=min). A component minimum appears
+    # only as `hi`'s partner — label every vertex by min neighbor, the
+    # center labels itself.
+    labels = (
+        both_dirs(e)
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("nmin"))
+        .select(
+            "id", F.least(F.col("id"), F.col("nmin")).alias("component")
+        )
+    )
+    return _with_isolated(vertices, labels)
+
+
 def min_propagation(
     vertices: DataFrame,
     edges: DataFrame,

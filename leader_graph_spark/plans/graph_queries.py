@@ -396,6 +396,29 @@ SELECT id, min(r) AS component FROM reach GROUP BY id
 """
 
 
+@query(
+    "connected_components_bigstar",
+    _CC_ORACLE,
+    tags=("graph-iterative", "scale-twin"),
+)
+def connected_components_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via LARGE-STAR/SMALL-STAR alternation
+    (Kiveris et al. 2014) — the O(log² n)-round scale twin of
+    ``connected_components_membership``: same converged
+    minimum-reachable-id labels (same recursive-CTE oracle, full value
+    hash), but the round count is logarithmic in component size
+    instead of linear in diameter, which is the difference between a
+    dozen cluster barriers and thousands on an adversarial 100 TB
+    graph. Round-count separation is test-asserted
+    (tests/test_graph.py: a 200-diameter path converges ≤ 12 star
+    rounds)."""
+    from leader_graph_spark.graph.algorithms import connected_components_two_phase
+
+    vertices = build_vertices(spark, sf_dir)
+    edges = build_membership_edges(spark, sf_dir)
+    return connected_components_two_phase(vertices, edges)
+
+
 @query("connected_components_membership", _CC_ORACLE, tags=("graph-iterative",))
 def connected_components_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components of the membership graph by iterative
