@@ -173,3 +173,109 @@ def weighted_sample_topk(
         .filter(F.col("_rk") <= k)
         .select(*df.columns, F.col("_rk").cast("int").alias("rk"))
     )
+
+
+def domain_capped_sample(
+    df: DataFrame,
+    *,
+    domain_col: str,
+    key_col: str,
+    max_per_domain: int,
+    salt: str = "domain-cap",
+) -> DataFrame:
+    """Per-domain contribution cap: keep at most ``max_per_domain``
+    rows per domain, chosen by deterministic hash rank (hash asc, key
+    tie-break) — the anti-domination step every web-corpus release
+    runs so one crawl-heavy domain cannot own the training mix (the
+    same failure mode mixture_resample fixes at the SOURCE level,
+    enforced here at domain granularity).
+
+    Scale shape: one shuffle on the domain key and a per-domain top-K
+    window — identical to :func:`stratified_sample_exact`'s plan, and
+    like it, a domain hot enough to dwarf an executor shows up first
+    in ``lineitem_key_skew_report``'s log2 histogram (cap the probe
+    with salted counts before sorting in that regime). Hash order
+    makes the survivors stable under repartitioning AND append-stable
+    in expectation (a new row evicts at most one old row per domain).
+
+    Output: input rows + ``domain_rank`` (1-based hash rank within the
+    domain) for auditability."""
+    w = Window.partitionBy(domain_col).orderBy(
+        _hash_bucket(key_col, salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("domain_rank", F.row_number().over(w))
+        .where(F.col("domain_rank") <= max_per_domain)
+    )
+
+
+def dsir_importance_scores(
+    df: DataFrame,
+    target: DataFrame,
+    *,
+    key_col: str,
+    text_col: str,
+    n_buckets: int = 256,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023), integer-exact variant: score every raw document by how much
+    its hashed unigram features look like a small TARGET corpus
+    relative to the raw corpus, then keep the top-scoring slice.
+
+    Feature model: words hash into ``n_buckets`` md5 buckets (engine-
+    portable, cf. ``_hash_bucket``); the per-bucket corpus counts give
+    log-likelihood ratios. To stay hash-deterministic across engines
+    the log is the INTEGER bit-length approximation the repo already
+    uses for the skew histogram (floor(log2(n+1)) = len(bin(n+1))−1 —
+    exact integer arithmetic, no libm ulp risk):
+
+        score(doc) = Σ_tokens [ blen(tgt_count[b]+1) − blen(raw_count[b]+1) ]
+
+    A doc whose tokens concentrate in buckets the target corpus uses
+    heavily scores high. This is a coarsened DSIR (log base 2,
+    rounded down) — the ORDERING it induces is the product the
+    pipeline consumes, and it is bit-reproducible.
+
+    Scale shape: both count tables are ≤ n_buckets rows (map-side
+    combinable group-bys) and BROADCAST as a join against the exploded
+    token stream; the score aggregates keyed by doc id — no shuffle of
+    the corpus beyond the per-doc combine. Output: (key, n_tokens,
+    dsir_score)."""
+    from leader_graph_spark.operators.dedup import tokens
+
+    def bucketed(frame: DataFrame) -> DataFrame:
+        toks = frame.select(
+            F.col(key_col), F.explode(tokens(text_col)).alias("tok")
+        ).where(F.col("tok") != "")
+        h = F.md5(F.concat(F.lit(salt), F.lit("|"), F.col("tok")))
+        return toks.withColumn(
+            "bucket",
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % n_buckets,
+        )
+
+    def blen(col):
+        # floor(log2(n+1)) as integer bit length — engine-portable
+        return (F.length(F.bin(col + 1)) - 1).cast("bigint")
+
+    raw_toks = bucketed(df)
+    raw_counts = raw_toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("raw_n"))
+    tgt_counts = (
+        bucketed(target).groupBy("bucket").agg(F.count(F.lit(1)).alias("tgt_n"))
+    )
+    lut = (
+        raw_counts.join(tgt_counts, "bucket", "full")
+        .select(
+            "bucket",
+            (blen(F.coalesce("tgt_n", F.lit(0))) - blen(F.coalesce("raw_n", F.lit(0))))
+            .alias("bucket_score"),
+        )
+    )
+    return (
+        raw_toks.join(F.broadcast(lut), "bucket")
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("bucket_score").cast("bigint").alias("dsir_score"),
+        )
+    )

@@ -424,3 +424,89 @@ def balanced_shard_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_tokens"),
     )
+
+
+_DOMAIN_CAP = 10
+
+_DOMAIN_CAP_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_hash_bucket_sql("CAST(doc_id AS VARCHAR)", "domain-cap")}, doc_id
+         ) AS domain_rank
+  FROM documents
+)
+SELECT doc_id, source, CAST(domain_rank AS INT) AS domain_rank
+FROM ranked WHERE domain_rank <= {_DOMAIN_CAP}
+"""
+
+
+@query("domain_capped_docs", _DOMAIN_CAP_ORACLE, tags=("sampling", "mlprep", "anti-domination"))
+def domain_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain contribution cap (round-5): at most {cap} docs per
+    ``source``, chosen by deterministic md5-hash rank — the
+    anti-domination pass that keeps one crawl-heavy domain from owning
+    the training mix. One shuffle on the domain key; survivors stable
+    under repartitioning (hash order, not arrival order)."""
+    from leader_graph_spark.operators.sampling import domain_capped_sample
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select("doc_id", "source")
+    return domain_capped_sample(
+        docs, domain_col="source", key_col="doc_id", max_per_domain=_DOMAIN_CAP
+    ).select("doc_id", "source", F.col("domain_rank").cast("int").alias("domain_rank"))
+
+
+_DSIR_BUCKETS = 256
+
+
+def _dsir_bucket_sql(tok_expr: str) -> str:
+    md5 = f"md5('dsir|' || {tok_expr})"
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substr({md5}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"(({terms}) % {_DSIR_BUCKETS})"
+
+
+_DSIR_ORACLE = f"""
+WITH toks0 AS (
+  SELECT doc_id, lang,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, lang, {_dsir_bucket_sql("tok")} AS bucket
+  FROM toks0 WHERE tok <> ''
+),
+raw_counts AS (SELECT bucket, count(*) AS raw_n FROM toks GROUP BY 1),
+tgt_counts AS (SELECT bucket, count(*) AS tgt_n FROM toks WHERE lang = 'en' GROUP BY 1),
+lut AS (
+  SELECT r.bucket,
+         (length(bin(COALESCE(t.tgt_n, 0) + 1)) - 1)
+         - (length(bin(r.raw_n + 1)) - 1) AS bucket_score
+  FROM raw_counts r LEFT JOIN tgt_counts t USING (bucket)
+)
+SELECT k.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(l.bucket_score) AS BIGINT) AS dsir_score
+FROM toks k JOIN lut l USING (bucket)
+GROUP BY k.doc_id
+"""
+
+
+@query("dsir_importance_scores", _DSIR_ORACLE, tags=("sampling", "mlprep", "dsir"))
+def dsir_importance_scores_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores (Xie et al. 2023), integer-exact variant
+    (round-5): hashed-unigram log-likelihood ratio of an ``en``-target
+    corpus vs the raw corpus, with the log as the repo's bit-length
+    integer approximation (no libm ulp risk, bit-reproducible in both
+    engines). Both count tables collapse to ≤ {buckets} rows and
+    broadcast; the corpus shuffles only for the per-doc combine."""
+    from leader_graph_spark.operators.sampling import dsir_importance_scores
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    target = docs.where(F.col("lang") == "en")
+    return dsir_importance_scores(
+        docs, target, key_col="doc_id", text_col="text", n_buckets=_DSIR_BUCKETS
+    )

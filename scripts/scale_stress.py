@@ -76,6 +76,12 @@ QUERIES = [
     "containment_near_dup_pairs",
     "bloom_prefiltered_order_join",
     "leakage_safe_split",
+    # round-5 additions: the distributed-ntile rewrite, the df-capped
+    # stopword Jaccard, and the star-alternation CC (its round count is
+    # log-sized, so replica growth should barely move it)
+    "rfm_customer_segments",
+    "ngram_jaccard_stopword_filtered",
+    "connected_components_bigstar",
 ]
 
 

@@ -103,3 +103,55 @@ def test_weighted_sample_zero_weight_excluded(spark):
         df, strata_col="lang", key_col="doc_id", weight_col="n_chars", k=5
     ).collect()
     assert [r.doc_id for r in rows] == [2]
+
+
+def test_domain_cap_caps_and_is_stable(spark):
+    from leader_graph_spark.operators.sampling import domain_capped_sample
+
+    rows = [(i, f"d{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = domain_capped_sample(
+        df, domain_col="source", key_col="doc_id", max_per_domain=5
+    )
+    got = out.collect()
+    per = {}
+    for r in got:
+        per.setdefault(r.source, []).append(r.doc_id)
+    assert all(len(v) == 5 for v in per.values())
+    assert {r.domain_rank for r in got} == {1, 2, 3, 4, 5}
+    # repartitioning must not change the survivors (hash order, not
+    # arrival/partition order)
+    re = {
+        (r.doc_id, r.source)
+        for r in domain_capped_sample(
+            df.repartition(13), domain_col="source", key_col="doc_id", max_per_domain=5
+        ).collect()
+    }
+    assert re == {(r.doc_id, r.source) for r in got}
+
+
+def test_dsir_scores_prefer_target_like_docs(spark):
+    """Docs written in the target's vocabulary must outscore docs in a
+    disjoint vocabulary — the ordering is the product."""
+    from leader_graph_spark.operators.sampling import dsir_importance_scores
+
+    target_vocab = "alpha beta gamma delta epsilon"
+    other_vocab = "zork blarg quux fnord wibble"
+    rows = [
+        (1, target_vocab + " " + target_vocab),
+        (2, other_vocab + " " + other_vocab),
+        (3, target_vocab),  # target-like raw doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(100 + i, target_vocab) for i in range(10)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.dsir_score, r.n_tokens)
+        for r in dsir_importance_scores(
+            df, target, key_col="doc_id", text_col="text"
+        ).collect()
+    }
+    # per-token score: normalize by token count to compare fairly
+    assert got[1][0] / got[1][1] > got[2][0] / got[2][1]
+    assert got[3][0] / got[3][1] > got[2][0] / got[2][1]
