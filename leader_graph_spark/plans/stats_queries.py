@@ -375,3 +375,76 @@ def lang_source_chisquare(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_nonzero_cells"),
         F.sum("chi_micro").cast("bigint").alias("chi_square_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k) sketches: approximate set intersection, deterministically
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+
+
+def _kmv_hash_sql(expr: str) -> str:
+    md5 = f"md5(CAST({expr} AS VARCHAR))"
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substr({md5}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"({terms})"
+
+
+_KMV_ORACLE = f"""
+WITH a_sk AS (
+  SELECT DISTINCT {_kmv_hash_sql('o_custkey')} AS h FROM orders
+  WHERE year(CAST(o_orderdate AS DATE)) = 1994
+  ORDER BY h LIMIT {_KMV_K}
+),
+b_sk AS (
+  SELECT DISTINCT {_kmv_hash_sql('o_custkey')} AS h FROM orders
+  WHERE year(CAST(o_orderdate AS DATE)) = 1995
+  ORDER BY h LIMIT {_KMV_K}
+),
+u AS (
+  SELECT h FROM (SELECT h FROM a_sk UNION SELECT h FROM b_sk)
+  ORDER BY h LIMIT {_KMV_K}
+),
+stats AS (
+  SELECT count(*) AS n, max(h) AS kth,
+         (SELECT count(*) FROM u
+          WHERE h IN (SELECT h FROM a_sk) AND h IN (SELECT h FROM b_sk)) AS n_both
+  FROM u
+),
+ests AS (
+  SELECT
+    CASE WHEN n >= {_KMV_K}
+         THEN round(({_KMV_K} - 1) / (kth / 4294967296.0), 6)
+         ELSE CAST(n AS DOUBLE) END AS union_est,
+    round(n_both / CAST(n AS DOUBLE), 6) AS jaccard_est
+  FROM stats
+)
+SELECT union_est, jaccard_est,
+       round(union_est * jaccard_est, 6) AS intersection_est
+FROM ests
+"""
+
+
+@query("kmv_customer_overlap", _KMV_ORACLE, tags=("sketch", "kmv", "set-intersection"))
+def kmv_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate repeat-customer overlap (1994 ∩ 1995 buyers) from
+    two K-Minimum-Values sketches (``operators/kmv.py``; Beyer et al.
+    2007) — the summary family's set-INTERSECTION member: HLL can only
+    union, exact bitmaps pay linear memory, KMV answers
+    union/Jaccard/intersection from k values per side. The md5 "random"
+    hash makes the whole estimator deterministic, so the oracle
+    reproduces the sketch AND every estimate bit-for-bit — the
+    approximation error itself is under the value hash. Sketch build =
+    per-partition bottom-k then bottom-k of the merge (algebraic, no
+    rescan); estimates are arithmetic over ≤ 2k values."""
+    from leader_graph_spark.operators.kmv import kmv_overlap_estimates, kmv_sketch
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.year(F.col("o_orderdate").cast("date")).alias("yr")
+    )
+    a = kmv_sketch(orders.where(F.col("yr") == 1994), key_col="o_custkey", k=_KMV_K)
+    b = kmv_sketch(orders.where(F.col("yr") == 1995), key_col="o_custkey", k=_KMV_K)
+    return kmv_overlap_estimates(a, b, k=_KMV_K)

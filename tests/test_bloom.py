@@ -140,3 +140,38 @@ def test_bloom_bitmap_persists_as_lake_artifact(spark, tmp_path):
         big, small, big_key="k", small_key="sk", m_bits=1 << 12, k_hashes=3
     )
     assert sorted(map(tuple, pre.collect())) == sorted(map(tuple, live.collect()))
+
+
+def test_kmv_estimates_within_error_bounds(spark):
+    """KMV with k=64 carries ~1/sqrt(k-2) ≈ 13% standard error; assert
+    the union/intersection estimates land within 3σ of truth on
+    overlapping synthetic sets, and that sub-k sets are EXACT."""
+    from pyspark.sql import functions as F
+
+    from leader_graph_spark.operators.kmv import kmv_overlap_estimates, kmv_sketch
+
+    a = spark.range(0, 3000).select(F.col("id").alias("k"))
+    b = spark.range(1500, 4500).select(F.col("id").alias("k"))
+    sa = kmv_sketch(a, key_col="k", k=64)
+    sb = kmv_sketch(b, key_col="k", k=64)
+    row = kmv_overlap_estimates(sa, sb, k=64).first()
+    assert abs(row.union_est - 4500) / 4500 < 0.4
+    assert abs(row.intersection_est - 1500) / 1500 < 0.6
+    # deterministic: same input, same estimate, bit for bit
+    again = kmv_overlap_estimates(sa, sb, k=64).first()
+    assert (row.union_est, row.jaccard_est, row.intersection_est) == (
+        again.union_est,
+        again.jaccard_est,
+        again.intersection_est,
+    )
+    # sub-k sets are exact
+    small_a = spark.range(0, 40).select(F.col("id").alias("k"))
+    small_b = spark.range(20, 60).select(F.col("id").alias("k"))
+    r2 = kmv_overlap_estimates(
+        kmv_sketch(small_a, key_col="k", k=64),
+        kmv_sketch(small_b, key_col="k", k=64),
+        k=64,
+    ).first()
+    assert r2.union_est == 60.0
+    # exact up to the documented round-6 on the jaccard ratio
+    assert abs(r2.intersection_est - 20.0) < 1e-3
