@@ -431,3 +431,41 @@ def min_propagation_jumped(
             .localCheckpoint()
         )
     return _with_isolated(vertices, labels)
+
+
+def kcore_subgraph(edges: DataFrame, *, k: int, rounds: int) -> DataFrame:
+    """Fixed-round k-core peeling: repeatedly drop vertices whose
+    CURRENT degree is < k, keeping edges whose BOTH endpoints survive.
+    ``rounds`` is the unroll depth — peeling is monotone (a dropped
+    vertex never returns) and idempotent at the fixed point, so the
+    result equals the true k-core whenever ``rounds`` ≥ the peel depth
+    (the same deterministic-unroll contract as :func:`min_propagation`
+    and the LPA oracle; convergence within the registered round count
+    is test-asserted for the shipped data).
+
+    The k-core is the classic graph-curation filter — vertices with
+    enough mutual support to carry neighborhood-based signals
+    (link prediction, community features); degree-1 tendrils peel off
+    in cascades. Per round: one vertex-keyed degree count (map-side
+    combinable) and two semi-joins of the edge list against the
+    survivor set, checkpointed — no shuffle beyond the degree key.
+
+    Returns (id, degree): surviving vertices with their final in-core
+    degree."""
+    sym = symmetrize(edges).localCheckpoint()
+    e = sym
+    for _ in range(rounds):
+        keep = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= k)
+            .select("src")
+        )
+        e = (
+            e.join(keep, "src", "semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "semi")
+            .localCheckpoint()
+        )
+    return e.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )

@@ -624,3 +624,63 @@ def lpa_membership_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from leader_graph_spark.graph.algorithms import label_propagation_fixed
 
     return label_propagation_fixed(build_membership_edges(spark, sf_dir), rounds=3)
+
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 6
+
+
+def _kcore_oracle() -> str:
+    ctes = [
+        "e0 AS (SELECT DISTINCT src, dst FROM ("
+        "  SELECT src, dst FROM cp UNION ALL SELECT dst, src FROM cp))"
+    ]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        p = r - 1
+        ctes.append(
+            f"k{r} AS (SELECT src FROM (SELECT src, count(*) AS deg FROM e{p} GROUP BY 1)"
+            f" WHERE deg >= {_KCORE_K})"
+        )
+        ctes.append(
+            f"e{r} AS (SELECT e.src, e.dst FROM e{p} e"
+            f" JOIN k{r} a ON e.src = a.src JOIN k{r} b ON e.dst = b.src)"
+        )
+    return f"""
+WITH cp AS (
+  SELECT DISTINCT concat('c', o_custkey) AS src, concat('p', l_partkey) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+{",".join(ctes)}
+SELECT src AS id, CAST(count(*) AS BIGINT) AS degree
+FROM e{_KCORE_ROUNDS} GROUP BY 1
+"""
+
+
+@query("kcore_copurchase", _kcore_oracle(), tags=("graph-iterative", "kcore"))
+def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the customer–part co-purchase bipartite graph
+    (round-5): iterative peeling drops every vertex with fewer than 2
+    distinct co-purchase partners, cascading through tendrils — the
+    graph-curation filter that keeps only vertices with enough mutual
+    support for neighborhood signals (the same graph
+    ``copurchase_link_prediction`` scores; a 1-core vertex can never
+    contribute a shared-neighbor feature). Fixed {rounds}-round unroll
+    = the deterministic-oracle contract of ``min_propagation``/LPA:
+    peeling is monotone and idempotent, equality to the true core
+    holds whenever rounds ≥ peel depth (test-asserted: the shipped
+    graph converges by round 4). Per round: one map-side-combinable
+    degree count + two semi-joins, checkpointed."""
+    from leader_graph_spark.graph.algorithms import kcore_subgraph
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cp = (
+        orders.select("o_orderkey", F.concat(F.lit("c"), F.col("o_custkey")).alias("src"))
+        .join(
+            lineitem.select("l_orderkey", F.concat(F.lit("p"), F.col("l_partkey")).alias("dst")),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select("src", "dst")
+        .distinct()
+    )
+    return kcore_subgraph(cp, k=_KCORE_K, rounds=_KCORE_ROUNDS)

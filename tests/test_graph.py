@@ -298,3 +298,21 @@ def test_two_phase_cc_round_count_beats_diameter(spark):
     labels = {r.id: r.component for r in out.collect()}
     assert set(labels.values()) == {0}, "must fully converge within 12 star rounds"
     assert orig is alg.symmetrize and rounds["n"] == 0  # keep linters honest
+
+
+def test_kcore_peels_tendrils_and_converges(spark):
+    """k-core peeling: paths and tendrils cascade away, the triangle
+    survives; extra rounds past convergence are no-ops (the fixed
+    unroll contract)."""
+    from leader_graph_spark.graph.algorithms import kcore_subgraph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (5, 7), (7, 8)],
+        "src long, dst long",
+    )
+    out4 = {(r.id, r.degree) for r in kcore_subgraph(edges, k=2, rounds=4).collect()}
+    assert out4 == {(5, 2), (6, 2), (7, 2)}
+    out6 = {(r.id, r.degree) for r in kcore_subgraph(edges, k=2, rounds=6).collect()}
+    assert out6 == out4
+    # k=3: the triangle dies too
+    assert kcore_subgraph(edges, k=3, rounds=4).count() == 0
