@@ -376,3 +376,76 @@ def pq_adc_rerank_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, id_col="vec_id", vec_col="embedding",
         m=4, k=8, iterations=2, n_queries=10, coarse_k=20, topk=5,
     )
+
+
+# ---------------------------------------------------------------------------
+# Image perceptual hash THROUGH the real codec, under the value hash
+# ---------------------------------------------------------------------------
+
+_PHASH_ORACLE = """
+WITH px AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           v -> CAST(least(255, greatest(0,
+                floor((CAST(v AS DOUBLE) + 1) * 127.5))) AS BIGINT)) AS p
+  FROM embeddings
+),
+m AS (SELECT vec_id, p, list_sum(p) / 64.0 AS mean FROM px),
+bits AS (
+  SELECT vec_id,
+         list_transform(p, x -> CASE WHEN x > mean THEN 1 ELSE 0 END) AS b
+  FROM m
+)
+SELECT vec_id,
+       array_to_string(list_transform(range(0, 16), j ->
+         substr('0123456789abcdef',
+                1 + b[4*j+1]*8 + b[4*j+2]*4 + b[4*j+3]*2 + b[4*j+4], 1)), '')
+         AS phash
+FROM bits
+"""
+
+
+@query("image_phash_codec_roundtrip", _PHASH_ORACLE, tags=("multimodal", "phash", "codec"))
+def image_phash_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal decode path under the VALUE HASH (round-5): each
+    embedding renders as a deterministic 8×8 grayscale image
+    (pixel = ⌊(v+1)·127.5⌋ clamped), which Spark pushes through the
+    REAL codec — ``pngcodec.encode_png`` → ``decode_png`` →
+    ``average_hash`` — while the oracle computes the same perceptual
+    hash arithmetically from the embedding. The hashes agree only if
+    the PNG encode/decode round trip is lossless and the average-hash
+    bit packing is exact, so the codec itself sits inside the
+    correctness gate instead of behind unit tests alone. Arrow-batched
+    mapInPandas; blobs never leave their row."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out_schema = T.StructType(
+        [emb.schema["vec_id"], T.StructField("phash", T.StringType())]
+    )
+
+    def run(batches):
+        import math
+
+        from leader_graph_spark.operators.pngcodec import (
+            average_hash,
+            decode_png,
+            encode_png,
+        )
+
+        for pdf in batches:
+            rows = []
+            for vid, vec in zip(pdf["vec_id"], pdf["embedding"]):
+                px = bytes(
+                    min(255, max(0, int(math.floor((float(v) + 1) * 127.5))))
+                    for v in vec
+                )
+                payload = encode_png(8, 8, px, channels=1)
+                w, h, ch, dec = decode_png(payload)
+                assert dec == px  # the round trip IS the point
+                rows.append((vid, average_hash(dec, w, h, ch)))
+            yield pd.DataFrame(rows, columns=["vec_id", "phash"])
+
+    return emb.select("vec_id", "embedding").mapInPandas(run, out_schema)
