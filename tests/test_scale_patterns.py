@@ -511,3 +511,28 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+
+
+def test_distributed_ntile_bit_identical(spark):
+    """_distributed_ntile must equal ntile(4) for every n, including
+    n % 4 != 0 where the naive rank*k div n fence spreads the
+    remainder instead of front-loading it."""
+    from pyspark.sql import Window
+
+    from leader_graph_spark.plans.analytics_queries import _distributed_ntile
+
+    for n in (1, 2, 3, 5, 7, 10, 13, 101, 1000):
+        df = spark.range(n).select(
+            F.col("id").alias("k"), (F.col("id") * 7 % 13).alias("v")
+        )
+        mine = {
+            (r.k, r.b)
+            for r in _distributed_ntile(df, [F.asc("v"), F.asc("k")], "b").collect()
+        }
+        want = {
+            (r.k, r.b)
+            for r in df.select(
+                "k", F.ntile(4).over(Window.orderBy("v", "k")).alias("b")
+            ).collect()
+        }
+        assert mine == want, n
