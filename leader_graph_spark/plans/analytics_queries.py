@@ -1360,3 +1360,34 @@ def range_selectivity_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_bucket_rows",
         )
     )
+
+
+_PCTL_ORACLE = """
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(ntile(100) OVER (ORDER BY n_chars, doc_id) AS INT) AS length_percentile
+FROM documents
+"""
+
+
+@query("doc_length_percentiles", _PCTL_ORACLE, tags=("rank-normalize", "quality"))
+def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile rank-normalization of a per-doc score (round-5; the
+    curation step that turns any raw quality signal into a
+    distribution-free 1-100 rank before thresholding or mixing —
+    ``n_chars`` stands in for the score column, with the doc id as the
+    total-order tie-break). Exact ntile(100) through the same
+    two-phase distributed rank as the RFM rewrite
+    (:func:`_distributed_ntile` — range partition +
+    monotonically_increasing_id, broadcast carry, front-loaded
+    remainder): no data-sized single-reducer window at any corpus
+    size, bit-identical to the window-function ntile the oracle
+    pins."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return _distributed_ntile(
+        docs, [F.asc("n_chars"), F.asc("doc_id")], "length_percentile", k=100
+    ).select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        "length_percentile",
+    )
