@@ -543,3 +543,64 @@ def user_sessions_stateful(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def run_split_late_events(
+    spark: SparkSession,
+    sdf: DataFrame,
+    *,
+    ts_col: str,
+    out_dir: str,
+    late_dir: str,
+    state_dir: str,
+    checkpoint: str,
+    lateness_sec: int,
+) -> None:
+    """Late-event DEAD-LETTER split (round-5, §2.9d family): watermarked
+    stateful operators silently DROP rows older than the watermark;
+    production ingest routes them to a side sink instead — audit,
+    backfill, or re-keying decisions need the rows, not their absence
+    (the time-semantics analog of the retry DLQ's terminal-failure
+    records, ``processor/data_processor.py:331-419``).
+
+    Mechanics: a tiny high-watermark STATE table (one row per batch,
+    ``max(ts)`` seen) lives next to the checkpoint; each batch reads
+    the running max, diverts rows with
+    ``ts < high_water − lateness`` to ``late_dir``, lands the rest in
+    ``out_dir``, then appends its own max — all three writes
+    idempotent under replay (the sinks by ``_batch_id`` dynamic
+    overwrite; the state because a replayed append only repeats a max
+    the running aggregate already absorbs). The cutoff uses the state
+    as of the START of the batch, so a batch's own rows never mark
+    each other late (matching watermark semantics, which lag by one
+    trigger)."""
+    main_sink = batch_id_partitioned_sink(out_dir)
+    late_sink = batch_id_partitioned_sink(late_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            prev = spark.read.parquet(state_dir).agg(F.max("wm")).first()[0]
+        except Exception:  # noqa: BLE001 — first batch: no state yet
+            prev = None
+        if prev is not None:
+            is_late = F.col(ts_col) < F.lit(prev) - F.expr(
+                f"INTERVAL {lateness_sec} SECONDS"
+            )
+        else:
+            is_late = F.lit(False)
+        batch_df = batch_df.persist()
+        late_sink(batch_df.filter(is_late), batch_id)
+        main_sink(batch_df.filter(~is_late), batch_id)
+        mx = batch_df.agg(F.max(ts_col).alias("wm"))
+        mx.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            state_dir
+        )
+        batch_df.unpersist()
+
+    q = (
+        sdf.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -213,3 +213,34 @@ def test_span_coverage_matches_bruteforce(spark, texts):
             covered.update(range(p, p + k))
         want[i] = (len(ts), len(hits), len(covered))
     assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=120),
+    st.integers(min_value=2, max_value=9),
+)
+def test_distributed_ntile_property(spark, values, k):
+    """Property: the two-phase distributed ntile equals the window
+    ntile(k) for arbitrary value multisets and bucket counts — the
+    front-loaded-remainder arithmetic has no special-case holes."""
+    from pyspark.sql import Window
+
+    from leader_graph_spark.plans.analytics_queries import _distributed_ntile
+
+    rows = [(i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "rid long, v long")
+    mine = {
+        (r.rid, r.b)
+        for r in _distributed_ntile(
+            df, [F.asc("v"), F.asc("rid")], "b", k=k, n_partitions=7
+        ).collect()
+    }
+    want = {
+        (r.rid, r.b)
+        for r in df.select(
+            "rid", F.ntile(k).over(Window.orderBy("v", "rid")).alias("b")
+        ).collect()
+    }
+    assert mine == want

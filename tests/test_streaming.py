@@ -560,3 +560,50 @@ def test_foreach_batch_crash_recovery_exactly_once(spark, tmp_path):
     assert {(r.k, r.v) for r in got.collect()} == set(src_rows)
     # no duplicate keys survived the replay
     assert got.groupBy("k").count().where(F.col("count") > 1).count() == 0
+
+
+def test_late_event_dead_letter_split(spark, tmp_path):
+    """Rows older than high-water − lateness at ARRIVAL time divert to
+    the late sink; everything lands in exactly one sink; a batch's own
+    rows never mark each other late."""
+    import datetime as dt
+
+    from leader_graph_spark.streaming.jobs import run_split_late_events
+
+    base = dt.datetime(2024, 1, 1)
+    schema = "event_id long, ts timestamp"
+    landing = str(tmp_path / "landing")
+    dirs = {d: str(tmp_path / d) for d in ("out", "late", "state", "ck")}
+
+    def drain():
+        sdf = spark.readStream.schema(spark.read.parquet(landing).schema).parquet(landing)
+        run_split_late_events(
+            spark,
+            sdf,
+            ts_col="ts",
+            out_dir=dirs["out"],
+            late_dir=dirs["late"],
+            state_dir=dirs["state"],
+            checkpoint=dirs["ck"],
+            lateness_sec=3600,
+        )
+
+    # batch 1: hours 0 and 10 — intra-batch spread is NOT lateness
+    b1 = [(1, base), (2, base + dt.timedelta(hours=10))]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(landing)
+    drain()
+    assert spark.read.parquet(dirs["out"]).count() == 2
+    import os
+
+    assert not os.path.exists(dirs["late"]) or not any(
+        f.endswith(".parquet") for f in os.listdir(dirs["late"])
+    )
+
+    # batch 2: hour 5 (late vs high-water 10 − 1h) and hour 9.5 (in grace)
+    b2 = [(3, base + dt.timedelta(hours=5)), (4, base + dt.timedelta(hours=9, minutes=30))]
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(landing)
+    drain()
+    ok = {r.event_id for r in spark.read.parquet(dirs["out"]).collect()}
+    late = {r.event_id for r in spark.read.parquet(dirs["late"]).collect()}
+    assert ok == {1, 2, 4}
+    assert late == {3}
