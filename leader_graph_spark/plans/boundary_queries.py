@@ -352,3 +352,40 @@ def run_counter_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["n_open"], m["total_price"])],
         "n_rows bigint, n_open bigint, total_price double",
     )
+
+
+_RUN_STAMP = "2026-01-15 12:00:00"
+
+_RUN_STAMP_ORACLE = f"""
+SELECT doc_id, lang,
+       CAST('{_RUN_STAMP}' AS TIMESTAMP) AS ingested_at,
+       date_diff('day', DATE '2026-01-01', CAST('{_RUN_STAMP}' AS DATE)) AS run_day_of_year
+FROM documents
+"""
+
+
+@query("run_stamped_ingest", _RUN_STAMP_ORACLE, tags=("F19", "boundary"))
+def run_stamped_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F19 (run timestamps) made oracle-visible (round-5): every ingest
+    run stamps its rows with the run's timestamp
+    (``functions/scalar.py:run_timestamp`` — the reference stamps
+    insert time, ``leader/create_leader_info.py``-style). Wall-clock
+    stamps are unverifiable by construction, so the contract is the
+    INJECTABLE stamp: the pipeline takes the run time as a parameter
+    (what a scheduler passes anyway; ``current_timestamp()`` is the
+    fallback when none is given), and the oracle pins both the stamp
+    column and arithmetic derived from it. This closes the last §2
+    operator row without a driver-visible check (A8 excepted —
+    acquisition infra by design)."""
+    from leader_graph_spark.functions.scalar import run_timestamp
+
+    docs = load_table(spark, sf_dir, "documents")
+    stamped = docs.select(
+        "doc_id",
+        "lang",
+        run_timestamp(_RUN_STAMP).alias("ingested_at"),
+    )
+    return stamped.withColumn(
+        "run_day_of_year",
+        F.datediff(F.col("ingested_at").cast("date"), F.lit("2026-01-01").cast("date")).cast("bigint"),
+    )
