@@ -510,3 +510,86 @@ def dsir_importance_scores_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_importance_scores(
         docs, target, key_col="doc_id", text_col="text", n_buckets=_DSIR_BUCKETS
     )
+
+
+_MIX_CAP = 15
+_MIX_KEEP_DECILE = 6
+
+_MIX_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, source, text,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_hash_bucket_sql("CAST(doc_id AS VARCHAR)", "domain-cap")}, doc_id
+         ) AS domain_rank
+  FROM documents
+),
+capped AS (SELECT doc_id, source, text FROM ranked WHERE domain_rank <= {_MIX_CAP}),
+toks0 AS (
+  SELECT c.doc_id, d.lang,
+         unnest(string_split_regex(trim(lower(c.text)), '\\s+')) AS tok
+  FROM capped c JOIN documents d USING (doc_id)
+),
+toks AS (
+  SELECT doc_id, lang, {_dsir_bucket_sql("tok")} AS bucket
+  FROM toks0 WHERE tok <> ''
+),
+raw_counts AS (SELECT bucket, count(*) AS raw_n FROM toks GROUP BY 1),
+tgt_counts AS (SELECT bucket, count(*) AS tgt_n FROM toks WHERE lang = 'en' GROUP BY 1),
+lut AS (
+  SELECT r.bucket,
+         (length(bin(COALESCE(t.tgt_n, 0) + 1)) - 1)
+         - (length(bin(r.raw_n + 1)) - 1) AS bucket_score
+  FROM raw_counts r LEFT JOIN tgt_counts t USING (bucket)
+),
+scores AS (
+  SELECT k.doc_id, CAST(sum(l.bucket_score) AS BIGINT) AS dsir_score
+  FROM toks k JOIN lut l USING (bucket) GROUP BY 1
+),
+deciled AS (
+  SELECT s.doc_id, c.source, s.dsir_score,
+         CAST(ntile(10) OVER (ORDER BY s.dsir_score, s.doc_id) AS INT) AS score_decile
+  FROM scores s JOIN capped c USING (doc_id)
+)
+SELECT doc_id, source, dsir_score, score_decile
+FROM deciled WHERE score_decile >= {_MIX_KEEP_DECILE}
+"""
+
+
+@query("curated_pretrain_mix", _MIX_ORACLE, tags=("mlprep", "capstone", "dsir"))
+def curated_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 curation capstone: the new curation stages COMPOSED
+    under one value hash — per-domain cap (anti-domination) → DSIR
+    importance scores against the ``en`` target computed over the
+    CAPPED corpus (selection statistics must reflect what survives
+    upstream, not the raw crawl) → exact decile rank-normalization via
+    the two-phase distributed ntile → keep the top half. Like
+    ``corpus_release_manifest``, the shuffle budget is the sum of the
+    stages' own (cap window + token combine + rank passes); the
+    composition adds nothing."""
+    from leader_graph_spark.operators.sampling import (
+        domain_capped_sample,
+        dsir_importance_scores,
+    )
+    from leader_graph_spark.plans.analytics_queries import _distributed_ntile
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    capped = domain_capped_sample(
+        docs.select("doc_id", "source", "text", "lang"),
+        domain_col="source",
+        key_col="doc_id",
+        max_per_domain=_MIX_CAP,
+    ).drop("domain_rank")
+    scores = dsir_importance_scores(
+        capped,
+        capped.where(F.col("lang") == "en"),
+        key_col="doc_id",
+        text_col="text",
+    ).select("doc_id", "dsir_score")
+    scored = scores.join(capped.select("doc_id", "source"), "doc_id")
+    deciled = _distributed_ntile(
+        scored, [F.asc("dsir_score"), F.asc("doc_id")], "score_decile", k=10
+    )
+    return deciled.where(F.col("score_decile") >= _MIX_KEEP_DECILE).select(
+        "doc_id", "source", "dsir_score", "score_decile"
+    )
