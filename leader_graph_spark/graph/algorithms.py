@@ -469,3 +469,57 @@ def kcore_subgraph(edges: DataFrame, *, k: int, rounds: int) -> DataFrame:
     return e.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("degree")
     )
+
+
+def merge_components(labels: DataFrame, new_edges: DataFrame, *, max_iter: int = 25) -> DataFrame:
+    """Incremental connected-components maintenance: fold a batch of
+    NEW edges into an existing (id, component) labeling without
+    re-running CC over the historical edge set — the graph analog of
+    the repo's algebraic state merges (``merge_algebraic_state``,
+    incremental MinHash index probes).
+
+    Mechanics: each new edge collapses to an edge between its
+    endpoints' CURRENT components (endpoints unseen by the labeling
+    are their own component); connected components of that QUOTIENT
+    graph — whose size is bounded by the delta, not the history —
+    give a component→new-minimum mapping that one broadcast join
+    applies to the full labeling. Correct because CC of a merged
+    graph equals CC of the quotient over old components: every old
+    component is internally connected, so only the delta's
+    cross-component links matter. Output: (id, component) covering
+    old AND newly-introduced vertices — identical to a full recompute
+    (oracle-checked for the registered query)."""
+    sym = symmetrize(new_edges)
+    lab_src = labels.select(F.col("id").alias("src"), F.col("component").alias("csrc"))
+    lab_dst = labels.select(F.col("id").alias("dst"), F.col("component").alias("cdst"))
+    q_edges = (
+        sym.join(lab_src, "src", "left")
+        .join(lab_dst, "dst", "left")
+        .select(
+            F.coalesce("csrc", F.col("src")).alias("src"),
+            F.coalesce("cdst", F.col("dst")).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    q_vertices = (
+        q_edges.select(F.col("src").alias("id"))
+        .unionByName(q_edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    mapping = connected_components(q_vertices, q_edges, max_iter=max_iter).select(
+        F.col("id").alias("component"), F.col("component").alias("new_component")
+    )
+    # all ids that must appear: previously labeled + delta endpoints
+    all_ids = (
+        labels.select("id")
+        .unionByName(sym.select(F.col("src").alias("id")))
+        .distinct()
+    )
+    with_old = all_ids.join(labels, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
+    return with_old.join(F.broadcast(mapping), "component", "left").select(
+        "id",
+        F.coalesce("new_component", F.col("component")).alias("component"),
+    )

@@ -684,3 +684,51 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return kcore_subgraph(cp, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+@query("incremental_component_merge", _CC_ORACLE, tags=("graph-iterative", "incremental"))
+def incremental_component_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CC maintenance (round-5): components computed over
+    the BASE edge set (hierarchy + even-custkey memberships) absorb a
+    DELTA batch (odd-custkey memberships) through
+    :func:`graph.algorithms.merge_components` — new edges collapse to
+    a QUOTIENT graph over current component labels (sized by the
+    delta, never the history), whose components remap the labeling in
+    one broadcast join. The oracle is the FULL-graph recursive
+    transitive closure, so the driver hash proves incremental
+    maintenance ≡ full recompute — the graph member of the repo's
+    state-maintenance family (algebraic agg merge, retractable
+    deltas, MinHash index probes, incremental join maintenance)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from leader_graph_spark.functions.scalar import md5_key
+    from leader_graph_spark.graph.algorithms import merge_components
+
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    customer = load_table(spark, sf_dir, "customer")
+    belongs = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(
+        md5_key(F.lit("nation"), "n_name").alias("src"),
+        md5_key(F.lit("region"), "r_name").alias("dst"),
+    )
+    works = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select(
+        md5_key(F.lit("customer"), "c_name").alias("src"),
+        md5_key(F.lit("nation"), "n_name").alias("dst"),
+        F.col("c_custkey").alias("ck"),
+    )
+    base_edges = belongs.unionByName(
+        works.where(F.col("ck") % 2 == 0).select("src", "dst")
+    )
+    delta_edges = works.where(F.col("ck") % 2 == 1).select("src", "dst")
+    base_vertices = (
+        base_edges.select(F.col("src").alias("id"))
+        .unionByName(base_edges.select(F.col("dst").alias("id")))
+        .unionByName(build_vertices(spark, sf_dir).select("id"))
+        .distinct()
+    )
+    labels = connected_components(base_vertices, base_edges)
+    return merge_components(labels, delta_edges)
