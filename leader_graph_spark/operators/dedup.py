@@ -1127,6 +1127,7 @@ def containment_pairs_prefix(
     shingle_n: int = 3,
     t_num: int = 9,
     t_den: int = 10,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact shingle-CONTAINMENT pairs at threshold t = t_num/t_den:
     ``|A ∩ B| / min(|A|, |B|) ≥ t`` — the asymmetric near-dup relation
@@ -1156,6 +1157,22 @@ def containment_pairs_prefix(
     sh = shingle_rows(
         fanned, id_col=id_col, text_col=text_col, n=shingle_n
     ).localCheckpoint()
+    if max_df is not None:
+        # Stopword-filtered containment (same transformed-input
+        # completeness argument as ngram_jaccard_pairs_prefix): the
+        # measured defense for the residual quadratic term — the
+        # probe-side-only prefix has no index-side rarity cut, and the
+        # 32× shared-vocabulary battery shows containment candidates
+        # going quadratic at the margin where jaccard's stay flat
+        # (SCALE.md round-5); capping df bounds per-shingle index
+        # fan-out at any corpus size.
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti").localCheckpoint()
     cand = containment_prefix_candidates(sh, id_col=id_col, t_num=t_num, t_den=t_den)
     # In-row verify: per-doc shingle ARRAYS joined onto the candidate
     # pairs, intersected with array higher-order functions — the same
@@ -1165,6 +1182,15 @@ def containment_pairs_prefix(
         F.col(id_col),
         F.array_distinct(shingle_array(text_col, shingle_n)).alias("shs"),
     )
+    if max_df is not None:
+        # verify must run over the FILTERED sets too (the max_df
+        # semantics): subtract the broadcast hot-shingle array in-row.
+        hot_arr = hot.agg(F.collect_list("shingle").alias("hot_shingles"))
+        sets = sets.crossJoin(F.broadcast(hot_arr)).select(
+            F.col(id_col),
+            F.array_except("shs", "hot_shingles").alias("shs"),
+        )
+        sets = sets.where(F.size("shs") > 0)
     sa = sets.select(F.col(id_col).alias("id_1"), F.col("shs").alias("sh_1"))
     sb = sets.select(F.col(id_col).alias("id_2"), F.col("shs").alias("sh_2"))
     m = (

@@ -707,3 +707,58 @@ def homoglyph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     in play."""
     docs = load_table(spark, sf_dir, "documents")
     return confusable_dedup_keys(docs, id_col="doc_id", text_col="text")
+
+
+_CONTAIN_SW_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+fsh AS (
+  SELECT s.doc_id, s.shingle FROM sh s JOIN dfreq d USING (shingle)
+  WHERE d.df <= {_STOPWORD_MAX_DF}
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM fsh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS inter
+  FROM fsh a JOIN fsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_1, i.id_2,
+       CASE WHEN sa.sz < sb.sz THEN i.id_1
+            WHEN sb.sz < sa.sz THEN i.id_2
+            ELSE i.id_1 END AS contained_id,
+       round(i.inter / CAST(least(sa.sz, sb.sz) AS DOUBLE), 6) AS containment
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_1
+JOIN sizes sb ON sb.doc_id = i.id_2
+WHERE {_CONTAIN_T_DEN} * i.inter >= {_CONTAIN_T_NUM} * least(sa.sz, sb.sz)
+"""
+
+
+@query(
+    "containment_stopword_filtered",
+    _CONTAIN_SW_ORACLE,
+    tags=("dedup-containment", "stopword"),
+)
+def containment_stopword_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Df-capped containment pairs (round-5): shingles in more than
+    {max_df} docs leave every set before the probe-prefix pipeline AND
+    the verify — the measured defense for containment's residual
+    quadratic candidate term: its probe-side-only prefix has no
+    index-side rarity cut, and the 32× shared-vocabulary battery shows
+    containment candidates doubling per corpus doubling where the
+    positional-filtered Jaccard stays flat (SCALE.md round-5). Same
+    transformed-input completeness argument as
+    ``ngram_jaccard_stopword_filtered``; the oracle reproduces the
+    filtered-set semantics."""
+    from leader_graph_spark.operators.dedup import containment_pairs_prefix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs_prefix(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        shingle_n=SHINGLE_N,
+        t_num=_CONTAIN_T_NUM,
+        t_den=_CONTAIN_T_DEN,
+        max_df=_STOPWORD_MAX_DF,
+    )
