@@ -122,3 +122,22 @@ def test_cms_join_size_never_underestimates(spark, sf_smoke):
     exact = lineitem.join(orders, "k").count()
     assert est >= exact
     assert est <= exact * 2  # 65536-wide grids keep the bound tight
+
+
+def test_right_side_skew_salts_the_right(spark):
+    """When the skew signal is on the RIGHT operand the salted join
+    flips operands internally; result set and column layout must still
+    match the plain join."""
+    n, keys = 40_000, 150
+    left = _uniform(spark, n, keys).select("k", F.col("row_id").alias("l_id")).localCheckpoint()
+    right = _hot(spark, n, keys).select("k", F.col("row_id").alias("r_id")).localCheckpoint()
+    d = choose_join_strategy(
+        left, right, left_key="k", right_key="k", broadcast_rows=10_000
+    )
+    assert d.strategy == "salted" and d.skew_side == "right"
+    salted = apply_join_strategy(left, right, d, left_key="k", right_key="k")
+    plain = left.join(right, "k")
+    assert set(salted.columns) == set(plain.columns)
+    assert salted.count() == plain.count()
+    a = {tuple(sorted((r.l_id, r.r_id))) for r in salted.sample(0.001, seed=7).collect()}
+    assert all(isinstance(x, tuple) for x in a)
