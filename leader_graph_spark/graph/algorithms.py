@@ -187,10 +187,16 @@ def connected_components_two_phase(
         )
         return canonical(moved)
 
-    e = canonical(sym).localCheckpoint()
+    # The edge state shrinks toward one star per component while the
+    # session keeps shuffle.partitions-many tasks per stage; coalescing
+    # the tiny state each round cuts per-round scheduler cost (the
+    # dominant term at local scale — and the per-barrier term a cluster
+    # pays too). 8 partitions is plenty for a state that is orders of
+    # magnitude smaller than the input corpus.
+    e = canonical(sym).coalesce(8).localCheckpoint()
     fp = fingerprint(e)
     for _ in range(max_iter):
-        e = small_star(large_star(e)).localCheckpoint()
+        e = small_star(large_star(e)).coalesce(8).localCheckpoint()
         nfp = fingerprint(e)
         if nfp == fp:
             break
