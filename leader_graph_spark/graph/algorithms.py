@@ -529,3 +529,66 @@ def merge_components(labels: DataFrame, new_edges: DataFrame, *, max_iter: int =
         "id",
         F.coalesce("new_component", F.col("component")).alias("component"),
     )
+
+
+def deterministic_random_walks(
+    edges: DataFrame, *, steps: int, salt: str = "walk"
+) -> DataFrame:
+    """Fixed-length random walks from EVERY vertex — the sampling
+    primitive behind node2vec/DeepWalk-style graph representation
+    training data — made deterministic: at step s from vertex v, the
+    next hop is ``sorted_neighbors(v)[ md5(start|s|v) % degree(v) ]``.
+    md5 seeding makes the whole walk a pure function of the graph
+    (reproducible releases, and the DuckDB oracle replays every hop);
+    a vertex with no outgoing neighbor would end its walk early — over
+    a symmetrized graph every reached vertex has one.
+
+    Scale shape: the neighbor table is one row per vertex holding the
+    SORTED neighbor array (one groupBy); each step is an equi-join of
+    the walk frontier against it, keyed by the current vertex — steps
+    are sequential by nature, but each is a single co-partitioned
+    join, and the frontier never exceeds one row per start vertex.
+    Output: (start_id, final_id, path) with path = '->'-joined vertex
+    ids including the start."""
+    sym = symmetrize(edges)
+    nbrs = (
+        sym.groupBy(F.col("src").alias("cur"))
+        .agg(F.array_sort(F.collect_list("dst")).alias("nbr"))
+        .localCheckpoint()
+    )
+    walk = nbrs.select(
+        F.col("cur").alias("start_id"),
+        F.col("cur"),
+        F.col("cur").cast("string").alias("path"),
+    )
+    for s in range(1, steps + 1):
+        pick = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.col("start_id").cast("string"),
+                            F.lit(str(s)),
+                            F.col("cur").cast("string"),
+                            F.lit(salt),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % F.size("nbr")
+            + 1
+        )
+        walk = (
+            walk.join(nbrs, "cur")
+            .select(
+                "start_id",
+                F.element_at("nbr", pick.cast("int")).alias("cur"),
+                F.concat_ws("->", "path", F.element_at("nbr", pick.cast("int")).cast("string")).alias("path"),
+            )
+        )
+    return walk.select("start_id", F.col("cur").alias("final_id"), "path")

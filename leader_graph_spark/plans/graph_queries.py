@@ -732,3 +732,61 @@ def incremental_component_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = connected_components(base_vertices, base_edges)
     return merge_components(labels, delta_edges)
+
+
+_WALK_STEPS = 3
+
+
+def _walk_pick_sql(step: int) -> str:
+    md5 = f"md5(start_id || '|' || '{step}' || '|' || cur || '|' || 'walk')"
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substr({md5}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"(CAST(({terms}) % len(nbr) AS INT) + 1)"
+
+
+def _walk_oracle() -> str:
+    ctes = [
+        """sym AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT md5(concat('nation', '_', n_name)) AS src,
+           md5(concat('region', '_', r_name)) AS dst
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    UNION ALL
+    SELECT md5(concat('customer', '_', c_name)),
+           md5(concat('nation', '_', n_name))
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+  )
+)""",
+        "und AS (SELECT src, dst FROM sym UNION SELECT dst, src FROM sym)",
+        "nbrs AS (SELECT src AS cur, list_sort(list(dst)) AS nbr FROM und GROUP BY 1)",
+        "w0 AS (SELECT cur AS start_id, cur, CAST(cur AS VARCHAR) AS path FROM nbrs)",
+    ]
+    for s in range(1, _WALK_STEPS + 1):
+        ctes.append(
+            f"w{s} AS (SELECT start_id, nbr[{_walk_pick_sql(s)}] AS cur, "
+            f"path || '->' || nbr[{_walk_pick_sql(s)}] AS path "
+            f"FROM w{s - 1} JOIN nbrs USING (cur))"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT start_id, cur AS final_id, path FROM w{_WALK_STEPS}"
+    )
+
+
+@query("membership_random_walks", _walk_oracle(), tags=("graph-sampling", "walks"))
+def membership_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-length random walks over the membership
+    graph (round-5) — the node2vec/DeepWalk sampling primitive as a
+    pure function of the graph: hop s from vertex v goes to
+    ``sorted_neighbors(v)[md5(start|s|v) % degree]``, so dataset
+    releases are reproducible and the oracle REPLAYS every hop of
+    every walk (start, 3 hops, full path under the value hash). Each
+    step is one co-partitioned join of the one-row-per-start frontier
+    against the sorted-neighbor table."""
+    from leader_graph_spark.graph.algorithms import deterministic_random_walks
+
+    edges = build_membership_edges(spark, sf_dir)
+    return deterministic_random_walks(edges, steps=_WALK_STEPS)
