@@ -592,3 +592,74 @@ def deterministic_random_walks(
             )
         )
     return walk.select("start_id", F.col("cur").alias("final_id"), "path")
+
+
+def link_prediction_pairs(
+    edges: DataFrame, *, salt: str = "neg"
+) -> DataFrame:
+    """Training pairs for link prediction: every undirected edge as a
+    positive (label 1) plus one DETERMINISTIC negative corruption per
+    edge (label 0) — the corrupted dst is the vertex at
+    ``md5(src|dst|salt) % |V|`` in the globally sorted vertex list,
+    KEPT only when it is a genuine non-neighbor of src (filter, no
+    resample — a fixed single-probe policy keeps the output a pure
+    function of the graph, at the cost of slightly fewer than one
+    negative per positive; the drop rate is the graph's density, which
+    is what negative sampling assumes is small anyway).
+
+    Scale shape: the sorted vertex list is a broadcast array (vertex
+    ids, not rows — for graphs whose id universe outgrows a broadcast,
+    swap the lookup for a join against a ranked vertex table, same
+    semantics); the non-edge check is one anti-join against the edge
+    set. Output: (src, dst, label)."""
+    sym = symmetrize(edges).localCheckpoint()
+    verts = (
+        sym.select(F.col("src").alias("v"))
+        .distinct()
+        .agg(F.array_sort(F.collect_list("v")).alias("vs"))
+    )
+    pos = sym.where(F.col("src") < F.col("dst"))
+    pick = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("src").cast("string"),
+                        F.col("dst").cast("string"),
+                        F.lit(salt),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % F.size("vs")
+        + 1
+    )
+    cand = (
+        pos.crossJoin(F.broadcast(verts))
+        .select(
+            "src",
+            F.element_at("vs", pick.cast("int")).alias("neg_dst"),
+        )
+        .where(F.col("neg_dst") != F.col("src"))
+    )
+    negatives = (
+        cand.alias("c")
+        .join(
+            sym.alias("e"),
+            (F.col("c.src") == F.col("e.src"))
+            & (F.col("c.neg_dst") == F.col("e.dst")),
+            "left_anti",
+        )
+        .select(
+            F.col("c.src").alias("src"),
+            F.col("c.neg_dst").alias("dst"),
+            F.lit(0).alias("label"),
+        )
+    )
+    positives = pos.select("src", "dst", F.lit(1).alias("label"))
+    return positives.unionByName(negatives)

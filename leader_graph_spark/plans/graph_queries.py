@@ -790,3 +790,66 @@ def membership_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = build_membership_edges(spark, sf_dir)
     return deterministic_random_walks(edges, steps=_WALK_STEPS)
+
+
+def _lp_pick_sql() -> str:
+    md5 = "md5(src || '|' || dst || '|' || 'neg')"
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substr({md5}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"(CAST(({terms}) % (SELECT len(vs) FROM verts) AS INT) + 1)"
+
+
+_LP_ORACLE = f"""
+WITH sym0 AS (
+  SELECT md5(concat('nation', '_', n_name)) AS src,
+         md5(concat('region', '_', r_name)) AS dst
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+  UNION ALL
+  SELECT md5(concat('customer', '_', c_name)),
+         md5(concat('nation', '_', n_name))
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+),
+sym AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM sym0 UNION ALL SELECT dst, src FROM sym0
+  )
+),
+verts AS (SELECT list_sort(list(DISTINCT src)) AS vs FROM sym),
+pos AS (SELECT src, dst FROM sym WHERE src < dst),
+cand AS (
+  SELECT src, (SELECT vs FROM verts)[{_lp_pick_sql()}] AS neg_dst
+  FROM pos
+),
+neg AS (
+  SELECT c.src, c.neg_dst AS dst, 0 AS label
+  FROM cand c
+  WHERE c.neg_dst <> c.src
+    AND NOT EXISTS (SELECT 1 FROM sym e WHERE e.src = c.src AND e.dst = c.neg_dst)
+)
+SELECT src, dst, CAST(label AS INT) AS label FROM (
+  SELECT src, dst, 1 AS label FROM pos
+  UNION ALL SELECT src, dst, label FROM neg
+)
+"""
+
+
+@query("link_prediction_training_pairs", _LP_ORACLE, tags=("graph-sampling", "link-prediction"))
+def link_prediction_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction TRAINING DATA over the membership graph
+    (round-5): every undirected edge as a positive plus one
+    deterministic negative corruption — the corrupted endpoint chosen
+    by md5 over the sorted vertex universe and kept only when it is a
+    genuine non-edge (single-probe policy: output stays a pure
+    function of the graph; the drop rate is the graph density, which
+    negative sampling assumes is small — true here and at any web
+    scale). The oracle replays every corruption and the non-edge
+    filter, so the driver hash pins the exact training-pair set a
+    release would ship."""
+    from leader_graph_spark.graph.algorithms import link_prediction_pairs
+
+    edges = build_membership_edges(spark, sf_dir)
+    return link_prediction_pairs(edges).select(
+        "src", "dst", F.col("label").cast("int").alias("label")
+    )
