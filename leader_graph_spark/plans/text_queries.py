@@ -1149,3 +1149,65 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     return bpe_encode_stats(docs, id_col="doc_id", text_col="text", merges=_BPE_MERGES)
+
+
+_FLESCH_ORACLE = r"""
+WITH counts AS (
+  SELECT doc_id,
+         greatest(len(list_filter(string_split_regex(text, '[.!?]+'), x -> trim(x) <> '')), 1) AS n_sentences,
+         len(string_split_regex(trim(text), '\s+')) AS n_words,
+         list_sum(list_transform(string_split_regex(lower(text), '\s+'),
+                  w -> greatest(len(string_split_regex(w, '[aeiouy]+')) - 1, 1))) AS n_syllables
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       CAST(206835
+            - (1015 * ((n_words * 1000) // n_sentences)) // 1000
+            - (84600 * ((n_syllables * 1000) // n_words)) // 1000
+            AS BIGINT) AS flesch_milli
+FROM counts
+"""
+
+
+@query("readability_flesch_scores", _FLESCH_ORACLE, tags=("text-quality", "readability"))
+def readability_flesch_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (round-5) — the classic
+    readability signal quality pipelines threshold on, in
+    INTEGER MILLI-UNITS: sentence count (non-empty [.!?]+ splits, min
+    1), whitespace words, and vowel-group syllables (the standard
+    heuristic: runs of [aeiouy], min 1/word) feed
+    ``206.835 − 1.015·w/s − 84.6·syl/w`` with every division an
+    integer div on non-negative operands — no float, no engine-ulp
+    risk (the repo's floor-ppm discipline). All counting is JVM-side
+    split/filter/aggregate higher-order functions — no UDF, one
+    map-side pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_sent = F.greatest(
+        F.size(F.filter(F.split(F.col("text"), r"[.!?]+"), lambda s: F.trim(s) != "")),
+        F.lit(1),
+    )
+    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_syl = F.aggregate(
+        F.split(F.lower(F.col("text")), r"\s+"),
+        F.lit(0),
+        lambda acc, w: acc + F.greatest(F.size(F.split(w, r"[aeiouy]+")) - 1, F.lit(1)),
+    )
+    c = docs.select(
+        "doc_id",
+        n_sent.cast("bigint").alias("n_sentences"),
+        n_words.cast("bigint").alias("n_words"),
+        n_syl.cast("bigint").alias("n_syllables"),
+    )
+    return c.select(
+        "doc_id",
+        "n_sentences",
+        "n_words",
+        "n_syllables",
+        F.expr(
+            "CAST(206835 - (1015 * ((n_words * 1000) div n_sentences)) div 1000"
+            " - (84600 * ((n_syllables * 1000) div n_words)) div 1000 AS BIGINT)"
+        ).alias("flesch_milli"),
+    )
