@@ -853,3 +853,88 @@ def link_prediction_training_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     return link_prediction_pairs(edges).select(
         "src", "dst", F.col("label").cast("int").alias("label")
     )
+
+
+_LCC_ORACLE = """
+WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+),
+deg AS (
+  SELECT u AS id, count(*) AS d FROM (
+    SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges
+  ) GROUP BY 1
+),
+tris AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.u = e1.v
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+per_vertex AS (
+  SELECT id, count(*) AS t FROM (
+    SELECT a AS id FROM tris UNION ALL
+    SELECT b FROM tris UNION ALL
+    SELECT c FROM tris
+  ) GROUP BY 1
+)
+SELECT d.id AS supp_id,
+       CAST(d.d AS BIGINT) AS degree,
+       CAST(COALESCE(p.t, 0) AS BIGINT) AS n_triangles,
+       CAST((2000000 * COALESCE(p.t, 0)) // (d.d * (d.d - 1)) AS BIGINT) AS lcc_ppm
+FROM deg d LEFT JOIN per_vertex p USING (id)
+WHERE d.d >= 2
+"""
+
+
+@query("supplier_clustering_coefficients", _LCC_ORACLE, tags=("graph-motif", "clustering-coefficient"))
+def supplier_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per supplier over the SHARED-PART
+    graph (round-5) — how clique-like each vertex's neighborhood is
+    (2·T(v) / deg(v)(deg(v)−1), held as exact ppm integers): the
+    neighborhood-cohesion signal behind community features and
+    link-prediction confidence, meaningful here because suppliers
+    belong to MANY overlapping part-cliques (the same-nation graph
+    would score a trivial 1.0 everywhere). Triangles enumerated once
+    by the ordered three-way edge join and credited to all three
+    corners; degree over the symmetrized edge set; ppm division exact
+    integer."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")).distinct()
+    edges = (
+        sp.alias("a")
+        .join(sp.alias("b"), (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        edges.select("u", "v")
+        .unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .groupBy(F.col("u").alias("id"))
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+        .select(F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c"))
+    )
+    per_vertex = (
+        tris.select(F.col("a").alias("id"))
+        .unionByName(tris.select(F.col("b").alias("id")))
+        .unionByName(tris.select(F.col("c").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    return (
+        deg.join(per_vertex, "id", "left")
+        .where(F.col("d") >= 2)
+        .select(
+            F.col("id").alias("supp_id"),
+            F.col("d").cast("bigint").alias("degree"),
+            F.coalesce("t", F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.expr("CAST((2000000 * COALESCE(t, 0)) div (d * (d - 1)) AS BIGINT)").alias("lcc_ppm"),
+        )
+    )
