@@ -316,3 +316,39 @@ def test_kcore_peels_tendrils_and_converges(spark):
     assert out6 == out4
     # k=3: the triangle dies too
     assert kcore_subgraph(edges, k=3, rounds=4).count() == 0
+
+
+def test_merge_components_chained_batches(spark):
+    """Sequential delta batches must compose: merging batch after batch
+    equals one full recompute over everything — including deltas that
+    bridge previously separate components and introduce new vertices."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from leader_graph_spark.graph.algorithms import (
+        connected_components,
+        merge_components,
+    )
+
+    base = spark.createDataFrame([(1, 2), (5, 6), (10, 11)], "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in (1, 2, 5, 6, 10, 11)], "id long")
+    labels = connected_components(verts, base)
+    deltas = [
+        [(2, 5)],            # bridge {1,2} and {5,6}
+        [(20, 21), (21, 6)], # new vertices chained into the merged comp
+        [(11, 20)],          # bridge everything except nothing remains
+    ]
+    all_edges = base
+    for d in deltas:
+        ddf = spark.createDataFrame(d, "src long, dst long")
+        labels = merge_components(labels, ddf).localCheckpoint()
+        all_edges = all_edges.unionByName(ddf)
+        full_verts = all_edges.selectExpr("src AS id").unionByName(
+            all_edges.selectExpr("dst AS id")
+        ).distinct()
+        want = {
+            (r.id, r.component)
+            for r in connected_components(full_verts, all_edges).collect()
+        }
+        got = {(r.id, r.component) for r in labels.collect()}
+        assert got == want, d
+    assert {c for _, c in got} == {1}
