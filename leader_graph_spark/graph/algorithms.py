@@ -663,3 +663,55 @@ def link_prediction_pairs(
     )
     positives = pos.select("src", "dst", F.lit(1).alias("label"))
     return positives.unionByName(negatives)
+
+
+def personalized_pagerank_fixed_point(
+    edges: DataFrame, sources: DataFrame, *, iterations: int = 8
+) -> DataFrame:
+    """Personalized PageRank (damping 0.85) in integer micro-units:
+    the teleport mass lands ONLY on the ``sources`` set instead of
+    uniformly — rank then measures proximity to the seeds, the
+    recommend-related-entities primitive (GraphX's
+    ``personalizedPageRank`` analog). Same integer fixed-point
+    discipline as :func:`pagerank_fixed_point`: contributions are
+    ``rank div out_degree`` BIGINTs, update = ``teleport + (85 ·
+    Σcontrib) div 100`` with teleport 150 000 micro-units on seeds and
+    0 elsewhere, so the unrolled SQL oracle reproduces every iteration
+    bit-for-bit. Per iteration: one co-partitioned join + one dst-keyed
+    aggregation; seeds broadcast (a seed set is small by definition)."""
+    edges = edges.select("src", "dst").localCheckpoint()
+    nodes = (
+        edges.select("src")
+        .unionByName(edges.select(F.col("dst").alias("src")))
+        .distinct()
+        .select(F.col("src").alias("id"))
+    )
+    outd = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).localCheckpoint()
+    seeded = nodes.join(
+        F.broadcast(sources.select(F.col("id"), F.lit(1).alias("_seed"))),
+        "id",
+        "left",
+    ).select("id", F.coalesce("_seed", F.lit(0)).alias("is_seed"))
+    seeded = seeded.localCheckpoint()
+    teleport = (F.col("is_seed") * 150000).cast("bigint")
+    ranks = seeded.select(
+        "id", (F.col("is_seed") * 1000000).cast("bigint").alias("rank")
+    ).localCheckpoint()
+    for _ in range(iterations):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.id)
+            .join(outd, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.expr("rank div d")).alias("s"))
+        )
+        ranks = (
+            seeded.join(contrib, "id", "left")
+            .select(
+                "id",
+                (teleport + F.expr("(coalesce(s, CAST(0 AS BIGINT)) * 85) div 100"))
+                .cast("bigint")
+                .alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

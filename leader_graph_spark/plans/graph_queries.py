@@ -938,3 +938,44 @@ def supplier_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFr
             F.expr("CAST((2000000 * COALESCE(t, 0)) div (d * (d - 1)) AS BIGINT)").alias("lcc_ppm"),
         )
     )
+
+
+def _ppr_oracle(iterations: int = 8) -> str:
+    seeds = (
+        "seeds AS (SELECT md5(concat('region', '_', r_name)) AS id FROM region),\n"
+        "seeded AS (SELECT n.id, CASE WHEN s.id IS NOT NULL THEN 1 ELSE 0 END AS is_seed "
+        "FROM nodes n LEFT JOIN seeds s ON s.id = n.id)"
+    )
+    ctes = [
+        _PR_EDGES_CTE.strip(),
+        seeds,
+        "r0 AS (SELECT id, CAST(is_seed * 1000000 AS BIGINT) AS rank FROM seeded)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS id, sum(r.rank // o.d) AS s FROM edges e "
+            f"JOIN r{i - 1} r ON r.id = e.src JOIN outd o ON o.src = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT n.id, CAST(n.is_seed * 150000 + (coalesce(c.s, 0) * 85) // 100 AS BIGINT) AS rank "
+            f"FROM seeded n LEFT JOIN c{i} c ON c.id = n.id)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, rank FROM r{iterations}"
+
+
+@query("personalized_pagerank_regions", _ppr_oracle(), tags=("graph-iterative", "pagerank", "personalized"))
+def personalized_pagerank_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank seeded on the REGION vertices (round-5):
+    teleport mass lands only on the seeds, so rank measures proximity
+    to them — the recommend-related-entities primitive (GraphX
+    ``personalizedPageRank`` analog), in the same integer micro-unit
+    fixed point as ``pagerank_membership`` so the unrolled-CTE oracle
+    reproduces all 8 iterations bit-for-bit."""
+    from leader_graph_spark.functions.scalar import md5_key
+    from leader_graph_spark.graph.algorithms import personalized_pagerank_fixed_point
+
+    region = load_table(spark, sf_dir, "region")
+    seeds = region.select(md5_key(F.lit("region"), "r_name").alias("id"))
+    return personalized_pagerank_fixed_point(
+        build_membership_edges(spark, sf_dir), seeds, iterations=8
+    )

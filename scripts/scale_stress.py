@@ -82,6 +82,19 @@ QUERIES = [
     "rfm_customer_segments",
     "ngram_jaccard_stopword_filtered",
     "connected_components_bigstar",
+    # round-5 second wave: graph sampling/motifs, curation composition,
+    # codec path, incremental CC
+    "kcore_copurchase",
+    "membership_random_walks",
+    "supplier_clustering_coefficients",
+    "link_prediction_training_pairs",
+    "incremental_component_merge",
+    "dsir_importance_scores",
+    "curated_pretrain_mix",
+    "doc_length_percentiles",
+    "image_phash_codec_roundtrip",
+    "readability_flesch_scores",
+    "kmv_customer_overlap",
 ]
 
 
