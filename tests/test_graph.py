@@ -352,3 +352,22 @@ def test_merge_components_chained_batches(spark):
         got = {(r.id, r.component) for r in labels.collect()}
         assert got == want, d
     assert {c for _, c in got} == {1}
+
+
+def test_personalized_pagerank_decays_from_seeds(spark):
+    """PPR semantics: teleport mass only on seeds ⇒ rank decays with
+    distance from the seed set and unreachable vertices score 0 (plus
+    nothing, since no teleport lands there)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from leader_graph_spark.graph.algorithms import personalized_pagerank_fixed_point
+
+    # directed chain 1→2→3→4 plus isolated pair 8→9
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (8, 9)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "id long")
+    ranks = {
+        r.id: r.rank
+        for r in personalized_pagerank_fixed_point(edges, seeds, iterations=8).collect()
+    }
+    assert ranks[1] > ranks[2] > ranks[3] > ranks[4]
+    assert ranks[8] == 0 and ranks[9] == 0
