@@ -914,13 +914,40 @@ def supplier_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFr
         .unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .groupBy(F.col("u").alias("id"))
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint()
     )
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    tris = (
-        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
-        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
-        .select(F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c"))
+    # DEGREE-ORDERED orientation (compact-forward): direct every edge
+    # from its lower-(degree, id) endpoint; wedge enumeration then pays
+    # Σ out-deg² with out-degree bounded by O(√m) instead of the hub
+    # blowup of id-ordered enumeration — measured 47 s → (see commit)
+    # at sf0.1 on this graph, where id order left whole part-cliques'
+    # wedges on single hubs. Triangle counts are unchanged (orientation
+    # only picks each triangle's unique lowest corner as the wedge
+    # center), so the oracle stays the naive ordered form.
+    du = deg.select(F.col("id").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("d").alias("dv"))
+    keyed = edges.join(du, "u").join(dv, "v")
+    fwd = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
+    oriented = keyed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(
+            fwd, F.struct(F.col("dv").alias("d"), F.col("v").alias("id"))
+        )
+        .otherwise(F.struct(F.col("du").alias("d"), F.col("u").alias("id")))
+        .alias("dk"),
+    ).localCheckpoint()
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    wedges = w1.join(
+        w2,
+        (F.col("w1.src") == F.col("w2.src")) & (F.col("w1.dk") < F.col("w2.dk")),
+    ).select(
+        F.col("w1.src").alias("a"),
+        F.col("w1.dst").alias("b"),
+        F.col("w2.dst").alias("c"),
     )
+    closing = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tris = wedges.join(closing, ["b", "c"])
     per_vertex = (
         tris.select(F.col("a").alias("id"))
         .unionByName(tris.select(F.col("b").alias("id")))
