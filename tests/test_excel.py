@@ -78,3 +78,12 @@ def test_xlsx_reader_sparse_cells(spark, tmp_path):
     pdf = _read_xlsx_stdlib(path)
     assert pdf.iloc[0].tolist() == [None, "b", None]
     assert pdf.iloc[1].tolist() == ["a", None, "c"]
+
+
+def test_xlsx_reader_rejects_non_zip(tmp_path):
+    import pytest as _pytest
+
+    bad = tmp_path / "not_a_workbook.xlsx"
+    bad.write_bytes(b"this is not a zip archive")
+    with _pytest.raises(Exception):
+        _read_xlsx_stdlib(str(bad))

@@ -128,3 +128,28 @@ def test_resize_images_real_png_path(spark):
     assert out.meta["orig_width"] == 10 and out.meta["orig_height"] == 6
     # spot-check nearest-neighbor: target (0,0) samples source (0,0)
     assert rpx[:3] == px[:3]
+
+
+def test_png_decoder_rejects_malformed_payloads():
+    import pytest as _pytest
+
+    from leader_graph_spark.operators.pngcodec import PNG_MAGIC, decode_png, encode_png
+
+    with _pytest.raises(ValueError, match="bad signature"):
+        decode_png(b"GIF89a not a png")
+    # right magic, garbage body
+    with _pytest.raises(Exception):
+        decode_png(PNG_MAGIC + b"\x00" * 32)
+    # truncated after a valid header: IDAT missing
+    good = encode_png(4, 4, bytes(48), channels=3)
+    with _pytest.raises(Exception):
+        decode_png(good[:40])
+    # size mismatch: IHDR claims bigger image than the data carries
+    import struct, zlib
+
+    ihdr = struct.pack(">IIBBBBB", 10, 10, 8, 2, 0, 0, 0)
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    fake = PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(b"\x00" * 13)) + chunk(b"IEND", b"")
+    with _pytest.raises(ValueError, match="size mismatch"):
+        decode_png(fake)
