@@ -1211,3 +1211,52 @@ def readability_flesch_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - (84600 * ((n_syllables * 1000) div n_words)) div 1000 AS BIGINT)"
         ).alias("flesch_milli"),
     )
+
+
+_ARROW_STATS_ORACLE = """
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY lang
+"""
+
+
+@query("arrow_grouped_lang_stats", _ARROW_STATS_ORACLE, tags=("arrow-native", "api"))
+def arrow_grouped_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Arrow-NATIVE grouped map (round-5 API coverage):
+    ``groupBy().applyInArrow`` hands each group to Python as a
+    pyarrow.Table with zero pandas conversion — the lowest-overhead
+    custom-aggregation seam for logic the built-ins can't express
+    (here deliberately simple per-lang stats so the identity oracle
+    pins the API's correctness: grouping completeness, Arrow type
+    mapping, and column round-trip). The rest of the repo's Python
+    seams use mapInPandas/applyInPandasWithState; this query documents
+    the third, pandas-free lane and its batch shape."""
+    import pyarrow as pa
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def stats(tbl: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        chars = tbl.column("n_chars")
+        return pa.Table.from_pydict(
+            {
+                "lang": [tbl.column("lang")[0].as_py()],
+                "n_docs": [tbl.num_rows],
+                "total_chars": [pc.sum(chars).as_py()],
+                "min_chars": [pc.min(chars).as_py()],
+                "max_chars": [pc.max(chars).as_py()],
+            }
+        )
+
+    return (
+        docs.select("lang", "n_chars")
+        .groupBy("lang")
+        .applyInArrow(
+            stats,
+            "lang string, n_docs long, total_chars long, min_chars long, max_chars long",
+        )
+    )
