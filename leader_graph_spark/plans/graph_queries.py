@@ -1006,3 +1006,82 @@ def personalized_pagerank_regions(spark: SparkSession, sf_dir: str) -> DataFrame
     return personalized_pagerank_fixed_point(
         build_membership_edges(spark, sf_dir), seeds, iterations=8
     )
+
+
+_NBR_JACCARD_K = 50
+
+_NBR_JACCARD_ORACLE = f"""
+WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+pairs AS (
+  SELECT DISTINCT a.s AS s1, b.s AS s2
+  FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+),
+sizes AS (SELECT s, count(*) AS sz FROM sp GROUP BY 1),
+inter AS (
+  SELECT pr.s1, pr.s2, count(*) AS i
+  FROM pairs pr
+  JOIN sp a ON a.s = pr.s1
+  JOIN sp b ON b.s = pr.s2 AND b.p = a.p
+  GROUP BY 1, 2
+)
+SELECT supp_1, supp_2, nbr_jaccard FROM (
+  SELECT i.s1 AS supp_1, i.s2 AS supp_2,
+         round(i.i / CAST(za.sz + zb.sz - i.i AS DOUBLE), 6) AS nbr_jaccard,
+         i.i / CAST(za.sz + zb.sz - i.i AS DOUBLE) AS j_exact
+  FROM inter i
+  JOIN sizes za ON za.s = i.s1
+  JOIN sizes zb ON zb.s = i.s2
+)
+ORDER BY j_exact DESC, supp_1, supp_2 LIMIT {_NBR_JACCARD_K}
+"""
+
+
+@query("supplier_role_similarity", _NBR_JACCARD_ORACLE, tags=("graph-structural", "role-similarity"))
+def supplier_role_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural role similarity (round-5): supplier pairs whose PART
+    NEIGHBORHOODS overlap most — 'interchangeable supplier' detection
+    by what they actually ship, the bipartite neighborhood-similarity
+    primitive (SimRank-lite), as a deterministic TOP-{k} (an absolute
+    threshold is testdata-fragile: the sf0.001 graph peaks at J=0.96
+    where sf0.01 peaks at 0.19; rank order is the scale-stable
+    contract, tie-broken by the pair key). Candidates come only from
+    the shared-part equi-join (disjoint part sets can't score above
+    zero); the verify is the repo's in-row array-intersect form over
+    per-supplier sorted part arrays — candidate pairs join two
+    one-row-per-supplier arrays, the part stream itself never
+    re-shuffles; top-k via TakeOrdered on the exact double with key
+    tie-breaks."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")).distinct().localCheckpoint()
+    pairs = (
+        sp.alias("a")
+        .join(sp.alias("b"), (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .distinct()
+    )
+    sets = sp.groupBy("s").agg(F.array_sort(F.collect_list("p")).alias("ps"))
+    sa = sets.select(F.col("s").alias("s1"), F.col("ps").alias("ps1"))
+    sb = sets.select(F.col("s").alias("s2"), F.col("ps").alias("ps2"))
+    m = (
+        pairs.join(sa, "s1")
+        .join(sb, "s2")
+        .select(
+            "s1",
+            "s2",
+            F.size(F.array_intersect("ps1", "ps2")).alias("i"),
+            F.size("ps1").alias("z1"),
+            F.size("ps2").alias("z2"),
+        )
+    )
+    union_sz = F.col("z1") + F.col("z2") - F.col("i")
+    scored = m.select(
+        F.col("s1").alias("supp_1"),
+        F.col("s2").alias("supp_2"),
+        F.round(F.col("i") / union_sz.cast("double"), 6).alias("nbr_jaccard"),
+        (F.col("i") / union_sz.cast("double")).alias("_j"),
+    )
+    return (
+        scored.orderBy(F.desc("_j"), F.asc("supp_1"), F.asc("supp_2"))
+        .limit(_NBR_JACCARD_K)
+        .drop("_j")
+    )
