@@ -730,6 +730,12 @@ def incremental_component_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(build_vertices(spark, sf_dir).select("id"))
         .distinct()
     )
+    # converged CC for the base labels: the base graph's diameter is 4
+    # (customer-nation-REGION-nation-customer), and a tried fixed
+    # 3-round shortcut produced unconverged labels the merge then
+    # faithfully propagated — the oracle caught it; convergence is the
+    # safe contract here and the demo's extra count() actions are the
+    # price of it
     labels = connected_components(base_vertices, base_edges)
     return merge_components(labels, delta_edges)
 
