@@ -285,3 +285,67 @@ def observed_rule_metrics(df: DataFrame, rules: dict[str, "F.Column"]):
         F.sum(F.when(cond, 1).otherwise(0)).alias(name) for name, cond in rules.items()
     ]
     return df.observe(obs, *aggs), obs
+
+
+# Benford's-law expected first-digit shares in ppm — PRECOMPUTED
+# literals (log10(1+1/d)), so neither engine evaluates a log and the
+# whole audit is integer arithmetic.
+_BENFORD_PPM = {1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+                6: 66947, 7: 57992, 8: 51153, 9: 45757}
+
+_BENFORD_ORACLE = f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d
+  FROM orders WHERE o_totalprice >= 1
+),
+counts AS (SELECT d, count(*) AS n FROM digits GROUP BY d),
+tot AS (SELECT sum(n) AS t FROM counts),
+exp AS (
+  SELECT * FROM (VALUES {", ".join(f"({d}, {p})" for d, p in sorted(_BENFORD_PPM.items()))})
+  AS e(d, expected_ppm)
+)
+SELECT e.d AS first_digit,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_rows,
+       CAST((1000000 * COALESCE(c.n, 0)) // t AS BIGINT) AS observed_ppm,
+       CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+       CAST(abs((1000000 * COALESCE(c.n, 0)) // t - e.expected_ppm) AS BIGINT) AS abs_dev_ppm
+FROM exp e LEFT JOIN counts c ON c.d = e.d, tot
+"""
+
+
+@query("benford_price_audit", _BENFORD_ORACLE, tags=("dq", "benford", "audit"))
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit on order prices (round-5) — the
+    classic anomaly screen for fabricated or re-binned numeric data:
+    naturally-scaled amounts put digit d first with probability
+    log10(1+1/d). The expectations are PRECOMPUTED ppm literals, so
+    the whole audit — observed shares, deviations — is integer
+    arithmetic both engines reproduce exactly (floor-ppm discipline).
+    Map-side digit extraction + a 9-row aggregate; the one-row total
+    broadcasts."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    digits = orders.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d")
+    )
+    counts = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("t"))
+    exp = spark.createDataFrame(
+        sorted(_BENFORD_PPM.items()), "d int, expected_ppm long"
+    )
+    return (
+        exp.join(counts, "d", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("first_digit"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_rows"),
+            F.expr("CAST((1000000 * COALESCE(n, 0)) div t AS BIGINT)").alias("observed_ppm"),
+            F.col("expected_ppm").cast("bigint").alias("expected_ppm"),
+            F.expr(
+                "CAST(abs((1000000 * COALESCE(n, 0)) div t - expected_ppm) AS BIGINT)"
+            ).alias("abs_dev_ppm"),
+        )
+    )
