@@ -1391,3 +1391,44 @@ def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("bigint").alias("n_chars"),
         "length_percentile",
     )
+
+
+_SEASONALITY_ORACLE = """
+WITH rev AS (
+  SELECT month(CAST(o_orderdate AS DATE)) AS m,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT sum(cents) AS t FROM rev)
+SELECT m AS calendar_month,
+       CAST(cents AS BIGINT) AS revenue_cents,
+       CAST((1000000 * cents) // t AS BIGINT) AS share_ppm,
+       CAST((12000000 * cents) // t AS BIGINT) AS seasonal_index_ppm
+FROM rev, tot
+"""
+
+
+@query("order_seasonality_index", _SEASONALITY_ORACLE, tags=("behavior", "seasonality"))
+def order_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month seasonality decomposition of order revenue
+    (round-5): per-month share and the seasonal index (1 000 000 = an
+    average month; >1M = peak season) — the demand-planning view the
+    month-over-month trend query doesn't give (it compares adjacent
+    months, this compares each month against the year-shape). Exact
+    cents in, floor-ppm out — integer everywhere, 12-row aggregate,
+    broadcast total."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy(
+        F.month(F.col("o_orderdate").cast("date")).alias("m")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    tot = rev.agg(F.sum("cents").alias("t"))
+    return rev.crossJoin(F.broadcast(tot)).select(
+        F.col("m").alias("calendar_month"),
+        F.col("cents").cast("bigint").alias("revenue_cents"),
+        F.expr("CAST((1000000 * cents) div t AS BIGINT)").alias("share_ppm"),
+        F.expr("CAST((12000000 * cents) div t AS BIGINT)").alias("seasonal_index_ppm"),
+    )
