@@ -1251,3 +1251,28 @@ def confusable_dedup_keys(df: DataFrame, *, id_col: str, text_col: str) -> DataF
         .groupBy("skeleton_hash")
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
     )
+
+
+def char_shingle_rows(
+    df: DataFrame, *, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """CHARACTER n-gram shingles: (id, shingle) over the normalized
+    text's sliding character windows — the dedup unit for scripts
+    without word boundaries (the reference corpus is CHINESE:
+    whitespace tokenization sees one giant token per sentence, so
+    every word-shingle operator above silently degrades; char n-grams
+    are the standard CJK-safe alternative, cf. CCNet/CC100 pipelines).
+    Same JVM-side HOF construction as :func:`shingle_array` (sequence →
+    substring, array_distinct in-row, no UDF, no pre-explode
+    shuffle)."""
+    norm = normalized(text_col)
+    count = F.length(norm) - F.lit(n - 1)
+    arr = F.when(
+        count >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), count), lambda i: norm.substr(i, F.lit(n))
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(F.col(id_col), F.explode(arr).alias("shingle"))

@@ -762,3 +762,77 @@ def containment_stopword_filtered(spark: SparkSession, sf_dir: str) -> DataFrame
         t_den=_CONTAIN_T_DEN,
         max_df=_STOPWORD_MAX_DF,
     )
+
+
+_CHAR_N = 12
+_CHAR_T_NUM, _CHAR_T_DEN = 4, 5
+
+_CHAR_JACCARD_ORACLE = f"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - {_CHAR_N} + 2),
+                                 i -> substr(t, i, {_CHAR_N}))) AS shingle
+    FROM norm WHERE len(t) >= {_CHAR_N}
+  )
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_1, c.id_2, count(*) AS inter
+  FROM pairs c
+  JOIN sh a ON a.doc_id = c.id_1
+  JOIN sh b ON b.doc_id = c.id_2 AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT i.id_1, i.id_2,
+       round(i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_1
+JOIN sizes sb ON sb.doc_id = i.id_2
+WHERE {_CHAR_T_DEN} * i.inter >= {_CHAR_T_NUM} * (sa.sz + sb.sz - i.inter)
+"""
+
+
+@query("char_ngram_dup_docs", _CHAR_JACCARD_ORACLE, tags=("dedup-char-ngram", "cjk"))
+def char_ngram_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHARACTER-n-gram Jaccard near-dup pairs (round-5): the CJK-safe
+    dedup lane — the reference corpus is Chinese, where whitespace
+    tokenization sees one token per sentence and every word-shingle
+    operator silently degrades; sliding character windows
+    (``operators/dedup.py:char_shingle_rows``) need no segmenter.
+    Whitespace-normalized text, {n}-char windows, exact threshold as
+    an integer cross product; the candidate join is the naive
+    shared-shingle form at this sf (the prefix/positional machinery
+    above composes identically on char shingles when corpus scale
+    demands it)."""
+    from leader_graph_spark.operators.dedup import char_shingle_rows, jaccard_on_pairs
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+        ) >= _CHAR_N
+    )
+    sh = char_shingle_rows(
+        docs, id_col="doc_id", text_col="text", n=_CHAR_N
+    ).localCheckpoint()
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_1"), F.col("b.doc_id").alias("id_2"))
+        .distinct()
+    )
+    jac = jaccard_on_pairs(pairs, sh, id_col="doc_id")
+    return jac.where(F.col("jaccard") >= _CHAR_T_NUM / _CHAR_T_DEN).select(
+        "id_1", "id_2", F.round("jaccard", 6).alias("jaccard")
+    )

@@ -561,3 +561,21 @@ def test_ivf_index_empty_centroid_pick_raises(spark, tmp_path):
         build_ivf_index(
             emb, str(tmp_path / "ivf"), centroid_mod=5
         )
+
+
+def test_char_shingles_handle_cjk(spark):
+    """Character shingles must work on unsegmented CJK text where
+    whitespace tokenization collapses to one giant token."""
+    from leader_graph_spark.operators.dedup import char_shingle_rows
+
+    df = spark.createDataFrame(
+        [(1, "中文语料去重测试"), (2, "短"), (3, "aaaaaa")],
+        ["doc_id", "text"],
+    )
+    out = char_shingle_rows(df, id_col="doc_id", text_col="text", n=5).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.doc_id, set()).add(r.shingle)
+    assert got[1] == {"中文语料去", "文语料去重", "语料去重测", "料去重测试"}
+    assert 2 not in got  # too short for any 5-gram
+    assert got[3] == {"aaaaa"}  # in-row distinct collapses the repeats
