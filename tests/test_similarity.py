@@ -579,3 +579,26 @@ def test_char_shingles_handle_cjk(spark):
     assert got[1] == {"中文语料去", "文语料去重", "语料去重测", "料去重测试"}
     assert 2 not in got  # too short for any 5-gram
     assert got[3] == {"aaaaa"}  # in-row distinct collapses the repeats
+
+
+def test_char_ngrams_catch_cjk_dups_word_shingles_miss(spark):
+    """The motivating case: two near-identical UNSEGMENTED Chinese
+    docs share zero word 3-gram shingles (each doc is one whitespace
+    token) but overlap heavily in character 5-grams."""
+    from pyspark.sql import functions as F
+
+    from leader_graph_spark.operators.dedup import char_shingle_rows, shingle_rows
+
+    a = "人工智能正在改变世界各地的产业格局与研究方向"
+    b = "人工智能正在改变世界各地的产业格局和研究方向"  # one char differs
+    df = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    word = shingle_rows(df, id_col="doc_id", text_col="text", n=3)
+    assert word.count() == 0  # single token per doc: no word 3-grams at all
+    ch = char_shingle_rows(df, id_col="doc_id", text_col="text", n=5)
+    sets = {
+        r.doc_id: set(rr.shingle for rr in ch.where(F.col("doc_id") == r.doc_id).collect())
+        for r in df.select("doc_id").collect()
+    }
+    inter = len(sets[1] & sets[2])
+    union = len(sets[1] | sets[2])
+    assert inter / union > 0.5  # clearly near-dup in char space
