@@ -378,3 +378,50 @@ def daily_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("n_events").cast("double") - mean) > F.lit(2.0) * F.sqrt(var)
         ).alias("is_anomaly"),
     )
+
+
+_DWELL_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type, ts,
+         lead(event_type) OVER w AS next_type,
+         lead(ts) OVER w AS next_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       count(*) AS n_transitions,
+       CAST(sum(epoch_us(next_ts) - epoch_us(ts)) AS BIGINT) AS total_dwell_us,
+       CAST(sum(epoch_us(next_ts) - epoch_us(ts)) // count(*) AS BIGINT) AS mean_dwell_us
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+@query("transition_dwell_times", _DWELL_ORACLE, tags=("behavior", "dwell"))
+def transition_dwell_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean dwell time per event-type TRANSITION (round-5): how long
+    users sit between a view and the click that follows it, per
+    (from, to) pair — the timing companion to the transition
+    probability matrix (``event_transition_matrix`` gives WHERE users
+    go; this gives HOW FAST). Exact integer microseconds end-to-end:
+    epoch-µs differences summed as BIGINT, mean as integer division —
+    no float, engine-identical. One user-keyed window (lead with the
+    event-id tie-break) + a |types|²-row aggregate."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("gap_us"),
+    ).where(F.col("next_type").isNotNull())
+    return seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.sum("gap_us").cast("bigint").alias("total_dwell_us"),
+        F.expr("CAST(sum(gap_us) div count(1) AS BIGINT)").alias("mean_dwell_us"),
+    )
