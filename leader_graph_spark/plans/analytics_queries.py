@@ -1470,3 +1470,49 @@ def fulfillment_leadtime_histogram(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum("cents").cast("bigint").alias("revenue_cents"),
         )
     )
+
+
+_HHI_ORACLE = """
+WITH sq AS (
+  SELECT l_partkey AS part, l_suppkey AS supp,
+         sum(CAST(l_quantity AS BIGINT)) AS q
+  FROM lineitem GROUP BY 1, 2
+),
+tot AS (SELECT part, sum(q) AS tq, count(*) AS n_suppliers FROM sq GROUP BY 1)
+SELECT s.part AS partkey,
+       CAST(t.n_suppliers AS BIGINT) AS n_suppliers,
+       CAST(sum(((1000000 * s.q) // t.tq) * ((1000000 * s.q) // t.tq)) // 1000000 AS BIGINT)
+         AS hhi_ppm
+FROM sq s JOIN tot t USING (part)
+GROUP BY s.part, t.n_suppliers
+"""
+
+
+@query("supplier_concentration_hhi", _HHI_ORACLE, tags=("analytics", "concentration"))
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-concentration Herfindahl index per part (round-5):
+    Σ share² of shipped quantity over a part's suppliers, in ppm
+    (1 000 000 = single-supplier monopoly — the supply-risk screen
+    procurement runs). Shares floored to ppm BEFORE squaring so the
+    entire index is integer arithmetic both engines reproduce exactly.
+    Two keyed aggregates ((part, supplier) then part) + one
+    co-partitioned join — no skew surface beyond the part key itself."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sq = li.groupBy(
+        F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("supp")
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("q"))
+    tot = sq.groupBy("part").agg(
+        F.sum("q").alias("tq"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return (
+        sq.join(tot, "part")
+        .select(
+            "part",
+            "n_suppliers",
+            F.expr("(1000000 * q) div tq").alias("share_ppm"),
+        )
+        .groupBy(F.col("part").alias("partkey"), F.col("n_suppliers").cast("bigint").alias("n_suppliers"))
+        .agg(
+            F.expr("CAST(sum(share_ppm * share_ppm) div 1000000 AS BIGINT)").alias("hhi_ppm")
+        )
+    )
