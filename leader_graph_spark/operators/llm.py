@@ -290,13 +290,18 @@ def structured_extraction_with_dlq(
                 rows.append((rid, payload, err, attempts))
             yield pd.DataFrame(rows, columns=[id_col, "events_json", "error", "attempts"])
 
-    # persist BEFORE the ok/dlq split: both branches derive from the
-    # same mapInPandas, and without materialization each downstream
+    # Materialize BEFORE the ok/dlq split: both branches derive from
+    # the same mapInPandas, and without materialization each downstream
     # action re-executes it — i.e. re-calls the PAID external service
     # once per branch (observed live against the scripted HTTP server:
-    # the flaky doc was hit 4×, not 3). The result is id+json+error —
-    # tiny next to the calls it avoids.
-    raw = df.select(id_col, text_col).mapInPandas(run, out_schema).persist()
+    # the flaky doc was hit 4×, not 3). localCheckpoint (not persist):
+    # persist pins blocks in the cache manager for the session unless
+    # someone unpersists — and with two independent return values there
+    # is no single point where "both branches are consumed" — whereas
+    # localCheckpoint blocks are released by the ContextCleaner once
+    # the returned frames are garbage-collected. The materialized
+    # result is id+json+error — tiny next to the calls it avoids.
+    raw = df.select(id_col, text_col).mapInPandas(run, out_schema).localCheckpoint()
     ok = raw.filter(F.col("error").isNull()).select(
         id_col,
         F.from_json(F.get_json_object("events_json", "$.events"), EVENTS_SCHEMA).alias(

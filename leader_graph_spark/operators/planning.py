@@ -219,6 +219,15 @@ def apply_join_strategy(
 
         if decision.skew_side == "left":
             return salted_join(left, cond_right, key=left_key, n_salts=n_salts, how=how)
-        joined = salted_join(cond_right, left, key=left_key, n_salts=n_salts, how=how)
-        return joined.select(*[c for c in left.columns], *[c for c in cond_right.columns if c != left_key])
+        # Right-side skew: flipping operands is only sound for INNER (the
+        # join is symmetric there). For how='left', a flipped
+        # salted_join(right, left, how='left') would preserve unmatched
+        # RIGHT rows — right-outer semantics the caller never asked for.
+        # So for outer forms keep left as the probe side: the skewed
+        # right side is the replicated one (n_salts copies spread its
+        # hot key across partitions too), results stay exactly how=left.
+        if how in ("inner",):
+            joined = salted_join(cond_right, left, key=left_key, n_salts=n_salts, how=how)
+            return joined.select(*[c for c in left.columns], *[c for c in cond_right.columns if c != left_key])
+        return salted_join(left, cond_right, key=left_key, n_salts=n_salts, how=how)
     return left.join(cond_right, left_key, how)

@@ -570,16 +570,25 @@ def run_split_late_events(
     ``out_dir``, then appends its own max — all three writes
     idempotent under replay (the sinks by ``_batch_id`` dynamic
     overwrite; the state because a replayed append only repeats a max
-    the running aggregate already absorbs). The cutoff uses the state
-    as of the START of the batch, so a batch's own rows never mark
-    each other late (matching watermark semantics, which lag by one
-    trigger)."""
+    the running aggregate already absorbs). The cutoff reads only
+    state rows from STRICTLY EARLIER batches (``_batch_id <
+    batch_id``), so a batch's own rows never mark each other late —
+    including on CRASH REPLAY: if the crash landed between the state
+    append and the checkpoint commit, the replayed batch would
+    otherwise read its own ``max(ts)`` as ``prev`` and reroute its own
+    rows to the late sink, placing rows differently between attempts
+    (matching watermark semantics, which lag by one trigger)."""
     main_sink = batch_id_partitioned_sink(out_dir)
     late_sink = batch_id_partitioned_sink(late_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         try:
-            prev = spark.read.parquet(state_dir).agg(F.max("wm")).first()[0]
+            prev = (
+                spark.read.parquet(state_dir)
+                .where(F.col("_batch_id") < F.lit(batch_id))
+                .agg(F.max("wm"))
+                .first()[0]
+            )
         except Exception:  # noqa: BLE001 — first batch: no state yet
             prev = None
         if prev is not None:

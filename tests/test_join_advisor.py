@@ -141,3 +141,43 @@ def test_right_side_skew_salts_the_right(spark):
     assert salted.count() == plain.count()
     a = {tuple(sorted((r.l_id, r.r_id))) for r in salted.sample(0.001, seed=7).collect()}
     assert all(isinstance(x, tuple) for x in a)
+
+
+def test_right_side_skew_left_join_keeps_left_semantics(spark):
+    """ADVICE r5 (medium): the right-skew path used to flip operands and
+    pass ``how`` through, turning a caller's LEFT join into right-outer
+    semantics. Pin: with skew_side='right' and how='left', unmatched
+    LEFT rows survive (null r_id) and unmatched RIGHT rows do NOT."""
+    n, keys = 40_000, 150
+    # left carries extra keys the right never has -> unmatched-left rows
+    left = (
+        _uniform(spark, n, keys)
+        .select(
+            F.when(F.col("row_id") < 50, F.col("row_id") + 10_000)
+            .otherwise(F.col("k"))
+            .alias("k"),
+            F.col("row_id").alias("l_id"),
+        )
+        .localCheckpoint()
+    )
+    # right is hot AND carries a key the left never has
+    right = (
+        _hot(spark, n, keys)
+        .select(
+            F.when(F.col("row_id") == 0, F.lit(99_999)).otherwise(F.col("k")).alias("k"),
+            F.col("row_id").alias("r_id"),
+        )
+        .localCheckpoint()
+    )
+    d = choose_join_strategy(left, right, left_key="k", right_key="k", broadcast_rows=10_000)
+    assert d.strategy == "salted" and d.skew_side == "right"
+    salted = apply_join_strategy(left, right, d, left_key="k", right_key="k", how="left")
+    plain = left.join(right, "k", "left")
+    assert salted.count() == plain.count()
+    # unmatched LEFT rows preserved with null right columns
+    assert salted.where(F.col("r_id").isNull()).count() == plain.where(
+        F.col("r_id").isNull()
+    ).count() > 0
+    # NO right-outer leakage: every output row has a non-null left id
+    assert salted.where(F.col("l_id").isNull()).count() == 0
+    assert salted.where(F.col("k") == 99_999).count() == 0

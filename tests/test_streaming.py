@@ -607,3 +607,61 @@ def test_late_event_dead_letter_split(spark, tmp_path):
     late = {r.event_id for r in spark.read.parquet(dirs["late"]).collect()}
     assert ok == {1, 2, 4}
     assert late == {3}
+
+
+def test_late_split_replay_does_not_self_mark_late(spark, tmp_path):
+    """ADVICE r5 (low): crash between the state append and the
+    checkpoint commit -> Spark replays the batch while the state dir
+    already holds that batch's own max(ts). The cutoff must ignore
+    state rows with _batch_id >= current, or the replayed batch reroutes
+    its own oldest rows to the late sink (different placement between
+    attempts). Simulated by deleting the checkpoint commit file after a
+    successful drain and re-draining."""
+    import datetime as dt
+    import os
+
+    from leader_graph_spark.streaming.jobs import run_split_late_events
+
+    base = dt.datetime(2024, 1, 1)
+    schema = "event_id long, ts timestamp"
+    landing = str(tmp_path / "landing")
+    dirs = {d: str(tmp_path / d) for d in ("out", "late", "state", "ck")}
+
+    def drain():
+        sdf = spark.readStream.schema(spark.read.parquet(landing).schema).parquet(landing)
+        run_split_late_events(
+            spark,
+            sdf,
+            ts_col="ts",
+            out_dir=dirs["out"],
+            late_dir=dirs["late"],
+            state_dir=dirs["state"],
+            checkpoint=dirs["ck"],
+            lateness_sec=3600,
+        )
+
+    # one batch spanning 10 hours: hour 0 is NOT late relative to its
+    # own batch's hour-10 max
+    rows = [(1, base), (2, base + dt.timedelta(hours=10))]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(landing)
+    drain()
+    assert spark.read.parquet(dirs["out"]).count() == 2
+
+    # crash simulation: the state append for batch 0 is on disk, but the
+    # checkpoint commit is gone -> restart replays batch 0
+    commits = os.path.join(dirs["ck"], "commits")
+    committed = [f for f in os.listdir(commits) if not f.startswith(".")]
+    assert committed  # sanity: there was a commit to delete
+    for f in os.listdir(commits):  # the .crc twins too, or the rename fails
+        os.remove(os.path.join(commits, f))
+    drain()
+
+    # replay must place rows exactly as the first attempt did
+    ok = {r.event_id for r in spark.read.parquet(dirs["out"]).collect()}
+    assert ok == {1, 2}
+    late_files = (
+        [f for f in os.listdir(dirs["late"]) if f.endswith(".parquet")]
+        if os.path.exists(dirs["late"])
+        else []
+    )
+    assert spark.read.parquet(dirs["late"]).count() == 0 if late_files else True
