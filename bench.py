@@ -46,7 +46,7 @@ def main() -> None:
     load_table(spark, sf_dir, "nation").count()
     warm_dir = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001")
     for _, spec in sorted(bench_queries().items()):
-        spec.spark(spark, warm_dir).write.format("noop").mode("overwrite").save()
+        spec.bench_spark(spark, warm_dir).write.format("noop").mode("overwrite").save()
 
     # Best-of-N per query: single-run numbers on a shared box carry
     # multi-second scheduler/GC spikes (observed 3.5s → 12.7s on the
@@ -62,7 +62,7 @@ def main() -> None:
     for _ in range(runs):
         for name, spec in sorted(bench_queries().items()):
             t0 = time.perf_counter()
-            df = spec.spark(spark, sf_dir)
+            df = spec.bench_spark(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             all_times.setdefault(name, []).append(time.perf_counter() - t0)
     timings = {name: round(min(ts), 3) for name, ts in all_times.items()}
@@ -89,7 +89,7 @@ def main() -> None:
     baseline_out = os.environ.get("SPARK_GRAFT_BENCH_BASELINE_OUT")
     if baseline_out:
         rows = {
-            name: spec.spark(spark, sf_dir).count()
+            name: spec.bench_spark(spark, sf_dir).count()
             for name, spec in sorted(bench_queries().items())
         }
         with open(baseline_out, "w") as f:

@@ -148,8 +148,10 @@ def distinct_sketches(
     via :func:`merge_distinct_sketches` without rescanning history —
     the incremental form of the 100 TB distinct-users metric table.
     Estimates are deterministic for identical input sets, and
-    merge-then-estimate equals estimate-of-union exactly (HLL register
-    merge is a pointwise max), asserted in tests."""
+    merge-then-estimate tracks the estimate-of-union within ~2% (HLL
+    register merge is a pointwise max, but DataSketches unions promote
+    through HLL_8, so re-encoded registers can estimate a few counts
+    apart from the direct aggregation), asserted in tests."""
     return df.groupBy(*keys).agg(
         F.expr(f"hll_sketch_agg({value_col}, {lg_k})").alias("sketch")
     )

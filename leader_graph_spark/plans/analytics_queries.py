@@ -422,17 +422,32 @@ def salted_event_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("hll_incremental_distinct", None, tags=("sketch-hll", "incremental"))
+_HLL_INCR_ORACLE = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS merged_within_5pct,
+       TRUE AS merge_close_to_single_pass
+FROM events GROUP BY event_type
+"""
+
+
+@query("hll_incremental_distinct", _HLL_INCR_ORACLE, tags=("sketch-hll", "incremental"))
 def hll_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental COUNT DISTINCT via HLL sketch state: three "ingest
     batch" partitions each aggregate once into per-key sketches, and
     the merge (pointwise register max) estimates without rescanning
     history — the holistic-aggregate state maintenance that
-    ``merge_algebraic_state`` cannot express. Rows-only check (HLL
-    registers are engine-specific); merged==single-pass equality and
-    ≤5% error vs exact are pinned in
-    tests/test_scale_patterns.py::test_hll_sketch_state_merge; the
-    exact yardstick is ``bitmap_distinct_users``/``distinct_user_stats``."""
+    ``merge_algebraic_state`` cannot express. HLL registers are
+    engine-specific, so the driver row carries the EXACT count plus
+    two Spark-computed assertions the value hash pins (oracle emits
+    literal TRUE for both): the merged estimate is within 5% of exact,
+    and merge-then-estimate is within 2% of the single-pass estimate
+    over the whole table. NOT pinned as exact equality: DataSketches
+    HLL unions promote through HLL_8 and the re-encoded registers can
+    estimate a few counts apart from the direct aggregation (observed
+    1488 vs 1491 at sf0.1) — the algebra bound is the honest contract
+    (round-6: was rows-only; also unit-pinned in
+    tests/test_scale_patterns.py::test_hll_sketch_state_merge)."""
     from leader_graph_spark.operators.skew import distinct_sketches, merge_distinct_sketches
 
     events = load_table(spark, sf_dir, "events")
@@ -444,7 +459,30 @@ def hll_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for i in range(3)
     ]
-    return merge_distinct_sketches(*parts, keys=["event_type"])
+    merged = merge_distinct_sketches(*parts, keys=["event_type"])
+    single = merge_distinct_sketches(
+        distinct_sketches(events, keys=["event_type"], value_col="user_id"),
+        keys=["event_type"],
+    ).select("event_type", F.col("n_distinct_est").alias("single_pass_est"))
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        merged.join(single, "event_type")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("n_distinct_est") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("merged_within_5pct"),
+            (
+                F.abs(F.col("n_distinct_est") - F.col("single_pass_est"))
+                <= 0.02 * F.col("single_pass_est")
+            ).alias("merge_close_to_single_pass"),
+        )
+    )
 
 
 _BITMAP_DISTINCT_ORACLE = """
@@ -654,16 +692,55 @@ def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_order_price_percentiles", None, tags=("percentile-approx",))
+_APPROX_PCTL_EPS = 0.005  # quantile-rank slack: accuracy=10000 ⇒ ≤1e-4 true error
+
+_APPROX_PCTL_ORACLE = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS median_exact,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90_exact,
+       TRUE AS median_in_bounds,
+       TRUE AS p90_in_bounds
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@query("approx_order_price_percentiles", _APPROX_PCTL_ORACLE, tags=("percentile-approx",))
 def approx_order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile — the sketch (single-pass, mergeable, fixed
     memory) that replaces the exact sort-based percentile at 100 TB.
-    Engine-specific sketch values ⇒ rows-only driver check; accuracy
-    vs the exact form is asserted in tests/test_operators.py."""
+    The sketch value itself is engine-specific, so the driver row
+    carries the EXACT 0.5/0.9 quantiles (interpolation bit-proven
+    against quantile_cont in ``order_price_percentiles``) plus
+    Spark-computed booleans asserting the approx value lands inside
+    the exact quantile bracket at q∓0.005 — the bracket endpoints stay
+    OUT of the hashed output (interpolation at off-grid quantiles can
+    round a half-ulp apart across engines; observed at sf0.001) while
+    the oracle pins the booleans at literal TRUE, so estimator drift
+    beyond the bound turns the driver row red (round-6: was
+    rows-only). accuracy=10000 bounds true rank error at 1e-4 — the
+    5e-3 bracket is 50× headroom."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("median_price"),
-        F.percentile_approx("o_totalprice", F.lit(0.9), F.lit(10000)).alias("p90_price"),
+    eps = _APPROX_PCTL_EPS
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("median_approx"),
+        F.percentile_approx("o_totalprice", F.lit(0.9), F.lit(10000)).alias("p90_approx"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_exact"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_exact"),
+        F.percentile("o_totalprice", F.lit(0.5 - eps)).alias("_median_lo"),
+        F.percentile("o_totalprice", F.lit(0.5 + eps)).alias("_median_hi"),
+        F.percentile("o_totalprice", F.lit(0.9 - eps)).alias("_p90_lo"),
+        F.percentile("o_totalprice", F.lit(0.9 + eps)).alias("_p90_hi"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "median_exact",
+        "p90_exact",
+        F.col("median_approx").between(F.col("_median_lo"), F.col("_median_hi")).alias(
+            "median_in_bounds"
+        ),
+        F.col("p90_approx").between(F.col("_p90_lo"), F.col("_p90_hi")).alias(
+            "p90_in_bounds"
+        ),
     )
 
 

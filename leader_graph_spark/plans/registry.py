@@ -30,6 +30,16 @@ class QuerySpec:
     doc: str = ""
     bench: bool = False
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # What bench.py times under this name. Defaults to ``spark``;
+    # override when the driver-facing query is a verification HARNESS
+    # around the operator (e.g. ann_lsh_topk's recall assertion joins
+    # the LSH result against the brute-force yardstick — the bench
+    # number should track the operator, not the yardstick).
+    bench_fn: SparkQuery | None = None
+
+    @property
+    def bench_spark(self) -> SparkQuery:
+        return self.bench_fn or self.spark
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -41,6 +51,7 @@ def query(
     *,
     bench: bool = False,
     tags: tuple[str, ...] = (),
+    bench_fn: SparkQuery | None = None,
 ) -> Callable[[SparkQuery], SparkQuery]:
     """Decorator registering a named query with its DuckDB oracle SQL.
 
@@ -52,7 +63,9 @@ def query(
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = QuerySpec(name, fn, oracle, fn.__doc__ or "", bench, tags)
+        REGISTRY[name] = QuerySpec(
+            name, fn, oracle, fn.__doc__ or "", bench, tags, bench_fn
+        )
         return fn
 
     return deco

@@ -127,16 +127,66 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_lsh_topk", None, bench=True, tags=("similarity-ann-lsh",))
-def ann_lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via sign-random-projection LSH buckets — the
-    100 TB scale path (equi-join on bucket instead of all-pairs cross
-    join). Hyperplanes are md5-derived on the driver, so not
-    SQL-expressible → rows-only check; recall vs brute force is
-    unit-tested in tests/test_similarity.py."""
+_ANN_RECALL_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(5 AS INT) AS k,
+       TRUE AS recall_ge_030
+FROM embeddings
+"""
+
+
+def _ann_lsh_topk_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operator alone — what bench.py times under this name (the
+    driver-facing query below wraps it in the brute-force recall
+    harness, which would dominate the measurement)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_lsh_topk(
         emb, id_col="vec_id", vec_col="embedding", k=5, n_planes=4, n_tables=4, dim=64
+    )
+
+
+@query(
+    "ann_lsh_topk",
+    _ANN_RECALL_ORACLE,
+    bench=True,
+    tags=("similarity-ann-lsh",),
+    bench_fn=_ann_lsh_topk_raw,
+)
+def ann_lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via sign-random-projection LSH buckets — the
+    100 TB scale path (equi-join on bucket instead of all-pairs cross
+    join). The neighbor lists depend on md5-derived hyperplanes the
+    oracle can't reproduce for a ranked top-k, so the driver row pins
+    the sketch's CONTRACT instead (round-6: was rows-only): recall@5
+    vs the exact brute-force top-5 (``brute_force_topk``, itself
+    full-oracle-proven as ``embedding_topk_bruteforce``), asserted
+    ≥ 0.30 in Spark with the oracle emitting literal TRUE. The
+    synthetic embeddings are near-random (pairwise cosine ≈ 0.33) so
+    absolute recall is structurally low — the unit suite pins > 0.35
+    at default params; 0.30 leaves noise headroom while still turning
+    the row red if the banding ever stops finding true neighbors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    lsh = ann_lsh_topk(
+        emb, id_col="vec_id", vec_col="embedding", k=5, n_planes=4, n_tables=4, dim=64
+    )
+    from leader_graph_spark.operators.similarity import brute_force_topk
+
+    exact = brute_force_topk(emb, id_col="vec_id", vec_col="embedding", k=5)
+    hits = (
+        exact.select("id", "neighbor_id")
+        .join(lsh.select("id", "neighbor_id"), ["id", "neighbor_id"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    total = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_vec = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+    return (
+        n_vec.crossJoin(hits)
+        .crossJoin(total)
+        .select(
+            "n_vectors",
+            F.lit(5).cast("int").alias("k"),
+            (F.col("n_hits") >= 0.30 * F.col("n_exact")).alias("recall_ge_030"),
+        )
     )
 
 

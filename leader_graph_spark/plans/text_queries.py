@@ -363,21 +363,52 @@ def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.orderBy(F.desc("n_occurrences"), F.asc("term")).limit(20)
 
 
-@query("frequent_terms_approx", None, tags=("text-heavy-hitters", "approx"))
+_FREQ_TERMS_ORACLE = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+),
+counts AS (SELECT term, count(*) AS n FROM toks GROUP BY term),
+req AS (
+  SELECT term FROM counts WHERE n > 0.02 * (SELECT sum(n) FROM counts)
+)
+SELECT list_aggregate(list_sort(list(term)), 'string_agg', ',') AS required_terms,
+       CAST(count(*) AS BIGINT) AS n_required,
+       TRUE AS all_required_present
+FROM req
+"""
+
+
+@query("frequent_terms_approx", _FREQ_TERMS_ORACLE, tags=("text-heavy-hitters", "approx"))
 def frequent_terms_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate heavy hitters via ``freqItems`` (Karp/Shenker/
     Papadimitriou one-pass counter deltas — fixed memory per partition,
-    no global shuffle of the vocabulary). Guarantee: every term with
-    frequency > support·N appears; false positives allowed ⇒ rows-only
-    driver check, containment vs the exact top-20 is unit-tested.
-    The sketch's item array is emitted sorted and comma-joined — a
-    scalar column, so any downstream pandas canonicalizer can hash the
-    row (raw array columns crashed the round-1 driver sweep)."""
+    no global shuffle of the vocabulary). The sketch's guarantee IS its
+    oracle (round-6: was rows-only): every term with frequency >
+    support·N must appear in the sketch — false positives allowed, so
+    the sketch array itself is not cross-engine — and the driver row
+    carries the EXACT required set (sorted, comma-joined — both
+    engines can compute it) plus a Spark-computed containment boolean
+    the oracle pins at literal TRUE. A sketch that drops a true heavy
+    hitter turns the row red."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = docs.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"))
+    counts = toks.groupBy("term").agg(F.count("*").alias("n"))
+    required = counts.join(
+        counts.agg(F.sum("n").alias("total")), how="cross"
+    ).where(F.col("n") > 0.02 * F.col("total"))
+    req_row = required.agg(
+        F.array_join(F.array_sort(F.collect_list("term")), ",").alias("required_terms"),
+        F.count("*").alias("n_required"),
+        F.collect_list("term").alias("_req"),
+    )
     sketch = toks.freqItems(["term"], support=0.02)
-    return sketch.select(
-        F.array_join(F.array_sort("term_freqItems"), ",").alias("frequent_terms")
+    return req_row.crossJoin(sketch).select(
+        "required_terms",
+        "n_required",
+        (F.size(F.array_except(F.col("_req"), F.col("term_freqItems"))) == 0).alias(
+            "all_required_present"
+        ),
     )
 
 
@@ -1134,21 +1165,45 @@ _BPE_MERGES = [
 ]
 
 
-@query("bpe_token_counts", None, tags=("text", "tokenizer", "bpe-apply"))
+_BPE_ORACLE = """
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
+       TRUE AS tokens_within_bounds
+FROM documents
+"""
+
+
+@query("bpe_token_counts", _BPE_ORACLE, tags=("text", "tokenizer", "bpe-apply"))
 def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Apply a FIXED BPE merge table to every document and report word
-    count, true BPE token count, and a tokens fingerprint
-    (``operators/tokenize.py``) — packing budgets and length filters
-    need counts from the real tokenizer, not the whitespace proxy
-    (``doc_token_stats``). Iterative lowest-rank-first merging is not
-    expressible in one SQL pass ⇒ rows-only driver check; the encode
-    loop is pinned to a pure-python model (and hand-worked merge
-    sequences) in tests, and the fingerprint column makes any encoding
-    drift a visible value change."""
+    """Apply a FIXED BPE merge table to every document — packing
+    budgets and length filters need counts from the real tokenizer,
+    not the whitespace proxy (``doc_token_stats``). Iterative
+    lowest-rank-first merging is not SQL-expressible, so the driver
+    row carries the exact word count (cross-engine, list-length
+    semantics proven in the Flesch oracle) plus a Spark-computed
+    sandwich assertion the value hash pins at literal TRUE (round-6:
+    was rows-only): n_words ≤ n_bpe_tokens ≤ non-space chars — every
+    word yields ≥1 and ≤len(word) tokens, so a broken merge loop
+    (dropping tokens, merging across word boundaries, looping) lands
+    outside the bracket and turns the row red. The exact token counts
+    and the md5 tokens fingerprint stay pinned to a pure-python model
+    in tests/test_tokenize.py."""
     from leader_graph_spark.operators.tokenize import bpe_encode_stats
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    return bpe_encode_stats(docs, id_col="doc_id", text_col="text", merges=_BPE_MERGES)
+    stats = bpe_encode_stats(docs, id_col="doc_id", text_col="text", merges=_BPE_MERGES)
+    chars = docs.select(
+        "doc_id",
+        F.length(F.regexp_replace(F.col("text"), r"\s", "")).alias("_n_nonspace"),
+    )
+    return stats.join(chars, "doc_id").select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        (
+            (F.col("n_bpe_tokens") >= F.col("n_words"))
+            & (F.col("n_bpe_tokens") <= F.col("_n_nonspace"))
+        ).alias("tokens_within_bounds"),
+    )
 
 
 _FLESCH_ORACLE = r"""

@@ -278,16 +278,40 @@ def distinct_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_users", None, tags=("approx-agg",))
+_APPROX_DISTINCT_ORACLE = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       count(*) AS n_events,
+       TRUE AS hll_within_5pct
+FROM events GROUP BY event_type
+"""
+
+
+@query("approx_distinct_users", _APPROX_DISTINCT_ORACLE, tags=("approx-agg",))
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct — the 100 TB path where exact
-    distinct's expand-shuffle is unaffordable. Engine-specific sketch →
-    no cross-engine oracle (rows-only); accuracy asserted vs exact in
-    tests/test_operators.py."""
+    distinct's expand-shuffle is unaffordable. The raw sketch estimate
+    is engine-specific, so the driver-visible row carries the EXACT
+    count (cross-engine) plus a bound assertion the value hash pins:
+    ``hll_within_5pct`` is computed in Spark as
+    |approx − exact| ≤ 0.05·exact (rsd=0.01 ⇒ ~1% expected error —
+    5× headroom) and the oracle emits literal TRUE, so any estimator
+    drift turns the driver row red instead of invisible (round-6: was
+    rows-only)."""
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
+    agg = events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("hll_within_5pct"),
     )
 
 

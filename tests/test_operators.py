@@ -221,17 +221,36 @@ def test_salted_join_matches_plain(spark):
 
 
 def test_approx_percentile_accuracy(spark, sf_dir):
+    """The bounded-oracle form (round-6): the registered query now
+    emits the exact 0.5/0.9 quantiles plus in-bracket booleans; pin
+    that the booleans hold, the exact columns agree with the exact
+    query, and the raw sketch stays within 1% of exact."""
+    from pyspark.sql import functions as F
+
     from leader_graph_spark.plans import REGISTRY
+    from leader_graph_spark.sources.tables import load_table
 
     exact = {
         r.o_orderpriority: (r.median_price, r.p90_price)
         for r in REGISTRY["order_price_percentiles"].spark(spark, sf_dir).collect()
     }
+    out = REGISTRY["approx_order_price_percentiles"].spark(spark, sf_dir).collect()
+    assert exact.keys() == {r.o_orderpriority for r in out}
+    for r in out:
+        assert r.median_in_bounds and r.p90_in_bounds, r
+        m, p90 = exact[r.o_orderpriority]
+        assert r.median_exact == m and r.p90_exact == p90
+    # raw sketch accuracy vs exact, on the operator itself
     approx = {
-        r.o_orderpriority: (r.median_price, r.p90_price)
-        for r in REGISTRY["approx_order_price_percentiles"].spark(spark, sf_dir).collect()
+        r.o_orderpriority: (r.am, r.ap90)
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("am"),
+            F.percentile_approx("o_totalprice", F.lit(0.9), F.lit(10000)).alias("ap90"),
+        )
+        .collect()
     }
-    assert exact.keys() == approx.keys()
     for key, (m, p90) in exact.items():
         am, ap90 = approx[key]
         assert abs(am - m) / m < 0.01
@@ -257,12 +276,10 @@ def test_freq_items_contains_true_heavy_hitters(spark, sf_smoke):
 
 
 def test_frequent_terms_approx_registered_query_bounds(spark, sf_dir):
-    """Error bound for the rows-only ``frequent_terms_approx`` query on
-    the driver data (sf0.01), against its own registered callable:
-    (a) no false negatives — every term with frequency > support·N is
-    in the sketch output (the KSP guarantee);
-    (b) bounded false positives — at most 1/support candidates;
-    (c) every reported term is a real corpus token."""
+    """Bounded-oracle form (round-6): the registered query emits the
+    EXACT required heavy-hitter set plus the KSP containment boolean.
+    Pin: the boolean holds, the required set matches an independent
+    exact count, and it is non-trivial on the driver data."""
     from pyspark.sql import functions as F
 
     from leader_graph_spark.plans import REGISTRY
@@ -271,17 +288,17 @@ def test_frequent_terms_approx_registered_query_bounds(spark, sf_dir):
     support = 0.02
     out = REGISTRY["frequent_terms_approx"].spark(spark, sf_dir).collect()
     assert len(out) == 1
-    reported = set(out[0].frequent_terms.split(","))
+    assert out[0].all_required_present, "sketch dropped a true heavy hitter"
+    reported = set(out[0].required_terms.split(","))
+    assert out[0].n_required == len(reported)
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"))
     n = toks.count()
     counts = {r.term: r.n for r in toks.groupBy("term").agg(F.count("*").alias("n")).collect()}
     exact_heavy = {t for t, c in counts.items() if c > support * n}
-
-    assert exact_heavy <= reported, f"missed heavy hitters: {exact_heavy - reported}"
-    assert len(reported) <= int(1 / support), f"{len(reported)} candidates > 1/support"
-    assert reported <= set(counts), f"phantom terms: {reported - set(counts)}"
+    assert exact_heavy == reported
+    assert exact_heavy, "support threshold leaves no heavy hitters — vacuous"
 
 
 def test_orc_round_trip(spark, sf_smoke, tmp_path):

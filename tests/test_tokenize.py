@@ -52,6 +52,9 @@ def test_spark_operator_matches_model(spark, sf_smoke):
         assert got[row.doc_id] == (len(words), len(toks), fp)
     # the merge table actually bites: "spark" must be a single token.
     assert encode_word("spark", ranks) == ["spark"]
-    # and the registered query is this operator.
+    # and the registered query drives this operator, emitting the
+    # cross-engine word count plus the sandwich assertion (round-6
+    # bounded-oracle form; raw token counts/fp stay pinned above).
     q = REGISTRY["bpe_token_counts"].spark(spark, sf_smoke)
-    assert set(q.columns) == {"doc_id", "n_words", "n_bpe_tokens", "tokens_fp"}
+    assert set(q.columns) == {"doc_id", "n_words", "tokens_within_bounds"}
+    assert q.filter("NOT tokens_within_bounds").count() == 0
