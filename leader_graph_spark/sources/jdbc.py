@@ -21,9 +21,12 @@ at scale:
 - **fetchsize / batchsize**: the row-at-a-time JDBC defaults are the
   classic throughput killer; both default higher here.
 
-No JDBC driver jar ships with this repo (CI is parquet-only); pass the
-driver class via ``properties`` and put the jar on the Spark classpath
-at deployment. Tests run only when ``SPARK_GRAFT_JDBC_URL`` is set.
+No MySQL driver jar ships with this repo; pass the driver class via
+``properties`` and put the jar on the Spark classpath at deployment.
+CI exercises this edge unconditionally against EMBEDDED Derby (the jar
+pyspark already ships for the Hive metastore) in
+``tests/test_jdbc_embedded.py``; the live-endpoint round-trip also
+runs when ``SPARK_GRAFT_JDBC_URL`` is set.
 """
 
 from __future__ import annotations
