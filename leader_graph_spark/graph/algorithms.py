@@ -9,7 +9,7 @@ edge DataFrame (the same shapes GraphFrames compiles to).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -594,8 +594,58 @@ def deterministic_random_walks(
     return walk.select("start_id", F.col("cur").alias("final_id"), "path")
 
 
+def _negative_pick_hash(salt: str):
+    """First 8 md5 hex digits of ``src|dst|salt`` as a bigint — the
+    deterministic corruption index before the ``% |V|`` fold."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("src").cast("string"),
+                    F.col("dst").cast("string"),
+                    F.lit(salt),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def ranked_vertices(vertices: DataFrame, *, n_partitions: int = 32) -> DataFrame:
+    """(v, rank0) with rank0 = 0-indexed position of v in the globally
+    sorted vertex universe — WITHOUT a global single-reducer window.
+    Two-phase distributed rank: repartitionByRange(v) +
+    sortWithinPartitions gives the total order; the rank is
+    ``monotonically_increasing_id`` split into (ordered partition
+    index, in-partition offset) plus a ≤ n_partitions-row carry table
+    joined back by broadcast — the only unpartitioned window runs over
+    the carry aggregate, never over data-sized input."""
+    ranged = (
+        vertices.select("v")
+        .repartitionByRange(n_partitions, "v")
+        .sortWithinPartitions("v")
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .localCheckpoint()
+    )
+    ranged = ranged.withColumn(
+        "_pid", F.shiftright("_mid", 33).cast("int")
+    ).withColumn("_local", F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)))
+    totals = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_ptotal"))
+    w_carry = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    carry = totals.select(
+        "_pid", F.coalesce(F.sum("_ptotal").over(w_carry), F.lit(0)).alias("_carry")
+    )
+    return ranged.join(F.broadcast(carry), "_pid").select(
+        "v", (F.col("_carry") + F.col("_local")).cast("bigint").alias("rank0")
+    )
+
+
 def link_prediction_pairs(
-    edges: DataFrame, *, salt: str = "neg"
+    edges: DataFrame, *, salt: str = "neg", broadcast_vertex_limit: int = 5_000_000
 ) -> DataFrame:
     """Training pairs for link prediction: every undirected edge as a
     positive (label 1) plus one DETERMINISTIC negative corruption per
@@ -607,46 +657,35 @@ def link_prediction_pairs(
     negative per positive; the drop rate is the graph's density, which
     is what negative sampling assumes is small anyway).
 
-    Scale shape: the sorted vertex list is a broadcast array (vertex
-    ids, not rows — for graphs whose id universe outgrows a broadcast,
-    swap the lookup for a join against a ranked vertex table, same
-    semantics); the non-edge check is one anti-join against the edge
-    set. Output: (src, dst, label)."""
+    Scale shape: when the vertex universe fits a broadcast
+    (≤ ``broadcast_vertex_limit`` ids) the sorted list ships as one
+    broadcast array; above the limit the lookup switches to an
+    equi-join against :func:`ranked_vertices` (same semantics,
+    bit-identical output — pinned by a test that runs both paths) so
+    no single array ever has to hold the id universe. The non-edge
+    check is one anti-join against the edge set. Output:
+    (src, dst, label)."""
     sym = symmetrize(edges).localCheckpoint()
-    verts = (
-        sym.select(F.col("src").alias("v"))
-        .distinct()
-        .agg(F.array_sort(F.collect_list("v")).alias("vs"))
-    )
+    vd = sym.select(F.col("src").alias("v")).distinct()
+    n_verts = vd.count()
     pos = sym.where(F.col("src") < F.col("dst"))
-    pick = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        F.col("src").cast("string"),
-                        F.col("dst").cast("string"),
-                        F.lit(salt),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % F.size("vs")
-        + 1
-    )
-    cand = (
-        pos.crossJoin(F.broadcast(verts))
-        .select(
-            "src",
-            F.element_at("vs", pick.cast("int")).alias("neg_dst"),
+    if n_verts <= broadcast_vertex_limit:
+        verts = vd.agg(F.array_sort(F.collect_list("v")).alias("vs"))
+        pick = (_negative_pick_hash(salt) % F.size("vs") + 1).cast("int")
+        cand = (
+            pos.crossJoin(F.broadcast(verts))
+            .select("src", F.element_at("vs", pick).alias("neg_dst"))
+            .where(F.col("neg_dst") != F.col("src"))
         )
-        .where(F.col("neg_dst") != F.col("src"))
-    )
+    else:
+        picked = pos.select(
+            "src", (_negative_pick_hash(salt) % F.lit(n_verts)).alias("_rank")
+        )
+        cand = (
+            picked.join(ranked_vertices(vd), picked["_rank"] == F.col("rank0"))
+            .select("src", F.col("v").alias("neg_dst"))
+            .where(F.col("neg_dst") != F.col("src"))
+        )
     negatives = (
         cand.alias("c")
         .join(

@@ -187,6 +187,13 @@ SELECT doc_id, text, lang, source, CAST(n_chars AS BIGINT) AS n_chars
 FROM documents
 """
 
+# Hard bound on the driver-side collect in excel_roundtrip_documents.
+# Excel is a dimension-data boundary format (reference org charts are
+# hundreds of rows); 100k rows × ~1 KB is comfortably driver-sized,
+# while anything bigger is a misuse this guard turns into a typed
+# error instead of a driver OOM.
+_EXCEL_COLLECT_MAX_ROWS = 100_000
+
 
 @query("excel_roundtrip_documents", _EXCEL_ROUNDTRIP_ORACLE, tags=("S2", "boundary"))
 def excel_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -202,7 +209,8 @@ def excel_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     type-restoration errors in either direction break the value hash.
     Excel files are small dimension data by construction (org charts);
     the driver-side collect is the honest plan shape for this boundary
-    and is bounded by the documents table (≤5k rows at sf0.1)."""
+    and is HARD-capped: a count() guard raises before collecting a
+    surprise-large table instead of OOMing the driver."""
     from leader_graph_spark.sources.files import read_excel, write_xlsx
 
     base = _scratch("excel_roundtrip_documents", sf_dir)
@@ -211,6 +219,13 @@ def excel_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
+    n = docs.count()
+    if n > _EXCEL_COLLECT_MAX_ROWS:
+        raise ValueError(
+            f"excel_roundtrip_documents: {n} rows > {_EXCEL_COLLECT_MAX_ROWS} — "
+            "xlsx is a driver-side dimension format; export fact-sized data "
+            "through a distributed sink (parquet/CSV) instead"
+        )
     rows = [tuple(r) for r in docs.collect()]
     write_xlsx(rows, docs.columns, xlsx)
     back = read_excel(spark, xlsx)

@@ -18,6 +18,18 @@ class MissingFieldsError(ValueError):
     pass
 
 
+class UnsupportedExcelFormatError(ValueError):
+    """Binary pre-2007 ``.xls`` (OLE2/BIFF) reached the hermetic XLSX
+    path. The reference reads ``.xls`` through pandas+xlrd
+    (``org/create_c_org_info.py:41-42``); without such an engine the
+    stdlib fallback can only parse zip-of-XML ``.xlsx``, so the error
+    must be typed and actionable, not a BadZipFile traceback."""
+
+
+# OLE2 compound-document magic — the container of every binary .xls.
+_OLE2_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+
+
 def read_csv(
     spark: SparkSession,
     path: str | list[str],
@@ -58,6 +70,13 @@ def read_excel(spark: SparkSession, path: str) -> DataFrame:
     try:
         return spark.createDataFrame(pd.read_excel(path))
     except ImportError:
+        with open(path, "rb") as f:
+            if f.read(8) == _OLE2_MAGIC:
+                raise UnsupportedExcelFormatError(
+                    f"{path} is a binary pre-2007 .xls (OLE2/BIFF); the "
+                    "hermetic fallback parses only .xlsx. Install an engine "
+                    "(xlrd) or convert the workbook to .xlsx."
+                ) from None
         return spark.createDataFrame(_read_xlsx_stdlib(path))
 
 

@@ -87,3 +87,37 @@ def test_xlsx_reader_rejects_non_zip(tmp_path):
     bad.write_bytes(b"this is not a zip archive")
     with _pytest.raises(Exception):
         _read_xlsx_stdlib(str(bad))
+
+
+def test_read_excel_rejects_binary_xls_with_typed_error(spark, tmp_path):
+    """A legacy OLE2 .xls reaching the no-engine runtime must raise the
+    typed, actionable error — not a BadZipFile traceback. Reachable in
+    production because read_tabular_dir globs *.xls."""
+    import pytest as _pytest
+
+    from leader_graph_spark.sources.files import (
+        UnsupportedExcelFormatError,
+        read_excel,
+        read_tabular_dir,
+    )
+
+    legacy = tmp_path / "org_chart.xls"
+    legacy.write_bytes(
+        b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 512
+    )
+    with _pytest.raises(UnsupportedExcelFormatError, match=r"pre-2007 \.xls"):
+        read_excel(spark, str(legacy))
+    with _pytest.raises(UnsupportedExcelFormatError):
+        read_tabular_dir(spark, str(tmp_path))
+
+
+def test_excel_roundtrip_query_guards_oversized_collect(spark, monkeypatch):
+    """The driver-side collect in excel_roundtrip_documents is bounded:
+    above the cap it raises the typed misuse error BEFORE collecting."""
+    import pytest as _pytest
+
+    from leader_graph_spark.plans import REGISTRY, boundary_queries
+
+    monkeypatch.setattr(boundary_queries, "_EXCEL_COLLECT_MAX_ROWS", 10)
+    with _pytest.raises(ValueError, match="distributed sink"):
+        REGISTRY["excel_roundtrip_documents"].spark(spark, "/root/testdata/sf0.001")

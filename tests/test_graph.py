@@ -371,3 +371,34 @@ def test_personalized_pagerank_decays_from_seeds(spark):
     }
     assert ranks[1] > ranks[2] > ranks[3] > ranks[4]
     assert ranks[8] == 0 and ranks[9] == 0
+
+
+def test_link_prediction_ranked_path_matches_broadcast(spark, sf_dir):
+    """The >limit negative-sampling path (equi-join against the
+    two-phase ranked vertex table) must be BIT-IDENTICAL to the
+    broadcast sorted-array path — same corruption for every edge, on
+    both a toy graph and the driver-scale membership graph."""
+    from leader_graph_spark.graph.algorithms import link_prediction_pairs, ranked_vertices
+    from leader_graph_spark.plans.graph_queries import build_membership_edges
+
+    toy = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1), (2, 5)], "src long, dst long"
+    )
+    for edges in (toy, build_membership_edges(spark, sf_dir)):
+        via_bcast = {
+            tuple(r)
+            for r in link_prediction_pairs(edges, broadcast_vertex_limit=10**9).collect()
+        }
+        via_rank = {
+            tuple(r) for r in link_prediction_pairs(edges, broadcast_vertex_limit=0).collect()
+        }
+        assert via_rank == via_bcast
+        assert any(lbl == 0 for *_, lbl in via_bcast)  # negatives exist
+
+    # the rank helper itself: rank0 is the sorted position, and no
+    # global single-reducer window appears in its plan
+    vd = spark.range(0, 1000).selectExpr("CAST(id * 37 % 991 AS LONG) AS v").distinct()
+    ranked = ranked_vertices(vd, n_partitions=8)
+    rows = sorted((r.rank0, r.v) for r in ranked.collect())
+    assert [v for _, v in rows] == sorted(v for _, v in rows)
+    assert [r0 for r0, _ in rows] == list(range(len(rows)))
