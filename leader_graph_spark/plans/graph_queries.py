@@ -656,7 +656,7 @@ FROM e{_KCORE_ROUNDS} GROUP BY 1
 """
 
 
-@query("kcore_copurchase", _kcore_oracle(), tags=("graph-iterative", "kcore"))
+@query("kcore_copurchase", _kcore_oracle(), bench=True, tags=("graph-iterative", "kcore"))
 def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of the customer–part co-purchase bipartite graph
     (round-5): iterative peeling drops every vertex with fewer than 2
@@ -686,7 +686,7 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_subgraph(cp, k=_KCORE_K, rounds=_KCORE_ROUNDS)
 
 
-@query("incremental_component_merge", _CC_ORACLE, tags=("graph-iterative", "incremental"))
+@query("incremental_component_merge", _CC_ORACLE, bench=True, tags=("graph-iterative", "incremental"))
 def incremental_component_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental CC maintenance (round-5): components computed over
     the BASE edge set (hierarchy + even-custkey memberships) absorb a
@@ -996,7 +996,7 @@ def _ppr_oracle(iterations: int = 8) -> str:
     return "WITH " + ",\n".join(ctes) + f"\nSELECT id, rank FROM r{iterations}"
 
 
-@query("personalized_pagerank_regions", _ppr_oracle(), tags=("graph-iterative", "pagerank", "personalized"))
+@query("personalized_pagerank_regions", _ppr_oracle(), bench=True, tags=("graph-iterative", "pagerank", "personalized"))
 def personalized_pagerank_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank seeded on the REGION vertices (round-5):
     teleport mass lands only on the seeds, so rank measures proximity

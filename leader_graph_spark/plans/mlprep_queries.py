@@ -556,7 +556,7 @@ FROM deciled WHERE score_decile >= {_MIX_KEEP_DECILE}
 """
 
 
-@query("curated_pretrain_mix", _MIX_ORACLE, tags=("mlprep", "capstone", "dsir"))
+@query("curated_pretrain_mix", _MIX_ORACLE, bench=True, tags=("mlprep", "capstone", "dsir"))
 def curated_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-5 curation capstone: the new curation stages COMPOSED
     under one value hash — per-domain cap (anti-domination) → DSIR

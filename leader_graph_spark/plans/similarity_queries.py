@@ -455,7 +455,7 @@ FROM bits
 """
 
 
-@query("image_phash_codec_roundtrip", _PHASH_ORACLE, tags=("multimodal", "phash", "codec"))
+@query("image_phash_codec_roundtrip", _PHASH_ORACLE, bench=True, tags=("multimodal", "phash", "codec"))
 def image_phash_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal decode path under the VALUE HASH (round-5): each
     embedding renders as a deterministic 8×8 grayscale image

@@ -144,16 +144,17 @@ def build_replica(spark, out_dir: str, factor: int) -> None:
 def time_queries(spark, sf_dir: str, names, runs: int) -> dict[str, float]:
     from leader_graph_spark.plans import REGISTRY
 
-    # warm codegen/worker paths at the smoke scale
+    # warm codegen/worker paths at the smoke scale (bench_spark: time
+    # the operator, not any verification harness wrapped around it)
     for n in names:
-        REGISTRY[n].spark(spark, "/root/testdata/sf0.001").write.format(
+        REGISTRY[n].bench_spark(spark, "/root/testdata/sf0.001").write.format(
             "noop"
         ).mode("overwrite").save()
     best: dict[str, float] = {n: float("inf") for n in names}
     for _ in range(runs):
         for n in names:
             t0 = time.time()
-            REGISTRY[n].spark(spark, sf_dir).write.format("noop").mode(
+            REGISTRY[n].bench_spark(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             best[n] = min(best[n], time.time() - t0)
@@ -161,16 +162,29 @@ def time_queries(spark, sf_dir: str, names, runs: int) -> dict[str, float]:
 
 
 def main() -> int:
+    import json
+    import math
+
     p = argparse.ArgumentParser()
     p.add_argument("--factor", type=int, default=8)
     p.add_argument("--out", default="/tmp/sf_stress")
     p.add_argument("--runs", type=int, default=2)
     p.add_argument("--skip-build", action="store_true")
     p.add_argument("--queries", help="comma-separated subset of QUERIES")
+    p.add_argument(
+        "--bench-set",
+        action="store_true",
+        help="use the full headline bench set instead of QUERIES",
+    )
+    p.add_argument("--json-out", help="write per-query times + exponents as JSON")
     args = p.parse_args()
+    global QUERIES
     if args.queries:
-        global QUERIES
         QUERIES = [q for q in args.queries.split(",") if q]
+    elif args.bench_set:
+        from leader_graph_spark.plans import bench_queries
+
+        QUERIES = sorted(bench_queries())
 
     from leader_graph_spark.session import get_spark
 
@@ -179,11 +193,35 @@ def main() -> int:
         build_replica(spark, args.out, args.factor)
     small = time_queries(spark, BASE, QUERIES, args.runs)
     big = time_queries(spark, args.out, QUERIES, args.runs)
-    print(f"\n{'query':34s} {'sf0.1':>8s} {args.factor}x{'':>5s} ratio")
+    print(f"\n{'query':34s} {'sf0.1':>8s} {args.factor}x{'':>5s} ratio  exp")
+    report = {}
     for n in QUERIES:
         ratio = big[n] / small[n]
+        # scaling exponent: time ∝ data^exp ⇒ exp = log(ratio)/log(factor).
+        # exp ≤ 1 is linear-or-better; small-scale fixed latency pushes it
+        # below 1, so the superlinear flag keys off the RATIO with slack.
+        exp = math.log(ratio) / math.log(args.factor) if ratio > 0 else 0.0
         flag = "" if ratio <= args.factor * 1.3 else "  <-- SUPERLINEAR"
-        print(f"{n:34s} {small[n]:8.3f} {big[n]:8.3f} {ratio:6.2f}{flag}")
+        print(f"{n:34s} {small[n]:8.3f} {big[n]:8.3f} {ratio:6.2f} {exp:5.2f}{flag}")
+        report[n] = {
+            "sec_small": round(small[n], 3),
+            "sec_big": round(big[n], 3),
+            "ratio": round(ratio, 2),
+            "exponent": round(exp, 3),
+            "superlinear": ratio > args.factor * 1.3,
+        }
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(
+                {
+                    "base": BASE,
+                    "factor": args.factor,
+                    "runs": args.runs,
+                    "queries": report,
+                },
+                f,
+                indent=1,
+            )
     return 0
 
 

@@ -209,6 +209,22 @@ SHUFFLE_BUDGETS = {
     # probe-prefix build (dfreq join + windows) + full-index candidate
     # join + in-row array-intersect verify
     "containment_near_dup_pairs": 7,
+    # round-6 promotions of the round-5 lanes into the headline set:
+    # iterative graph queries checkpoint per round, so the VISIBLE
+    # plan is the final round (truncated lineage) — the budget pins
+    # that truncation keeps working, not the per-round shuffle count
+    # (asserted per-iteration in the algorithm tests).
+    "kcore_copurchase": 1,
+    "personalized_pagerank_regions": 0,
+    # the incremental merge replays base labels + three delta batches
+    # WITHOUT intermediate checkpoints by design (each batch is tiny
+    # vs the base); the full unrolled merge is in-plan at smoke scale.
+    "incremental_component_merge": 23,
+    # DSIR scores + domain caps + deterministic mixture resample:
+    # one exchange per ranked stage, rest broadcast.
+    "curated_pretrain_mix": 2,
+    # pure mapInPandas codec pipeline — zero shuffles: blobs never move.
+    "image_phash_codec_roundtrip": 0,
 }
 
 # Same contract for non-bench queries whose scale story IS a shuffle
