@@ -1,0 +1,216 @@
+"""A GraphFrames-shaped facade over (vertices, edges) DataFrames.
+
+BASELINE.md's north star is "GraphX for analysis, not OLTP"; the
+algorithms in :mod:`graph.algorithms` already ARE the DataFrame plans
+GraphFrames compiles to, but the reference-replacement story lacked
+the *naming surface* a GraphFrames user expects — above all motif
+finding (``g.find("(a)-[e]->(b); (b)-[e2]->(c)")``). GraphFrames
+itself is not installable in this runtime (and is a jar + wrapper, not
+part of pyspark), so :class:`DFGraph` reimplements the public surface
+on plain DataFrames:
+
+- ``vertices`` (must carry ``id``) and ``edges`` (must carry
+  ``src``/``dst``) — the GraphFrames column convention, already used
+  by ``graph.build``;
+- ``find(pattern)`` — motif finding by compiling the pattern to
+  equi-joins (named vertices unify by join on id; negated terms
+  become anti-joins), returning one struct column per NAMED element
+  exactly like GraphFrames;
+- ``triplets``, ``degrees``, ``inDegrees``, ``outDegrees``;
+- ``connectedComponents()``, ``pageRank()``, ``labelPropagation()``,
+  ``shortestPaths()`` delegating to the oracle-proven algorithms in
+  :mod:`graph.algorithms`.
+
+Scale shape: a motif compiles to nothing but equi-joins on vertex ids
+— Catalyst plans them as shuffle/broadcast hash joins exactly as
+hand-written join plans would; no driver-side state, no quadratic
+fallback. Anonymous elements add joins but no output columns.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_TERM_RE = re.compile(
+    r"^\s*(?P<neg>!)?\s*\(\s*(?P<src>\w*)\s*\)\s*-\s*\[\s*(?P<edge>\w*)\s*\]\s*->\s*\(\s*(?P<dst>\w*)\s*\)\s*$"
+)
+
+
+class MotifSyntaxError(ValueError):
+    pass
+
+
+def _parse(pattern: str) -> list[tuple[bool, str, str, str]]:
+    """Pattern → [(negated, src_name, edge_name, dst_name)]; empty
+    names are anonymous."""
+    terms = []
+    for raw in pattern.split(";"):
+        if not raw.strip():
+            continue
+        m = _TERM_RE.match(raw)
+        if not m:
+            raise MotifSyntaxError(
+                f"unsupported motif term {raw.strip()!r}; expected "
+                "'(a)-[e]->(b)' or '!(a)-[]->(b)'"
+            )
+        neg = bool(m.group("neg"))
+        if neg and m.group("edge"):
+            raise MotifSyntaxError("negated terms cannot name the edge")
+        terms.append((neg, m.group("src"), m.group("edge"), m.group("dst")))
+    if not terms:
+        raise MotifSyntaxError("empty motif pattern")
+    return terms
+
+
+class DFGraph:
+    """GraphFrames-style property graph over two DataFrames."""
+
+    def __init__(self, vertices: DataFrame, edges: DataFrame):
+        if "id" not in vertices.columns:
+            raise ValueError("vertices must have an 'id' column")
+        if "src" not in edges.columns or "dst" not in edges.columns:
+            raise ValueError("edges must have 'src' and 'dst' columns")
+        self.vertices = vertices
+        self.edges = edges
+
+    # -- degree views -----------------------------------------------------
+    @property
+    def inDegrees(self) -> DataFrame:
+        return self.edges.groupBy(F.col("dst").alias("id")).agg(
+            F.count(F.lit(1)).alias("inDegree")
+        )
+
+    @property
+    def outDegrees(self) -> DataFrame:
+        return self.edges.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("outDegree")
+        )
+
+    @property
+    def degrees(self) -> DataFrame:
+        """Undirected degree (GraphFrames counts each incident edge)."""
+        ends = self.edges.select(F.col("src").alias("id")).unionAll(
+            self.edges.select(F.col("dst").alias("id"))
+        )
+        return ends.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+
+    @property
+    def triplets(self) -> DataFrame:
+        return self.find("(src)-[edge]->(dst)")
+
+    # -- motif finding ----------------------------------------------------
+    def find(self, pattern: str) -> DataFrame:
+        """Motif search. Named vertices unify across terms via id
+        equi-joins; named edges become struct columns of the edge
+        attributes; ``!(a)-[]->(b)`` is an anti-join requiring both
+        vertex names bound by positive terms. Output: one struct
+        column per distinct NAMED vertex/edge, like GraphFrames."""
+        terms = _parse(pattern)
+        positives = [t for t in terms if not t[0]]
+        negatives = [t for t in terms if t[0]]
+        if not positives:
+            raise MotifSyntaxError("motif needs at least one positive term")
+
+        edge_names_seen: set[str] = set()
+        anon = 0
+        result: DataFrame | None = None
+        bound: set[str] = set()
+        for _, s, e, d in positives:
+            if e:
+                if e in edge_names_seen:
+                    raise MotifSyntaxError(f"edge name {e!r} used twice")
+                if e in (s, d):
+                    raise MotifSyntaxError(f"name {e!r} is both vertex and edge")
+                edge_names_seen.add(e)
+            # anonymous endpoints still need join columns; give them
+            # internal names that are dropped at the end
+            s_col = s or f"__anon{(anon := anon + 1)}"
+            d_col = d or f"__anon{(anon := anon + 1)}"
+            if s_col == d_col:
+                raise MotifSyntaxError("self-loop terms need distinct names")
+            cols = [
+                F.col("src").alias(f"{s_col}__id"),
+                F.col("dst").alias(f"{d_col}__id"),
+            ]
+            if e:
+                cols.append(F.struct(*self.edges.columns).alias(e))
+            t = self.edges.select(*cols)
+            if result is None:
+                result = t
+            else:
+                on = [n for n in (s_col, d_col) if n in bound]
+                if on:
+                    result = result.join(t, [f"{n}__id" for n in on])
+                else:
+                    result = result.crossJoin(t)
+            bound.update({s_col, d_col})
+
+        for _, s, e, d in negatives:
+            if s not in bound or d not in bound:
+                raise MotifSyntaxError(
+                    f"negated term !({s})-[]->({d}) references an unbound vertex"
+                )
+            probe = self.edges.select(
+                F.col("src").alias("__nsrc"), F.col("dst").alias("__ndst")
+            )
+            result = result.join(
+                probe,
+                (F.col(f"{s}__id") == F.col("__nsrc"))
+                & (F.col(f"{d}__id") == F.col("__ndst")),
+                "left_anti",
+            )
+
+        # materialize vertex structs for named vertices only
+        v_names = sorted(
+            {n for n in bound if not n.startswith("__anon")}
+        )
+        for n in v_names:
+            v = self.vertices.select(
+                F.col("id").alias(f"__vid_{n}"),
+                F.struct(*self.vertices.columns).alias(n),
+            )
+            result = result.join(v, F.col(f"{n}__id") == F.col(f"__vid_{n}"))
+        keep = v_names + sorted(edge_names_seen)
+        return result.select(*keep)
+
+    # -- algorithm delegates ----------------------------------------------
+    def connectedComponents(self) -> DataFrame:
+        """(id, component) — delegates to the converged min-label CC."""
+        from leader_graph_spark.graph.algorithms import connected_components
+
+        return connected_components(self.vertices.select("id"), self.edges)
+
+    def pageRank(self, *, iterations: int = 8) -> DataFrame:
+        """(id, rank) in integer micro-units — the fixed-point form
+        with a bit-exact SQL oracle (graph.algorithms docstring)."""
+        from leader_graph_spark.graph.algorithms import pagerank_fixed_point
+
+        return pagerank_fixed_point(self.edges, iterations=iterations)
+
+    def labelPropagation(self, *, maxIter: int = 5) -> DataFrame:
+        from leader_graph_spark.graph.algorithms import label_propagation_fixed
+
+        return label_propagation_fixed(self.edges, rounds=maxIter)
+
+    def shortestPaths(self, landmarks: DataFrame, *, max_hops: int = 6) -> DataFrame:
+        """(id, distance) to the landmark set over the undirected view."""
+        from leader_graph_spark.graph.algorithms import khop_distances
+
+        return khop_distances(self.edges, landmarks, k=max_hops)
+
+    def filterVertices(self, condition) -> "DFGraph":
+        """Subgraph induced by the kept vertices (edges must keep both
+        endpoints) — GraphFrames' filterVertices semantics."""
+        v = self.vertices.filter(condition)
+        ids = v.select("id")
+        e = (
+            self.edges.join(ids.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(ids.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        )
+        return DFGraph(v, e)
+
+    def filterEdges(self, condition) -> "DFGraph":
+        return DFGraph(self.vertices, self.edges.filter(condition))

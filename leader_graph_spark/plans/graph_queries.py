@@ -1091,3 +1091,48 @@ def supplier_role_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_NBR_JACCARD_K)
         .drop("_j")
     )
+
+
+# ---------------------------------------------------------------------------
+# Motif finding — the GraphFrames naming surface (graph/frames.py)
+# ---------------------------------------------------------------------------
+
+_MOTIF_ORACLE = """
+WITH works AS (
+  SELECT md5(concat('customer', '_', c_name)) AS src,
+         md5(concat('nation', '_', n_name)) AS dst
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+),
+belongs AS (
+  SELECT md5(concat('nation', '_', n_name)) AS src,
+         md5(concat('region', '_', r_name)) AS dst
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+)
+SELECT w.src AS person_id, w.dst AS org_id, b.dst AS parent_id
+FROM works w JOIN belongs b ON w.dst = b.src
+"""
+
+
+@query("motif_two_hop_membership", _MOTIF_ORACLE, tags=("graph-motif", "J1", "J2"))
+def motif_two_hop_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Motif finding over the property graph (round-6): the reference's
+    Cypher MATCH patterns (``src/mysql2neo4j.py`` relationship queries)
+    and GraphFrames' ``g.find`` compile to the same thing — equi-joins
+    on vertex ids. ``DFGraph.find("(p)-[w]->(n); (n)-[b]->(r)")``
+    builds the person→org→parent two-hop as struct-typed motif columns;
+    the oracle replays it as plain SQL joins, so the driver hash pins
+    the motif compiler's join semantics (unification of the shared
+    vertex name, edge-attribute structs, name scoping). Negated terms
+    and anonymous elements are unit-pinned in tests/test_frames.py."""
+    from leader_graph_spark.graph.frames import DFGraph
+
+    g = DFGraph(build_vertices(spark, sf_dir), build_membership_edges(spark, sf_dir))
+    motif = g.find("(p)-[w]->(n); (n)-[b]->(r)").where(
+        (F.col("w.relationship") == "WORKS_FOR")
+        & (F.col("b.relationship") == "BELONGS_TO")
+    )
+    return motif.select(
+        F.col("p.id").alias("person_id"),
+        F.col("n.id").alias("org_id"),
+        F.col("r.id").alias("parent_id"),
+    )

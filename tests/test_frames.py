@@ -1,0 +1,115 @@
+"""DFGraph — the GraphFrames-shaped facade (graph/frames.py).
+
+Motif semantics are pinned against hand-computed expectations on a
+small directed graph, and against the membership graph the registry
+queries use (where a motif must reproduce the hand-written join plan's
+result)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from leader_graph_spark.graph.frames import DFGraph, MotifSyntaxError
+
+
+@pytest.fixture(scope="module")
+def g(spark):
+    # 1→2, 2→3, 1→3, 3→4 ; vertex attrs to prove struct columns
+    vertices = spark.createDataFrame(
+        [(i, f"v{i}") for i in (1, 2, 3, 4)], "id long, name string"
+    )
+    edges = spark.createDataFrame(
+        [(1, 2, "a"), (2, 3, "b"), (1, 3, "c"), (3, 4, "d")],
+        "src long, dst long, relationship string",
+    )
+    return DFGraph(vertices, edges)
+
+
+def test_find_single_edge_is_triplets(g):
+    out = g.find("(a)-[e]->(b)").collect()
+    assert len(out) == 4
+    got = {(r.a.id, r.e.relationship, r.b.id) for r in out}
+    assert got == {(1, "a", 2), (2, "b", 3), (1, "c", 3), (3, "d", 4)}
+    # triplets property uses the conventional names
+    t = g.triplets.collect()
+    assert {(r.src.id, r.dst.id) for r in t} == {(1, 2), (2, 3), (1, 3), (3, 4)}
+
+
+def test_find_two_hop_unifies_shared_vertex(g):
+    out = g.find("(a)-[e1]->(b); (b)-[e2]->(c)").collect()
+    got = {(r.a.id, r.b.id, r.c.id) for r in out}
+    assert got == {(1, 2, 3), (2, 3, 4), (1, 3, 4)}
+
+
+def test_find_closing_edge_motif(g):
+    # directed triangle-ish: a→b→c plus the closing a→c
+    out = g.find("(a)-[e1]->(b); (b)-[e2]->(c); (a)-[e3]->(c)").collect()
+    assert {(r.a.id, r.b.id, r.c.id) for r in out} == {(1, 2, 3)}
+
+
+def test_find_negated_term_is_anti_join(g):
+    # two-hop pairs where the closing edge does NOT exist
+    out = g.find("(a)-[e1]->(b); (b)-[e2]->(c); !(a)-[]->(c)").collect()
+    assert {(r.a.id, r.c.id) for r in out} == {(2, 4), (1, 4)}
+
+
+def test_find_anonymous_elements_add_no_columns(g):
+    out = g.find("(a)-[]->()")
+    assert out.columns == ["a"]
+    assert {r.a.id for r in out.collect()} == {1, 2, 3}
+
+
+def test_find_syntax_errors(g):
+    for bad in ("", "(a)-[e]-(b)", "(a)-[e]->(a)", "!(x)-[]->(y)"):
+        with pytest.raises(MotifSyntaxError):
+            g.find(bad)
+    with pytest.raises(MotifSyntaxError):
+        g.find("(a)-[e]->(b); (b)-[e]->(c)")  # duplicate edge name
+
+
+def test_degree_views(g):
+    assert dict((r.id, r.outDegree) for r in g.outDegrees.collect()) == {1: 2, 2: 1, 3: 1}
+    assert dict((r.id, r.inDegree) for r in g.inDegrees.collect()) == {2: 1, 3: 2, 4: 1}
+    assert dict((r.id, r.degree) for r in g.degrees.collect()) == {1: 2, 2: 2, 3: 3, 4: 1}
+
+
+def test_filter_vertices_induces_subgraph(g):
+    sub = g.filterVertices(F.col("id") <= 3)
+    assert {(r.src, r.dst) for r in sub.edges.collect()} == {(1, 2), (2, 3), (1, 3)}
+    assert sub.vertices.count() == 3
+
+
+def test_algorithm_delegates(g):
+    cc = {r.id: r.component for r in g.connectedComponents().collect()}
+    assert len(set(cc.values())) == 1  # one weak component
+    pr = {r.id: r.rank for r in g.pageRank(iterations=4).collect()}
+    assert pr[3] > pr[2]  # 3 has two in-edges, 2 has one
+    lm = g.vertices.sparkSession.createDataFrame([(1,)], "id long")
+    sp = {r.id: r.dist for r in g.shortestPaths(lm, max_hops=3).collect()}
+    assert sp[1] == 0 and sp[2] == 1 and sp[3] == 1 and sp[4] == 2
+
+
+def test_motif_matches_handwritten_join_on_membership_graph(spark, sf_smoke):
+    """The J2-style two-hop (customer→nation→region) as a motif must
+    equal the hand-written join plan over the same edges."""
+    from leader_graph_spark.graph.build import build_membership_edges, build_vertices
+
+    g2 = DFGraph(build_vertices(spark, sf_smoke), build_membership_edges(spark, sf_smoke))
+    motif = g2.find("(p)-[w]->(n); (n)-[b]->(r)").where(
+        (F.col("w.relationship") == "WORKS_FOR")
+        & (F.col("b.relationship") == "BELONGS_TO")
+    )
+    got = {(r.p.id, r.n.id, r.r.id) for r in motif.collect()}
+
+    e = build_membership_edges(spark, sf_smoke)
+    works = e.where(F.col("relationship") == "WORKS_FOR")
+    belongs = e.where(F.col("relationship") == "BELONGS_TO")
+    want = {
+        tuple(r)
+        for r in works.alias("w")
+        .join(belongs.alias("b"), F.col("w.dst") == F.col("b.src"))
+        .select("w.src", "w.dst", "b.dst")
+        .collect()
+    }
+    assert got == want and got
