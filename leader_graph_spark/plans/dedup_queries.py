@@ -808,11 +808,18 @@ def char_ngram_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator silently degrades; sliding character windows
     (``operators/dedup.py:char_shingle_rows``) need no segmenter.
     Whitespace-normalized text, {n}-char windows, exact threshold as
-    an integer cross product; the candidate join is the naive
-    shared-shingle form at this sf (the prefix/positional machinery
-    above composes identically on char shingles when corpus scale
-    demands it)."""
-    from leader_graph_spark.operators.dedup import char_shingle_rows, jaccard_on_pairs
+    an integer cross product. The candidate stage is the SAME
+    rarity-ordered prefix filter the word-shingle lane uses
+    (``jaccard_prefix_candidates`` — the completeness proof never
+    depended on what a shingle is): round-6's 10x replica battery
+    caught the earlier naive shared-shingle join exceeding 240 s at
+    50k docs (hot 12-char sequences fan out df² candidates), while the
+    prefix form sends exactly those hot shingles to the suffix."""
+    from leader_graph_spark.operators.dedup import (
+        char_shingle_rows,
+        jaccard_on_pairs,
+        jaccard_prefix_candidates,
+    )
 
     docs = load_table(spark, sf_dir, "documents").where(
         F.length(
@@ -822,17 +829,10 @@ def char_ngram_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = char_shingle_rows(
         docs, id_col="doc_id", text_col="text", n=_CHAR_N
     ).localCheckpoint()
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_1"), F.col("b.doc_id").alias("id_2"))
-        .distinct()
+    cand = jaccard_prefix_candidates(
+        sh, id_col="doc_id", t_num=_CHAR_T_NUM, t_den=_CHAR_T_DEN
     )
-    jac = jaccard_on_pairs(pairs, sh, id_col="doc_id")
+    jac = jaccard_on_pairs(cand, sh, id_col="doc_id")
     return jac.where(F.col("jaccard") >= _CHAR_T_NUM / _CHAR_T_DEN).select(
         "id_1", "id_2", F.round("jaccard", 6).alias("jaccard")
     )
