@@ -89,8 +89,16 @@ def _active_vertices(sym: DataFrame) -> DataFrame:
 
 def _with_isolated(vertices: DataFrame, labels: DataFrame) -> DataFrame:
     """Re-attach edge-less vertices (component = own id) in ONE final
-    left join instead of carrying them through every round."""
-    return vertices.select("id").join(labels, "id", "left").select(
+    left join instead of carrying them through every round.
+
+    ``distinct()`` first: CC returns a labeling of the vertex SET —
+    one row per id even when the caller's vertex table carries
+    duplicate natural keys (same content-derived md5 id twice is the
+    same entity under the reference's first-wins A5 semantics). The
+    round-6 10x battery caught the duplicate-passthrough: replicated
+    names made the engine emit one row per duplicate while the
+    recursive oracle's GROUP BY emitted the set."""
+    return vertices.select("id").distinct().join(labels, "id", "left").select(
         "id", F.coalesce("component", F.col("id")).alias("component")
     )
 
