@@ -1178,19 +1178,22 @@ def containment_pairs_prefix(
     # pairs, intersected with array higher-order functions — the same
     # form minhash_near_duplicates measured ~1.7× over re-joining the
     # exploded shingle stream (two full-stream shuffles saved).
-    sets = fanned.select(
-        F.col(id_col),
-        F.array_distinct(shingle_array(text_col, shingle_n)).alias("shs"),
-    )
-    if max_df is not None:
-        # verify must run over the FILTERED sets too (the max_df
-        # semantics): subtract the broadcast hot-shingle array in-row.
-        hot_arr = hot.agg(F.collect_list("shingle").alias("hot_shingles"))
-        sets = sets.crossJoin(F.broadcast(hot_arr)).select(
+    if max_df is None:
+        sets = fanned.select(
             F.col(id_col),
-            F.array_except("shs", "hot_shingles").alias("shs"),
+            F.array_distinct(shingle_array(text_col, shingle_n)).alias("shs"),
         )
-        sets = sets.where(F.size("shs") > 0)
+    else:
+        # verify must run over the FILTERED sets too (the max_df
+        # semantics). Build them by regrouping the already-filtered
+        # shingle stream (one exchange over a checkpointed input) —
+        # the earlier broadcast-hot-array + per-row array_except form
+        # rebuilt an O(|hot|) lookup for EVERY document row, and the
+        # hot set grows with the corpus: the round-6 10x battery
+        # measured it blowing past 240 s where this form takes
+        # seconds. collect_list is set-valued here because
+        # shingle_rows emits distinct shingles per doc.
+        sets = sh.groupBy(id_col).agg(F.collect_list("shingle").alias("shs"))
     sa = sets.select(F.col(id_col).alias("id_1"), F.col("shs").alias("sh_1"))
     sb = sets.select(F.col(id_col).alias("id_2"), F.col("shs").alias("sh_2"))
     m = (
