@@ -43,6 +43,13 @@ def duckdb_side(sql: str, sf_dir: str, timeout: float):
     from leader_graph_spark.sources.tables import TABLES
 
     con = duckdb.connect()
+    # Quadratic yardstick oracles at 10x can spill DuckDB temp until
+    # the DISK fills (observed: dedup_canonical's recursive-closure
+    # oracle wrote ~79 GB before dying) — cap the spill so infeasible
+    # yardsticks fail fast as oracle errors instead of starving the
+    # box.
+    con.execute("SET temp_directory='/tmp/duckdb_replay_tmp'")
+    con.execute("SET max_temp_directory_size='20GB'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         # replica dirs are spark-written parquet DIRECTORIES; base
@@ -129,6 +136,9 @@ def main() -> int:
             rec.update(status="oracle_timeout_spark_ok", rows=sres[0])
         elif sstat == "timeout":
             rec.update(status="spark_timeout", oracle_status=ostat)
+        elif sstat == "ok":
+            # oracle errored (e.g. spill cap) while the engine finished
+            rec.update(status="oracle_error_spark_ok", rows=sres[0], oracle_status=ostat)
         else:
             rec.update(status=sstat, oracle_status=ostat)
         out[name] = rec
