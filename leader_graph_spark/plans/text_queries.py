@@ -372,11 +372,17 @@ counts AS (SELECT term, count(*) AS n FROM toks GROUP BY term),
 req AS (
   SELECT term FROM counts WHERE n > 0.02 * (SELECT sum(n) FROM counts)
 )
-SELECT list_aggregate(list_sort(list(term)), 'string_agg', ',') AS required_terms,
+SELECT coalesce(list_aggregate(list_sort(list(term)), 'string_agg', ','), '')
+         AS required_terms,
        CAST(count(*) AS BIGINT) AS n_required,
        TRUE AS all_required_present
 FROM req
 """
+# ^ coalesce: an EMPTY required set is legal (no term above support —
+# e.g. a corpus of disjoint vocabularies) and must canonicalize
+# identically on both sides; Spark's array_join over an empty
+# collect_list is '', while DuckDB's string_agg over zero rows is NULL
+# (the round-6 10x battery caught the divergence).
 
 
 @query("frequent_terms_approx", _FREQ_TERMS_ORACLE, tags=("text-heavy-hitters", "approx"))
