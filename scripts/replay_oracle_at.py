@@ -50,6 +50,12 @@ def duckdb_side(sql: str, sf_dir: str, timeout: float):
     # box.
     con.execute("SET temp_directory='/tmp/duckdb_replay_tmp'")
     con.execute("SET max_temp_directory_size='20GB'")
+    # ...and cap memory: an unrolled iterative CTE over a 12M-row sym
+    # edge list took the whole box down (kernel OOM-killed the replay
+    # at query 100/205) under DuckDB's default 80%-of-RAM limit. A
+    # bounded failure is an oracle_error row; an unbounded one is a
+    # dead replay.
+    con.execute("SET memory_limit='24GB'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         # replica dirs are spark-written parquet DIRECTORIES; base
@@ -73,16 +79,26 @@ def duckdb_side(sql: str, sf_dir: str, timeout: float):
 
 
 def spark_side(spark, fn, sf_dir: str, timeout: float):
-    """Run the Spark side with a cancel-group watchdog."""
+    """Run the Spark side with a cancel-group watchdog.
+
+    The cancel REPEATS until the query thread finishes:
+    cancelJobGroup only kills currently-active jobs, and an iterative
+    query (checkpoint-per-round loops) immediately submits the next
+    round's action after the cancelled one — a single cancel let a
+    timed-out kcore run 20 more minutes of rounds."""
     spark.sparkContext.setJobGroup("replay", "oracle replay", True)
     timed_out = threading.Event()
+    done = threading.Event()
 
-    def cancel():
+    def canceller():
+        if done.wait(timeout):
+            return
         timed_out.set()
-        spark.sparkContext.cancelJobGroup("replay")
+        while not done.wait(1.0):
+            spark.sparkContext.cancelJobGroup("replay")
 
-    timer = threading.Timer(timeout, cancel)
-    timer.start()
+    t = threading.Thread(target=canceller, daemon=True)
+    t.start()
     try:
         return spark_result(fn(spark, sf_dir)), "ok"
     except Exception:
@@ -90,7 +106,7 @@ def spark_side(spark, fn, sf_dir: str, timeout: float):
             return None, "timeout"
         raise
     finally:
-        timer.cancel()
+        done.set()
         spark.sparkContext.setJobGroup("", "")
 
 
@@ -100,6 +116,11 @@ def main() -> int:
     p.add_argument("--json-out", required=True)
     p.add_argument("--timeout", type=float, default=240.0)
     p.add_argument("--queries", help="comma-separated subset")
+    p.add_argument(
+        "--resume",
+        action="store_true",
+        help="keep existing --json-out rows and run only queries not yet recorded",
+    )
     args = p.parse_args()
 
     from leader_graph_spark.plans import REGISTRY
@@ -112,6 +133,11 @@ def main() -> int:
     )
     spark = get_spark("oracle_replay")
     out: dict[str, dict] = {}
+    if args.resume and os.path.exists(args.json_out):
+        with open(args.json_out) as f:
+            out = json.load(f)["results"]
+        names = [n for n in names if n not in out]
+        print(f"resuming: {len(out)} recorded, {len(names)} to run", flush=True)
     for i, name in enumerate(names):
         spec = REGISTRY[name]
         rec: dict = {}
