@@ -69,6 +69,11 @@ class DFGraph:
     """GraphFrames-style property graph over two DataFrames."""
 
     def __init__(self, vertices: DataFrame, edges: DataFrame):
+        """``vertices.id`` must be UNIQUE (the GraphFrames contract):
+        it is the key motif finding attaches vertex structs on, so a
+        duplicated id multiplies every matched motif row. Dedup at
+        construction (``dropDuplicates(["id"])``) when the source is a
+        union that can repeat content-derived keys."""
         if "id" not in vertices.columns:
             raise ValueError("vertices must have an 'id' column")
         if "src" not in edges.columns or "dst" not in edges.columns:

@@ -1123,10 +1123,20 @@ def motif_two_hop_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle replays it as plain SQL joins, so the driver hash pins
     the motif compiler's join semantics (unification of the shared
     vertex name, edge-attribute structs, name scoping). Negated terms
-    and anonymous elements are unit-pinned in tests/test_frames.py."""
+    and anonymous elements are unit-pinned in tests/test_frames.py.
+
+    Vertices are deduplicated by id at construction: unique vertex ids
+    are the GraphFrames contract DFGraph inherits (id is the key the
+    struct attach joins on), and duplicate content-keys would multiply
+    every motif row by the duplicate count per named vertex — the
+    round-6 10x replica (replicated names ⇒ ×10 per id) turned the
+    two-hop into a ×1000 row bomb before this dedup."""
     from leader_graph_spark.graph.frames import DFGraph
 
-    g = DFGraph(build_vertices(spark, sf_dir), build_membership_edges(spark, sf_dir))
+    g = DFGraph(
+        build_vertices(spark, sf_dir).dropDuplicates(["id"]),
+        build_membership_edges(spark, sf_dir),
+    )
     motif = g.find("(p)-[w]->(n); (n)-[b]->(r)").where(
         (F.col("w.relationship") == "WORKS_FOR")
         & (F.col("b.relationship") == "BELONGS_TO")
