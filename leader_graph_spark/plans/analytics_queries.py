@@ -1506,8 +1506,17 @@ def order_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rev.crossJoin(F.broadcast(tot)).select(
         F.col("m").alias("calendar_month"),
         F.col("cents").cast("bigint").alias("revenue_cents"),
-        F.expr("CAST((1000000 * cents) div t AS BIGINT)").alias("share_ppm"),
-        F.expr("CAST((12000000 * cents) div t AS BIGINT)").alias("seasonal_index_ppm"),
+        # DECIMAL(38,0) intermediates: 12e6 × a 10x-scale month of
+        # cents (~2e12) is ~2.4e19 — past BIGINT — while DuckDB's sum
+        # is already HUGEINT; IntegralDivide on decimals keeps the
+        # exact integer quotient both engines agree on (round-6 10x
+        # battery caught the long overflow).
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * cents) div t AS BIGINT)"
+        ).alias("share_ppm"),
+        F.expr(
+            "CAST((CAST(12000000 AS DECIMAL(38,0)) * cents) div t AS BIGINT)"
+        ).alias("seasonal_index_ppm"),
     )
 
 
