@@ -319,8 +319,12 @@ def stream_dedup_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     landing = os.path.join(tmp, "landing")
     os.makedirs(landing)
     src = f"{sf_dir}/events.parquet"
-    shutil.copy(src, os.path.join(landing, "copy1.parquet"))
-    shutil.copy(src, os.path.join(landing, "copy2.parquet"))
+    # The landing table may be one driver-generated FILE or a
+    # Spark-written DIRECTORY of part files (the 10x replica) — stage
+    # two full copies either way.
+    copy = shutil.copytree if os.path.isdir(src) else shutil.copy
+    copy(src, os.path.join(landing, "copy1.parquet"))
+    copy(src, os.path.join(landing, "copy2.parquet"))
     sdf = deduped_events_stream(spark, landing).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )

@@ -24,7 +24,9 @@ from pyspark.sql import types as T
 
 from leader_graph_spark.sources.tables import ts_parquet_unit
 
-def _events_stream_schema(spark: SparkSession, probe_path: str) -> T.StructType:
+def _events_stream_schema(
+    spark: SparkSession, probe_path: str, *, recursive: bool = False
+) -> T.StructType:
     """Physical schema for the events landing files, via a one-time
     driver-side batch probe. The driver's parquet has shipped ``ts`` as
     both TIMESTAMP(NANOS) (reads as bigint under the nanosAsLong legacy
@@ -32,7 +34,10 @@ def _events_stream_schema(spark: SparkSession, probe_path: str) -> T.StructType:
     TIMESTAMP_NTZ) — the file-stream source needs an explicit schema,
     so it must match whichever variant is on disk."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(probe_path).schema
+    reader = spark.read
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.parquet(probe_path).schema
 
 
 def _normalize_ts(sdf: DataFrame, probe_path: str | None = None) -> DataFrame:
@@ -76,15 +81,26 @@ def _probe_file(path: str) -> str:
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of the events landing file, timestamp-variant
     agnostic (see ``_events_stream_schema``)."""
-    schema = _events_stream_schema(spark, f"{sf_dir}/events.parquet")
-    # The file-stream source requires a directory: scan sf_dir with a
-    # glob filter selecting just the events landing file.
-    sdf = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    return _normalize_ts(sdf, f"{sf_dir}/events.parquet")
+    import os
+
+    path = f"{sf_dir}/events.parquet"
+    schema = _events_stream_schema(spark, path)
+    if os.path.isdir(path):
+        # Spark-written landing: events.parquet IS a directory of part
+        # files — exactly what the file-stream source wants. (The glob
+        # form below would list ZERO files here: pathGlobFilter matches
+        # leaf files, not directories — caught by the 10x replica.)
+        sdf = spark.readStream.schema(schema).parquet(path)
+    else:
+        # Driver-generated landing: a single file; the file-stream
+        # source requires a directory, so scan sf_dir with a glob
+        # selecting just the events landing file.
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+    return _normalize_ts(sdf, path)
 
 
 def tumbling_counts(events: DataFrame, *, window: str = "1 hour") -> DataFrame:
@@ -264,8 +280,14 @@ def deduped_events_stream(
     and evicts beyond it — bounded by arrival rate × watermark, not by
     stream length (plain ``dropDuplicates`` on a stream would keep
     every key forever)."""
-    schema = _events_stream_schema(spark, landing_dir)
-    sdf = spark.readStream.schema(schema).parquet(landing_dir)
+    schema = _events_stream_schema(spark, landing_dir, recursive=True)
+    # recursiveFileLookup: staged copies may be parquet DIRECTORIES
+    # (Spark-written landings), not just flat files.
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(landing_dir)
+    )
     return (
         _normalize_ts(sdf, landing_dir)
         .withWatermark("ts", watermark)
