@@ -639,10 +639,15 @@ def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RANGE_FRAME_ORACLE = """
 SELECT event_id, user_id,
        CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
-         PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
+         PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS hour_sum
 FROM events
 """
+# ^ floor, not ::BIGINT: DuckDB's double->int cast ROUNDS while Spark's
+# unix_seconds TRUNCATES, so a neighbor with a >=.5s fraction sitting
+# exactly at the 3600s frame edge lands in different frames (caught by
+# the round-6 10x battery: 20 boundary rows; sf0.01 had no such
+# collision so the hash never saw it).
 
 
 @query("trailing_hour_value_per_user", _RANGE_FRAME_ORACLE, tags=("window-range-frame",))
