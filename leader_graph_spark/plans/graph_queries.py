@@ -1146,3 +1146,89 @@ def motif_two_hop_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n.id").alias("org_id"),
         F.col("r.id").alias("parent_id"),
     )
+
+
+_MOTIF_NEG_ORACLE = """
+WITH works AS (
+  SELECT md5(concat('customer', '_', c_name)) AS src,
+         md5(concat('nation', '_', n_name)) AS dst,
+         c_custkey AS ck
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+),
+belongs AS (
+  SELECT md5(concat('nation', '_', n_name)) AS src,
+         md5(concat('region', '_', r_name)) AS dst
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+),
+shortcut AS (
+  SELECT w.src, b.dst
+  FROM works w JOIN belongs b ON w.dst = b.src
+  WHERE w.ck % 2 = 0
+),
+edges AS (
+  SELECT src, dst FROM works
+  UNION ALL SELECT src, dst FROM belongs
+  UNION ALL SELECT src, dst FROM shortcut
+)
+SELECT w.src AS person_id, b.dst AS region_id
+FROM works w JOIN belongs b ON w.dst = b.src
+WHERE NOT EXISTS (
+  SELECT 1 FROM edges e WHERE e.src = w.src AND e.dst = b.dst
+)
+"""
+
+
+@query("motif_missing_shortcut_edges", _MOTIF_NEG_ORACLE, tags=("graph-motif", "negation"))
+def motif_missing_shortcut_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEGATED-term motif finding (round-6): find two-hop
+    person→nation→region paths whose direct person→region SHORTCUT
+    edge is missing — the edge-cache-completeness query of a
+    materialized-path graph (Cypher's ``WHERE NOT (p)-[]->(r)``;
+    GraphFrames' ``!(p)-[]->(r)``). The graph carries works_for +
+    belongs_to edges plus shortcut edges materialized for EVEN
+    custkeys only, so the anti-join must return exactly the odd-key
+    customers — a negation that bites, pinned by the NOT EXISTS
+    oracle."""
+    from leader_graph_spark.graph.frames import DFGraph
+
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    customer = load_table(spark, sf_dir, "customer")
+    from leader_graph_spark.functions.scalar import md5_key
+
+    works = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select(
+        md5_key(F.lit("customer"), "c_name").alias("src"),
+        md5_key(F.lit("nation"), "n_name").alias("dst"),
+        F.col("c_custkey").alias("ck"),
+    )
+    belongs = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(
+        md5_key(F.lit("nation"), "n_name").alias("src"),
+        md5_key(F.lit("region"), "r_name").alias("dst"),
+    )
+    b2 = belongs.select(
+        F.col("src").alias("b_src"), F.col("dst").alias("b_dst")
+    )
+    shortcut = (
+        works.where(F.col("ck") % 2 == 0)
+        .join(b2, F.col("dst") == F.col("b_src"))
+        .select("src", F.col("b_dst").alias("dst"))
+    )
+    edges = (
+        works.select("src", "dst")
+        .unionByName(belongs.select("src", "dst"))
+        .unionByName(shortcut.select("src", "dst"))
+    )
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .dropDuplicates(["id"])
+    )
+    g = DFGraph(vertices, edges)
+    motif = g.find("(p)-[w]->(n); (n)-[b]->(r); !(p)-[]->(r)")
+    return motif.select(
+        F.col("p.id").alias("person_id"), F.col("r.id").alias("region_id")
+    )
