@@ -206,6 +206,38 @@ class DFGraph:
 
         return khop_distances(self.edges, landmarks, k=max_hops)
 
+    def aggregateMessages(self, agg_expr, *, sendToSrc=None, sendToDst=None) -> DataFrame:
+        """GraphFrames' message-passing primitive: for every edge,
+        optionally send a message to its src and/or dst, then aggregate
+        per receiving vertex — the building block Pregel-style
+        algorithms (PageRank, LPA, BFS) compile to.
+
+        ``sendToSrc``/``sendToDst`` are Column expressions over the
+        triplet namespace — struct columns ``src``, ``edge``, ``dst``
+        (e.g. ``F.col("dst.age")`` as a message to src). ``agg_expr``
+        is an aggregate over ``F.col("msg")``. Returns (id, agg).
+
+        Scale shape: one triplet build (two vertex joins) + one
+        union + one hash aggregation on the receiving id — the same
+        plan each round of the hand-written algorithms uses; no
+        driver-side state."""
+        if sendToSrc is None and sendToDst is None:
+            raise ValueError("provide sendToSrc and/or sendToDst")
+        t = self.triplets
+        parts = []
+        if sendToSrc is not None:
+            parts.append(
+                t.select(F.col("src.id").alias("id"), sendToSrc.alias("msg"))
+            )
+        if sendToDst is not None:
+            parts.append(
+                t.select(F.col("dst.id").alias("id"), sendToDst.alias("msg"))
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.groupBy("id").agg(agg_expr.alias("agg"))
+
     def filterVertices(self, condition) -> "DFGraph":
         """Subgraph induced by the kept vertices (edges must keep both
         endpoints) — GraphFrames' filterVertices semantics."""

@@ -113,3 +113,26 @@ def test_motif_matches_handwritten_join_on_membership_graph(spark, sf_smoke):
         .collect()
     }
     assert got == want and got
+
+
+def test_aggregate_messages(g):
+    """GraphFrames aggregateMessages parity: sum of neighbor ids over
+    both directions equals the hand-computed undirected neighbor sums,
+    and a one-direction send only reaches that side."""
+    both = {
+        r.id: r.agg
+        for r in g.aggregateMessages(
+            F.sum("msg"),
+            sendToSrc=F.col("dst.id"),
+            sendToDst=F.col("src.id"),
+        ).collect()
+    }
+    # edges 1→2, 2→3, 1→3, 3→4: undirected neighbor-id sums
+    assert both == {1: 5, 2: 4, 3: 7, 4: 3}
+    to_dst_only = {
+        r.id: r.agg
+        for r in g.aggregateMessages(F.count("msg"), sendToDst=F.lit(1)).collect()
+    }
+    assert to_dst_only == {2: 1, 3: 2, 4: 1}  # == inDegrees
+    with pytest.raises(ValueError):
+        g.aggregateMessages(F.sum("msg"))
