@@ -67,6 +67,57 @@ def connected_components(
     return _with_isolated(vertices, labels)
 
 
+def connected_components_narrow(
+    vertices: DataFrame, edges: DataFrame, *, max_iter: int = 25
+) -> DataFrame:
+    """Narrow-label scale twin of :func:`connected_components`: the
+    32-char md5 vertex ids this engine uses as content keys make every
+    propagation round shuffle ~40-byte label values; at 100 TB the
+    label stream IS the round cost. This variant ranks the vertex
+    universe once (:func:`ranked_vertices` — ascending id, so
+    min-rank ≡ min-id), propagates 8-byte BIGINT ranks, and maps back
+    to id labels in one final join. Output is bit-identical to the
+    string form (same min-reachable-id labeling; equality
+    test-pinned), with per-round shuffle width cut ~5x."""
+    sym = symmetrize(edges).localCheckpoint()
+    all_ids = (
+        vertices.select("id")
+        .unionByName(sym.select(F.col("src").alias("id")))
+        .distinct()
+    )
+    ranked = ranked_vertices(all_ids.select(F.col("id").alias("v"))).localCheckpoint()
+    r_src = ranked.select(F.col("v").alias("src"), F.col("rank0").alias("isrc"))
+    r_dst = ranked.select(F.col("v").alias("dst"), F.col("rank0").alias("idst"))
+    int_edges = (
+        sym.join(r_src, "src")
+        .join(r_dst, "dst")
+        .select(F.col("isrc").alias("src"), F.col("idst").alias("dst"))
+        .localCheckpoint()
+    )
+    labels = _active_vertices(int_edges)
+    for _ in range(max_iter):
+        stepped = _min_propagation_round(int_edges, labels, with_changed=True).localCheckpoint()
+        changed = stepped.where(F.col("_changed")).limit(1).count()
+        labels = stepped.select("id", "component")
+        if changed == 0:
+            break
+    # map int ranks back to id labels; isolated vertices label themselves
+    comp_name = ranked.select(
+        F.col("rank0").alias("component"), F.col("v").alias("component_id")
+    )
+    named = (
+        labels.join(ranked, labels.id == ranked.rank0)
+        .join(comp_name, "component")
+        .select(F.col("v").alias("id"), F.col("component_id").alias("component"))
+    )
+    return (
+        vertices.select("id")
+        .distinct()
+        .join(named, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+    )
+
+
 def _active_vertices(sym: DataFrame) -> DataFrame:
     """Initial labels over ONLY the vertices that appear in an edge.
 

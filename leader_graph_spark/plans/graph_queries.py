@@ -1232,3 +1232,25 @@ def motif_missing_shortcut_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return motif.select(
         F.col("p.id").alias("person_id"), F.col("r.id").alias("region_id")
     )
+
+
+@query(
+    "connected_components_narrow_labels",
+    _CC_ORACLE,
+    tags=("graph-iterative", "scale-twin", "narrow-shuffle"),
+)
+def connected_components_narrow_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Narrow-label CC scale twin (round-6): identical converged
+    min-reachable-id labeling as ``connected_components_membership``
+    (same recursive-CTE oracle, full value hash), but every
+    propagation round shuffles 8-byte BIGINT ranks instead of 32-char
+    md5 strings — the rank table (ascending id, so min-rank ≡ min-id)
+    is built once with the two-phase distributed rank and mapped back
+    in one final join. At 100 TB the label stream IS the round cost;
+    cutting row width ~5x is the same narrow-shuffle-key argument
+    SCALE.md makes for the dedup lanes."""
+    from leader_graph_spark.graph.algorithms import connected_components_narrow
+
+    vertices = build_vertices(spark, sf_dir)
+    edges = build_membership_edges(spark, sf_dir)
+    return connected_components_narrow(vertices, edges)

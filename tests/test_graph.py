@@ -402,3 +402,26 @@ def test_link_prediction_ranked_path_matches_broadcast(spark, sf_dir):
     rows = sorted((r.rank0, r.v) for r in ranked.collect())
     assert [v for _, v in rows] == sorted(v for _, v in rows)
     assert [r0 for r0, _ in rows] == list(range(len(rows)))
+
+
+def test_narrow_cc_equals_string_cc(spark, sf_smoke):
+    """The narrow-label twin must be BIT-IDENTICAL to the string-label
+    CC — min int rank maps back to min id — including isolated
+    vertices and a duplicate-id vertex table (set semantics)."""
+    from leader_graph_spark.graph.algorithms import (
+        connected_components,
+        connected_components_narrow,
+    )
+    from leader_graph_spark.graph.build import build_membership_edges, build_vertices
+
+    v = build_vertices(spark, sf_smoke)
+    e = build_membership_edges(spark, sf_smoke)
+    want = {tuple(r) for r in connected_components(v, e).collect()}
+    got = {tuple(r) for r in connected_components_narrow(v, e).collect()}
+    assert got == want and got
+
+    # toy graph with an isolated vertex and duplicate vertex rows
+    v2 = spark.createDataFrame([("b",), ("a",), ("c",), ("z",), ("a",)], "id string")
+    e2 = spark.createDataFrame([("b", "a"), ("b", "c")], "src string, dst string")
+    got2 = {tuple(r) for r in connected_components_narrow(v2, e2).collect()}
+    assert got2 == {("a", "a"), ("b", "a"), ("c", "a"), ("z", "z")}
