@@ -181,6 +181,42 @@ class DFGraph:
         keep = v_names + sorted(edge_names_seen)
         return result.select(*keep)
 
+    def bfs(self, fromExpr, toExpr, *, maxPathLength: int = 10) -> DataFrame:
+        """GraphFrames-style breadth-first search: shortest directed
+        paths from any vertex matching ``fromExpr`` to any matching
+        ``toExpr`` (SQL strings or Columns over the vertex columns).
+        Returns paths of the first depth where a match exists, as
+        struct columns ``from, e0, v1, e1, …, to`` — exactly the
+        GraphFrames output shape. Paths never revisit a vertex (a
+        cycle cannot shorten a path, and pruning keeps the per-level
+        join linear in reachable paths instead of exploding on cyclic
+        graphs). One driver-side existence probe per level — the same
+        level-synchronous shape GraphFrames executes."""
+        to_f = F.expr(toExpr) if isinstance(toExpr, str) else toExpr
+        from_f = F.expr(fromExpr) if isinstance(fromExpr, str) else fromExpr
+        v = self.vertices
+        start = v.filter(from_f)
+        hit0 = start.filter(to_f).select(F.struct(*v.columns).alias("from"))
+        if hit0.take(1):
+            return hit0.select("from", F.col("from").alias("to"))
+        targets = v.filter(to_f).select(F.struct(*v.columns).alias("to"))
+        paths = start.select(F.struct(*v.columns).alias("from"))
+        for k in range(1, maxPathLength + 1):
+            prev = "from" if k == 1 else f"v{k - 1}"
+            e = self.edges.select(F.struct(*self.edges.columns).alias(f"e{k - 1}"))
+            stepped = paths.join(e, F.col(f"{prev}.id") == F.col(f"e{k - 1}.src"))
+            hits = stepped.join(
+                targets, F.col(f"e{k - 1}.dst") == F.col("to.id")
+            )
+            if hits.take(1):
+                return hits
+            vk = v.select(F.struct(*v.columns).alias(f"v{k}"))
+            paths = stepped.join(vk, F.col(f"e{k - 1}.dst") == F.col(f"v{k}.id"))
+            seen = ["from"] + [f"v{i}" for i in range(1, k)]
+            for s in seen:
+                paths = paths.filter(F.col(f"v{k}.id") != F.col(f"{s}.id"))
+        return hit0.select("from", F.col("from").alias("to")).limit(0)
+
     # -- algorithm delegates ----------------------------------------------
     def connectedComponents(self) -> DataFrame:
         """(id, component) — delegates to the converged min-label CC."""

@@ -136,3 +136,24 @@ def test_aggregate_messages(g):
     assert to_dst_only == {2: 1, 3: 2, 4: 1}  # == inDegrees
     with pytest.raises(ValueError):
         g.aggregateMessages(F.sum("msg"))
+
+
+def test_bfs_shortest_paths(g):
+    """GraphFrames bfs parity on the toy graph (1→2, 2→3, 1→3, 3→4):
+    shortest-depth semantics, struct path columns, no-revisit pruning,
+    source==target depth-0 form, and the not-found empty frame."""
+    # depth 1: 1→3 direct beats 1→2→3
+    p = g.bfs("id = 1", "id = 3").collect()
+    assert len(p) == 1 and p[0]["from"].id == 1 and p[0].to.id == 3
+    assert p[0].e0.relationship == "c"
+    # depth 2: 1→3→4 (columns from, e0, v1, e1, to)
+    p = g.bfs("id = 1", "id = 4").collect()
+    assert len(p) == 1
+    r = p[0]
+    assert (r["from"].id, r.v1.id, r.to.id) == (1, 3, 4)
+    assert (r.e0.relationship, r.e1.relationship) == ("c", "d")
+    # source satisfies target: single from/to row at depth 0
+    p = g.bfs("id = 2", "id < 3").collect()
+    assert len(p) == 1 and p[0]["from"].id == 2 and p[0].to.id == 2
+    # unreachable within bound: empty
+    assert g.bfs("id = 4", "id = 1", maxPathLength=3).count() == 0
