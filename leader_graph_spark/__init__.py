@@ -60,6 +60,9 @@ _EXPORTS = {
     "extract_leader_details": "leader_graph_spark.pipeline.stages",
     "structure_careers": "leader_graph_spark.pipeline.stages",
     "build_graph": "leader_graph_spark.pipeline.stages",
+    # GraphFrames-shaped property-graph facade (motif finding, bfs,
+    # aggregateMessages, algorithm delegates)
+    "DFGraph": "leader_graph_spark.graph.frames",
     # the named-query registry (drives __spark_entry__, bench.py, tests)
     "REGISTRY": "leader_graph_spark.plans",
     "bench_queries": "leader_graph_spark.plans",
