@@ -689,7 +689,7 @@ def _negative_pick_hash(salt: str):
     ).cast("bigint")
 
 
-def ranked_vertices(vertices: DataFrame, *, n_partitions: int = 32) -> DataFrame:
+def ranked_vertices(vertices: DataFrame, *, n_partitions: int | None = None) -> DataFrame:
     """(v, rank0) with rank0 = 0-indexed position of v in the globally
     sorted vertex universe — WITHOUT a global single-reducer window.
     Two-phase distributed rank: repartitionByRange(v) +
@@ -697,7 +697,15 @@ def ranked_vertices(vertices: DataFrame, *, n_partitions: int = 32) -> DataFrame
     ``monotonically_increasing_id`` split into (ordered partition
     index, in-partition offset) plus a ≤ n_partitions-row carry table
     joined back by broadcast — the only unpartitioned window runs over
-    the carry aggregate, never over data-sized input."""
+    the carry aggregate, never over data-sized input.
+
+    ``n_partitions`` defaults to the session's
+    ``sparkContext.defaultParallelism`` so rank-build parallelism
+    tracks the cluster instead of capping at a constant — on a
+    1000-executor cluster the range partitioner spreads |V| over the
+    real slot count, not 32."""
+    if n_partitions is None:
+        n_partitions = max(vertices.sparkSession.sparkContext.defaultParallelism, 1)
     ranged = (
         vertices.select("v")
         .repartitionByRange(n_partitions, "v")

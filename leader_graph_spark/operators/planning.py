@@ -223,11 +223,17 @@ def apply_join_strategy(
         # join is symmetric there). For how='left', a flipped
         # salted_join(right, left, how='left') would preserve unmatched
         # RIGHT rows — right-outer semantics the caller never asked for.
-        # So for outer forms keep left as the probe side: the skewed
-        # right side is the replicated one (n_salts copies spread its
-        # hot key across partitions too), results stay exactly how=left.
         if how in ("inner",):
             joined = salted_join(cond_right, left, key=left_key, n_salts=n_salts, how=how)
             return joined.select(*[c for c in left.columns], *[c for c in cond_right.columns if c != left_key])
-        return salted_join(left, cond_right, key=left_key, n_salts=n_salts, how=how)
+        # Outer form + right-side skew: salting here would NOT spread the
+        # hot key's build work — salted_join(left, right) replicates the
+        # entire skewed right side into every salt, so each (key, salt)
+        # partition still holds all hot-key right rows; only probe/output
+        # work is spread, at n_salts x build cost. A plain sort-merge join
+        # is the better trade: AQE's skew-join split
+        # (spark.sql.adaptive.skewJoin.enabled, on by default here)
+        # handles the oversized probe partitions at runtime without
+        # replicating the build side.
+        return left.join(cond_right, left_key, how)
     return left.join(cond_right, left_key, how)

@@ -67,7 +67,10 @@ def _normalize_ts(sdf: DataFrame, probe_path: str | None = None) -> DataFrame:
 
 def _probe_file(path: str) -> str:
     """Resolve a landing path (file or directory) to one parquet file
-    for footer probing."""
+    for footer probing. LOCAL-FILESYSTEM ONLY by design: the footer is
+    read driver-side with pyarrow, which doesn't resolve hdfs://-style
+    URIs — and the probe only fires for the driver-generated local
+    testdata whose ``ts`` encoding it disambiguates."""
     import glob
     import os
 
@@ -78,14 +81,24 @@ def _probe_file(path: str) -> str:
     return path
 
 
+def path_is_dir(spark: SparkSession, path: str) -> bool:
+    """Landing-shape probe that works on ANY Hadoop-supported
+    filesystem (file://, hdfs://, s3a://…), not just local paths:
+    resolves through the JVM ``FileSystem`` API, so an hdfs:// landing
+    takes the directory branch instead of silently falling through to
+    the single-file glob (which would list zero files there)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath) and fs.getFileStatus(hpath).isDirectory())
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of the events landing file, timestamp-variant
     agnostic (see ``_events_stream_schema``)."""
-    import os
-
     path = f"{sf_dir}/events.parquet"
     schema = _events_stream_schema(spark, path)
-    if os.path.isdir(path):
+    if path_is_dir(spark, path):
         # Spark-written landing: events.parquet IS a directory of part
         # files — exactly what the file-stream source wants. (The glob
         # form below would list ZERO files here: pathGlobFilter matches

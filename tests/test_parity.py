@@ -9,8 +9,14 @@ from leader_graph_spark.plans import REGISTRY
 
 from tests.oracle import compare
 
-ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
-NO_ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
+ORACLE_QUERIES = sorted(REGISTRY)
+
+
+def test_all_queries_have_oracles():
+    """The rows-only class was eliminated in round 6 — every registered
+    query carries a full (exact or bounded-assertion) oracle. Pin that
+    it stays empty."""
+    assert [n for n, s in REGISTRY.items() if s.oracle is None] == []
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
@@ -19,15 +25,6 @@ def test_oracle_parity(spark, sf_dir, name):
     df = spec.spark(spark, sf_dir)
     result = compare(df, spec.oracle, sf_dir)
     assert result["match"], {k: v for k, v in result.items() if not k.startswith("hash_") or not result["match"]}
-
-
-@pytest.mark.parametrize("name", NO_ORACLE_QUERIES)
-def test_rows_only(spark, sf_dir, name):
-    """Non-SQL-expressible queries: must run and return a stable schema."""
-    spec = REGISTRY[name]
-    df = spec.spark(spark, sf_dir)
-    assert df.columns
-    assert df.count() >= 0
 
 
 def test_entry_smoke(spark):
