@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F
 
+from leader_graph_spark.metrics import measure_query
 from leader_graph_spark.plans import bench_queries
 from leader_graph_spark.session import DEFAULT_SF_DIR, get_spark
 from leader_graph_spark.sources.tables import load_table
@@ -67,6 +68,19 @@ def main() -> None:
             all_times.setdefault(name, []).append(time.perf_counter() - t0)
     timings = {name: round(min(ts), 3) for name, ts in all_times.items()}
 
+    # Shuffle-bytes/spill/actions ledger: one extra measured pass per
+    # query AFTER the timed runs (so listener polling never contaminates
+    # the timings). Bytes are the scale currency local wall-time hides —
+    # a ~0.5s local floor can mask a 10x shuffle regression that would
+    # dominate on a real cluster; bytes can't. ``jobs`` is the
+    # driver-actions count (each is a full scheduling barrier at 1000
+    # executors — the latency floor of the iterative queries).
+    ledger = {}
+    for name, spec in sorted(bench_queries().items()):
+        led = measure_query(spark, lambda s=spec: s.bench_spark(spark, sf_dir)).as_dict()
+        del led["wall_sec"]  # timings above are the authoritative times
+        ledger[name] = led
+
     def median(ts: list[float]) -> float:
         s = sorted(ts)
         mid = len(s) // 2
@@ -78,6 +92,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "ledger": ledger,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
@@ -111,6 +126,7 @@ def main() -> None:
                     "queries_median": {
                         name: round(median(ts), 3) for name, ts in all_times.items()
                     },
+                    "ledger": ledger,
                     "output_rows": rows,
                 },
                 f,
@@ -161,6 +177,23 @@ def main() -> None:
                     q for q, r in ratios.items() if r > bands[q]
                 ),
             }
+        # Bytes guard: shuffle volume is near-deterministic for a fixed
+        # plan + data (unlike wall time), so the band is tight — flag a
+        # query whose shuffle (read+write) bytes grew >30% over the
+        # baseline ledger, with 1 MB absolute slack so the KB-scale
+        # queries don't flag on AQE coalescing jitter.
+        base_ledger = base.get("ledger") or {}
+        bytes_flagged = []
+        for q, led in ledger.items():
+            b = base_ledger.get(q)
+            if not b:
+                continue
+            now_mb = led["shuffle_read_mb"] + led["shuffle_write_mb"]
+            base_mb = b["shuffle_read_mb"] + b["shuffle_write_mb"]
+            if now_mb > base_mb * 1.3 + 1.0:
+                bytes_flagged.append(q)
+        if "vs_baseline" in out:
+            out["vs_baseline"]["bytes_flagged"] = sorted(bytes_flagged)
     print(json.dumps(out))
 
 
