@@ -9,8 +9,24 @@ edge DataFrame (the same shapes GraphFrames compiles to).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _checkpoint_observed(df: DataFrame, **aggs) -> tuple[DataFrame, dict]:
+    """Eagerly ``localCheckpoint`` with observation metrics riding the
+    SAME job. Iterative loops need a per-round convergence probe; run
+    as a separate ``count()``/``first()`` it doubles the driver actions
+    per round — and each action is a full scheduling barrier on a real
+    cluster, the latency floor of every loop-style query. ``observe``
+    aggregates are computed inline by the checkpoint's own job, so the
+    probe is free: one action per round, probe included (measured: CC
+    round job count halved; the bench ledger's ``jobs`` column pins
+    it)."""
+    obs = Observation()
+    out = df.observe(obs, *[expr.alias(name) for name, expr in aggs.items()]).localCheckpoint()
+    return out, obs.get
 
 
 def symmetrize(edges: DataFrame) -> DataFrame:
@@ -54,15 +70,16 @@ def connected_components(
     sym = symmetrize(edges).localCheckpoint()
     labels = _active_vertices(sym)
     for _ in range(max_iter):
-        # The convergence probe rides the SAME checkpointed round
-        # output (the round join already sees old next to new, so
-        # `_changed` is a free column) — re-joining old vs new labels
-        # for the check doubled the per-round job count, pure fixed
-        # overhead on an iterative query.
-        stepped = _min_propagation_round(sym, labels, with_changed=True).localCheckpoint()
-        changed = stepped.where(F.col("_changed")).limit(1).count()
+        # The convergence probe rides the SAME job as the round's
+        # checkpoint (`_changed` is a free column of the round join;
+        # the observed sum is computed inline by the checkpoint
+        # action) — ONE driver action per round, probe included.
+        stepped, seen = _checkpoint_observed(
+            _min_propagation_round(sym, labels, with_changed=True),
+            changed=F.sum(F.col("_changed").cast("long")),
+        )
         labels = stepped.select("id", "component")
-        if changed == 0:
+        if not seen["changed"]:
             break
     return _with_isolated(vertices, labels)
 
@@ -96,10 +113,12 @@ def connected_components_narrow(
     )
     labels = _active_vertices(int_edges)
     for _ in range(max_iter):
-        stepped = _min_propagation_round(int_edges, labels, with_changed=True).localCheckpoint()
-        changed = stepped.where(F.col("_changed")).limit(1).count()
+        stepped, seen = _checkpoint_observed(
+            _min_propagation_round(int_edges, labels, with_changed=True),
+            changed=F.sum(F.col("_changed").cast("long")),
+        )
         labels = stepped.select("id", "component")
-        if changed == 0:
+        if not seen["changed"]:
             break
     # map int ranks back to id labels; isolated vertices label themselves
     comp_name = ranked.select(
@@ -213,14 +232,16 @@ def connected_components_two_phase(
             e.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))
         )
 
-    def fingerprint(e: DataFrame):
-        # order-free set fingerprint; bit_xor cannot overflow under
-        # ANSI (a hash SUM can and did)
-        row = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.bit_xor(F.xxhash64("lo", "hi")).alias("h"),
-        ).first()
-        return (row.n, row.h)
+    def ckpt_fingerprint(e: DataFrame):
+        # order-free set fingerprint (bit_xor cannot overflow under
+        # ANSI — a hash SUM can and did), observed inline by the
+        # checkpoint job: one action per round, fingerprint included.
+        out, row = _checkpoint_observed(
+            e,
+            n=F.count(F.lit(1)),
+            h=F.bit_xor(F.xxhash64("lo", "hi")),
+        )
+        return out, (row["n"], row["h"])
 
     def large_star(e: DataFrame) -> DataFrame:
         # per center u: every neighbor v > u connects to
@@ -254,11 +275,9 @@ def connected_components_two_phase(
     # dominant term at local scale — and the per-barrier term a cluster
     # pays too). 8 partitions is plenty for a state that is orders of
     # magnitude smaller than the input corpus.
-    e = canonical(sym).coalesce(8).localCheckpoint()
-    fp = fingerprint(e)
+    e, fp = ckpt_fingerprint(canonical(sym).coalesce(8))
     for _ in range(max_iter):
-        e = small_star(large_star(e)).coalesce(8).localCheckpoint()
-        nfp = fingerprint(e)
+        e, nfp = ckpt_fingerprint(small_star(large_star(e)).coalesce(8))
         if nfp == fp:
             break
         fp = nfp
@@ -519,9 +538,8 @@ def kcore_subgraph(edges: DataFrame, *, k: int, rounds: int) -> DataFrame:
 
     Returns (id, degree): surviving vertices with their final in-core
     degree."""
-    sym = symmetrize(edges).localCheckpoint()
-    e = sym
-    n_edges = e.count()
+    sym, seen = _checkpoint_observed(symmetrize(edges), n=F.count(F.lit(1)))
+    e, n_edges = sym, seen["n"]
     for _ in range(rounds):
         # Early exit at the fixed point: peeling is idempotent, so
         # stopping when a round removes nothing returns EXACTLY what
@@ -529,20 +547,21 @@ def kcore_subgraph(edges: DataFrame, *, k: int, rounds: int) -> DataFrame:
         # contract is preserved while the engine pays only the peel
         # depth (measured: the shipped graph converges by round 4 of
         # 8; rounds 5-8 were pure checkpoint+semi-join overhead, ~2x
-        # of the query at 10x scale). The count is one cheap action
-        # over the just-checkpointed edge list.
+        # of the query at 10x scale). The surviving-edge count rides
+        # the checkpoint job itself (observe) — one action per round.
         keep = (
             e.groupBy("src")
             .agg(F.count(F.lit(1)).alias("deg"))
             .where(F.col("deg") >= k)
             .select("src")
         )
-        e = (
-            e.join(keep, "src", "semi")
-            .join(keep.withColumnRenamed("src", "dst"), "dst", "semi")
-            .localCheckpoint()
+        e, seen = _checkpoint_observed(
+            e.join(keep, "src", "semi").join(
+                keep.withColumnRenamed("src", "dst"), "dst", "semi"
+            ),
+            n=F.count(F.lit(1)),
         )
-        n_next = e.count()
+        n_next = seen["n"]
         if n_next == n_edges:
             break
         n_edges = n_next
@@ -551,7 +570,13 @@ def kcore_subgraph(edges: DataFrame, *, k: int, rounds: int) -> DataFrame:
     )
 
 
-def merge_components(labels: DataFrame, new_edges: DataFrame, *, max_iter: int = 25) -> DataFrame:
+def merge_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    *,
+    max_iter: int = 25,
+    driver_quotient_limit: int = 100_000,
+) -> DataFrame:
     """Incremental connected-components maintenance: fold a batch of
     NEW edges into an existing (id, component) labeling without
     re-running CC over the historical edge set — the graph analog of
@@ -568,7 +593,20 @@ def merge_components(labels: DataFrame, new_edges: DataFrame, *, max_iter: int =
     component is internally connected, so only the delta's
     cross-component links matter. Output: (id, component) covering
     old AND newly-introduced vertices — identical to a full recompute
-    (oracle-checked for the registered query)."""
+    (oracle-checked for the registered query).
+
+    Scale swap (size-guarded like the ranked-vertex path): the
+    quotient graph is sized by the DELTA's component touches, so for
+    typical incremental batches it is tiny — up to
+    ``driver_quotient_limit`` edges its components are solved by
+    driver-side union-find from ONE collect (the iterative quotient
+    CC was ~60 scheduling barriers of pure fixed overhead, the single
+    biggest local line item of the headline bench), with labels =
+    min member id, bit-identical to :func:`connected_components`
+    (min-reachable-id; ids compare as ASCII/UTF8 — equality
+    test-pinned against the distributed path). Above the limit the
+    distributed loop runs — a 100 TB delta touching millions of
+    components never lands on the driver."""
     sym = symmetrize(new_edges)
     lab_src = labels.select(F.col("id").alias("src"), F.col("component").alias("csrc"))
     lab_dst = labels.select(F.col("id").alias("dst"), F.col("component").alias("cdst"))
@@ -582,14 +620,48 @@ def merge_components(labels: DataFrame, new_edges: DataFrame, *, max_iter: int =
         .where(F.col("src") != F.col("dst"))
         .distinct()
     )
-    q_vertices = (
-        q_edges.select(F.col("src").alias("id"))
-        .unionByName(q_edges.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    mapping = connected_components(q_vertices, q_edges, max_iter=max_iter).select(
-        F.col("id").alias("component"), F.col("component").alias("new_component")
-    )
+    q_edges, seen = _checkpoint_observed(q_edges, n=F.count(F.lit(1)))
+    if seen["n"] <= driver_quotient_limit:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in q_edges.collect():
+            ra, rb = find(row.src), find(row.dst)
+            if ra != rb:
+                parent[ra] = rb
+        comp_min: dict = {}
+        members = set(parent)
+        for v in list(members):
+            members.add(find(v))
+        for v in members:
+            r = find(v)
+            m = comp_min.get(r)
+            comp_min[r] = v if m is None or v < m else m
+        schema = T.StructType(
+            [
+                T.StructField("component", q_edges.schema["src"].dataType),
+                T.StructField("new_component", q_edges.schema["src"].dataType),
+            ]
+        )
+        mapping = labels.sparkSession.createDataFrame(
+            [(v, comp_min[find(v)]) for v in sorted(members)], schema
+        )
+    else:
+        q_vertices = (
+            q_edges.select(F.col("src").alias("id"))
+            .unionByName(q_edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        mapping = connected_components(q_vertices, q_edges, max_iter=max_iter).select(
+            F.col("id").alias("component"), F.col("component").alias("new_component")
+        )
     # all ids that must appear: previously labeled + delta endpoints
     all_ids = (
         labels.select("id")

@@ -354,6 +354,39 @@ def test_merge_components_chained_batches(spark):
     assert {c for _, c in got} == {1}
 
 
+def test_merge_components_driver_path_equals_distributed(spark):
+    """The size-guarded driver-side union-find over the quotient graph
+    must be bit-identical to the distributed quotient CC it replaces
+    (driver_quotient_limit=0 forces the distributed branch)."""
+    from leader_graph_spark.graph.algorithms import (
+        connected_components,
+        merge_components,
+    )
+
+    base = spark.createDataFrame(
+        [("a", "b"), ("c", "d"), ("x", "y")], "src string, dst string"
+    )
+    verts = spark.createDataFrame(
+        [(v,) for v in "abcdxy"], "id string"
+    )
+    labels = connected_components(verts, base)
+    # delta bridges two comps, chains new vertices, and carries a
+    # redundant edge inside an already-merged pair
+    delta = spark.createDataFrame(
+        [("b", "c"), ("n1", "n2"), ("n2", "d"), ("a", "d")],
+        "src string, dst string",
+    )
+    via_driver = {
+        (r.id, r.component) for r in merge_components(labels, delta).collect()
+    }
+    via_dist = {
+        (r.id, r.component)
+        for r in merge_components(labels, delta, driver_quotient_limit=0).collect()
+    }
+    assert via_driver == via_dist
+    assert {c for i, c in via_driver if i in "abcd"} == {"a"}
+
+
 def test_personalized_pagerank_decays_from_seeds(spark):
     """PPR semantics: teleport mass only on seeds ⇒ rank decays with
     distance from the seed set and unreachable vertices score 0 (plus

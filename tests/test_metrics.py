@@ -34,8 +34,10 @@ BENCH_BUDGETS: dict[str, tuple[float, int]] = {
     "flagship_colleagues_interval": (0.1, 8),
     "funnel_view_click_purchase": (0.2, 5),
     "image_phash_codec_roundtrip": (0.01, 4),
-    "incremental_component_merge": (1.3, 110),
-    "kcore_copurchase": (2.2, 22),
+    # probes fused into checkpoint jobs + driver-side quotient
+    # union-find (round 7): 105 -> 62 and 17 -> 13 driver actions
+    "incremental_component_merge": (1.3, 70),
+    "kcore_copurchase": (2.8, 17),
     "local_supplier_volume": (0.05, 17),
     "minhash_near_dup_docs": (1.0, 8),
     "ngram_jaccard_prefix_filtered": (5.0, 16),
