@@ -135,18 +135,24 @@ class DFGraph:
             s_col = s or f"__anon{(anon := anon + 1)}"
             d_col = d or f"__anon{(anon := anon + 1)}"
             if s_col == d_col:
-                raise MotifSyntaxError("self-loop terms need distinct names")
-            cols = [
-                F.col("src").alias(f"{s_col}__id"),
-                F.col("dst").alias(f"{d_col}__id"),
-            ]
+                # self-loop term (a)-[e]->(a): matches edges whose two
+                # endpoints are the same vertex (GraphFrames accepts
+                # these) — a filter, not a join
+                src_edges = self.edges.where(F.col("src") == F.col("dst"))
+                cols = [F.col("src").alias(f"{s_col}__id")]
+            else:
+                src_edges = self.edges
+                cols = [
+                    F.col("src").alias(f"{s_col}__id"),
+                    F.col("dst").alias(f"{d_col}__id"),
+                ]
             if e:
                 cols.append(F.struct(*self.edges.columns).alias(e))
-            t = self.edges.select(*cols)
+            t = src_edges.select(*cols)
             if result is None:
                 result = t
             else:
-                on = [n for n in (s_col, d_col) if n in bound]
+                on = [n for n in dict.fromkeys((s_col, d_col)) if n in bound]
                 if on:
                     result = result.join(t, [f"{n}__id" for n in on])
                 else:
@@ -181,20 +187,36 @@ class DFGraph:
         keep = v_names + sorted(edge_names_seen)
         return result.select(*keep)
 
-    def bfs(self, fromExpr, toExpr, *, maxPathLength: int = 10) -> DataFrame:
+    def bfs(self, fromExpr, toExpr, *, maxPathLength: int = 10, edgeFilter=None) -> DataFrame:
         """GraphFrames-style breadth-first search: shortest directed
         paths from any vertex matching ``fromExpr`` to any matching
         ``toExpr`` (SQL strings or Columns over the vertex columns).
         Returns paths of the first depth where a match exists, as
         struct columns ``from, e0, v1, e1, …, to`` — exactly the
-        GraphFrames output shape. Paths never revisit a vertex (a
+        GraphFrames output shape. ``edgeFilter`` (SQL string or Column
+        over the edge columns — GraphFrames parity) restricts which
+        edges the search may traverse. Paths never revisit a vertex (a
         cycle cannot shorten a path, and pruning keeps the per-level
         join linear in reachable paths instead of exploding on cyclic
-        graphs). One driver-side existence probe per level — the same
-        level-synchronous shape GraphFrames executes."""
+        graphs).
+
+        Checkpoint discipline (same as every loop in
+        :mod:`graph.algorithms`): each level's expanded path set is
+        ``localCheckpoint``-ed with the target-hit probe OBSERVED on
+        the same job — one driver action per level, bounded plan depth
+        (without it, level k replans and recomputes the whole k-deep
+        join lineage and the probe doubles the actions — exponential
+        replanning by depth 8 on a real graph)."""
+        from leader_graph_spark.graph.algorithms import _checkpoint_observed
+
         to_f = F.expr(toExpr) if isinstance(toExpr, str) else toExpr
         from_f = F.expr(fromExpr) if isinstance(fromExpr, str) else fromExpr
         v = self.vertices
+        edges = self.edges
+        if edgeFilter is not None:
+            edges = edges.filter(
+                F.expr(edgeFilter) if isinstance(edgeFilter, str) else edgeFilter
+            )
         start = v.filter(from_f)
         hit0 = start.filter(to_f).select(F.struct(*v.columns).alias("from"))
         if hit0.take(1):
@@ -203,17 +225,25 @@ class DFGraph:
         paths = start.select(F.struct(*v.columns).alias("from"))
         for k in range(1, maxPathLength + 1):
             prev = "from" if k == 1 else f"v{k - 1}"
-            e = self.edges.select(F.struct(*self.edges.columns).alias(f"e{k - 1}"))
-            stepped = paths.join(e, F.col(f"{prev}.id") == F.col(f"e{k - 1}.src"))
-            hits = stepped.join(
-                targets, F.col(f"e{k - 1}.dst") == F.col("to.id")
+            e = edges.select(F.struct(*edges.columns).alias(f"e{k - 1}"))
+            # expand one hop and left-join the target set in the SAME
+            # checkpointed step: hit rows carry a non-null `to`, the
+            # probe is an observed count on the checkpoint job, and
+            # both the hit branch and the continuation reuse the
+            # materialized step (no double computation).
+            stepped, seen_counts = _checkpoint_observed(
+                paths.join(e, F.col(f"{prev}.id") == F.col(f"e{k - 1}.src")).join(
+                    targets, F.col(f"e{k - 1}.dst") == F.col("to.id"), "left"
+                ),
+                hits=F.count(F.col("to.id")),
             )
-            if hits.take(1):
-                return hits
+            if seen_counts["hits"]:
+                return stepped.where(F.col("to.id").isNotNull())
             vk = v.select(F.struct(*v.columns).alias(f"v{k}"))
-            paths = stepped.join(vk, F.col(f"e{k - 1}.dst") == F.col(f"v{k}.id"))
-            seen = ["from"] + [f"v{i}" for i in range(1, k)]
-            for s in seen:
+            paths = stepped.drop("to").join(
+                vk, F.col(f"e{k - 1}.dst") == F.col(f"v{k}.id")
+            )
+            for s in ["from"] + [f"v{i}" for i in range(1, k)]:
                 paths = paths.filter(F.col(f"v{k}.id") != F.col(f"{s}.id"))
         return hit0.select("from", F.col("from").alias("to")).limit(0)
 
@@ -223,6 +253,16 @@ class DFGraph:
         from leader_graph_spark.graph.algorithms import connected_components
 
         return connected_components(self.vertices.select("id"), self.edges)
+
+    def stronglyConnectedComponents(self, *, maxIter: int = 30) -> DataFrame:
+        """(id, component) over edge DIRECTION — GraphFrames/GraphX
+        parity; delegates to the trim+coloring SCC
+        (:func:`graph.algorithms.strongly_connected_components`)."""
+        from leader_graph_spark.graph.algorithms import strongly_connected_components
+
+        return strongly_connected_components(
+            self.vertices.select("id"), self.edges, max_phases=maxIter
+        )
 
     def pageRank(self, *, iterations: int = 8) -> DataFrame:
         """(id, rank) in integer micro-units — the fixed-point form

@@ -434,6 +434,79 @@ def connected_components_membership(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # ---------------------------------------------------------------------------
+# Directed strongly connected components
+# ---------------------------------------------------------------------------
+
+# Deterministic DIRECTED functional graph over the customer key space,
+# CAPPED at m = least(2000, max custkey) vertices so the quadratic
+# closure oracle stays feasible at EVERY scale factor (the graph is a
+# fixed-size cycle structure; the data only selects which prefix of it
+# exists): v -> (7v mod m)+1 and v -> (3v mod m)+1, self-loops dropped.
+# Two multiplier families overlap into non-trivial multi-vertex SCCs
+# plus DAG tails — the structure SCC exists to find.
+_SCC_ORACLE = """
+WITH RECURSIVE
+mm AS (SELECT least(2000, max(c_custkey)) AS m FROM customer),
+verts AS (
+  SELECT c_custkey AS id FROM customer WHERE c_custkey <= (SELECT m FROM mm)
+),
+eset AS (
+  SELECT src, dst FROM (
+    SELECT id AS src, (id * 7) % (SELECT m FROM mm) + 1 AS dst FROM verts
+    UNION
+    SELECT id AS src, (id * 3) % (SELECT m FROM mm) + 1 AS dst FROM verts
+  ) WHERE src != dst
+),
+reach(s, d) AS (
+  SELECT src, dst FROM eset
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN eset e ON r.d = e.src
+),
+mutual AS (
+  SELECT a.s AS v, a.d AS w FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s
+  UNION
+  SELECT id AS v, id AS w FROM verts
+)
+SELECT v AS id, min(w) AS component FROM mutual GROUP BY v
+"""
+
+
+@query("scc_membership", _SCC_ORACLE, tags=("graph-iterative", "graph-scc"))
+def scc_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED strongly connected components (round-7): trim +
+    forward-coloring + backward-mark phases
+    (:func:`graph.algorithms.strongly_connected_components`), the one
+    classic GraphX algorithm the undirected lane lacked. The oracle is
+    the declarative fixpoint — the recursive reachability closure's
+    mutual pairs, labeled min(w : v <-> w) — over a deterministic
+    directed multiplier graph on the customer key space, capped at
+    2000 vertices so the quadratic closure stays feasible at every
+    scale factor. Labels are exactly min-member-id on both sides, so
+    the full value hash verifies phase extraction, coloring, and trim
+    at once."""
+    customer = load_table(spark, sf_dir, "customer")
+    m = customer.agg(
+        F.least(F.lit(2000), F.max("c_custkey")).alias("m")
+    ).first()["m"]
+    verts = customer.where(F.col("c_custkey") <= m).select(
+        F.col("c_custkey").alias("id")
+    )
+    eset = (
+        verts.select(F.col("id").alias("src"), ((F.col("id") * 7) % m + 1).alias("dst"))
+        .unionByName(
+            verts.select(
+                F.col("id").alias("src"), ((F.col("id") * 3) % m + 1).alias("dst")
+            )
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    from leader_graph_spark.graph.algorithms import strongly_connected_components
+
+    return strongly_connected_components(verts, eset)
+
+
+# ---------------------------------------------------------------------------
 # Motif analytics: triangle counting on the same-nation graph
 # ---------------------------------------------------------------------------
 

@@ -61,11 +61,36 @@ def test_find_anonymous_elements_add_no_columns(g):
 
 
 def test_find_syntax_errors(g):
-    for bad in ("", "(a)-[e]-(b)", "(a)-[e]->(a)", "!(x)-[]->(y)"):
+    for bad in ("", "(a)-[e]-(b)", "!(x)-[]->(y)"):
         with pytest.raises(MotifSyntaxError):
             g.find(bad)
     with pytest.raises(MotifSyntaxError):
         g.find("(a)-[e]->(b); (b)-[e]->(c)")  # duplicate edge name
+
+
+def test_find_self_loop_terms(spark):
+    """GraphFrames accepts (a)-[e]->(a): it matches self-loop edges.
+    Positive form finds them; negated form excludes vertices that have
+    one."""
+    vertices = spark.createDataFrame(
+        [(i, f"v{i}") for i in (1, 2, 3)], "id long, name string"
+    )
+    edges = spark.createDataFrame(
+        [(1, 2, "x"), (2, 2, "loop"), (2, 3, "y")],
+        "src long, dst long, relationship string",
+    )
+    g = DFGraph(vertices, edges)
+    loops = g.find("(a)-[e]->(a)").collect()
+    assert {(r.a.id, r.e.relationship) for r in loops} == {(2, "loop")}
+    # a→b where b has NO self-loop
+    out = g.find("(a)-[e]->(b); !(b)-[]->(b)").collect()
+    assert {(r.a.id, r.b.id) for r in out} == {(2, 3)}
+    # self-loop unifies with other terms through the shared name;
+    # b may bind the same vertex as a (GraphFrames names are not
+    # required to bind distinct vertices), so the loop edge itself
+    # also matches the second term
+    out2 = g.find("(a)-[l]->(a); (a)-[e]->(b)").collect()
+    assert {(r.a.id, r.b.id) for r in out2} == {(2, 2), (2, 3)}
 
 
 def test_degree_views(g):
@@ -157,3 +182,47 @@ def test_bfs_shortest_paths(g):
     assert len(p) == 1 and p[0]["from"].id == 2 and p[0].to.id == 2
     # unreachable within bound: empty
     assert g.bfs("id = 4", "id = 1", maxPathLength=3).count() == 0
+
+
+def test_bfs_edge_filter(g):
+    """edgeFilter (GraphFrames parity): banning the direct 1→3 edge
+    reroutes the search through 1→2→3."""
+    p = g.bfs("id = 1", "id = 3", edgeFilter="relationship != 'c'").collect()
+    assert len(p) == 1
+    assert (p[0]["from"].id, p[0].v1.id, p[0].to.id) == (1, 2, 3)
+
+
+def test_bfs_deep_path_bounded_plan(spark):
+    """Depth-8 bfs on a 10-vertex path: correct path AND a bounded
+    executed plan — the per-level localCheckpoint must truncate
+    lineage, so the final plan holds the LAST level's joins only, not
+    the whole depth-8 join stack (exponential replanning otherwise)."""
+    n = 10
+    vertices = spark.createDataFrame([(i,) for i in range(1, n + 1)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "src long, dst long"
+    )
+    g = DFGraph(vertices, edges)
+    out = g.bfs("id = 1", "id = 9", maxPathLength=10)
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["from"].id, r.to.id) == (1, 9)
+    assert [r[f"v{i}"].id for i in range(1, 8)] == [2, 3, 4, 5, 6, 7, 8]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the checkpointed step feeds the final plan as a scan; only the
+    # last level's handful of joins may appear
+    n_joins = plan.count("Join")
+    assert n_joins <= 6, f"plan holds {n_joins} joins — lineage not truncated"
+
+
+def test_scc_facade_delegate(spark):
+    """stronglyConnectedComponents on a DAG+cycle fixture: the cycle
+    collapses to its min id, DAG tail vertices are singletons."""
+    vertices = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5)], "id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)], "src long, dst long"
+    )
+    g = DFGraph(vertices, edges)
+    out = {(r.id, r.component) for r in g.stronglyConnectedComponents().collect()}
+    assert out == {(1, 1), (2, 1), (3, 1), (4, 4), (5, 5)}
