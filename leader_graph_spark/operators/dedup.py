@@ -843,21 +843,41 @@ def semantic_dedup(
 
 
 def semantic_dedup_oracle_sql(
-    *, k: int = 8, iterations: int = 2, tau2_num: int = 49, tau2_den: int = 400
+    *,
+    k: int = 8,
+    iterations: int = 2,
+    tau2_num: int = 49,
+    tau2_den: int = 400,
+    sample_pred: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`semantic_dedup`: the unrolled k-means CTEs
     (shared with ``kmeans_assignments``), then the same integer cosine
-    inequality in HUGEINT."""
+    inequality in HUGEINT.
+
+    ``sample_pred`` (a SQL predicate over a vec-id column named by the
+    ``{vid}`` placeholder, e.g. the md5 sample used by
+    ``scripts/scaled_checks.py``) restricts the QUADRATIC within-
+    cluster pair stage to candidate ids matching the predicate — the
+    kept/dropped verdict for a sampled id needs only pairs where IT is
+    the candidate, so the restricted oracle is exact for the sampled
+    slice while the k-means assignment stays full/linear. The driver
+    oracle uses no predicate (full check at sf0.01)."""
     from leader_graph_spark.operators.clustering import kmeans_oracle_ctes
 
     body, last = kmeans_oracle_ctes(k=k, iterations=iterations)
+    dots_pred = (
+        f"  AND ({sample_pred.format(vid='pb.vid')})\n" if sample_pred else ""
+    )
+    final_pred = (
+        f"WHERE ({sample_pred.format(vid='p.vid')})" if sample_pred else ""
+    )
     return f"""WITH {body},
 pts AS (SELECT vid, cid FROM {last}),
 norms AS (SELECT vid, sum(val * val) AS n2 FROM vecs GROUP BY vid),
 dots AS (
   SELECT pa.vid AS a_vid, pb.vid AS b_vid, sum(va.val * vb.val) AS dot
   FROM pts pa JOIN pts pb ON pa.cid = pb.cid AND pa.vid < pb.vid
-  JOIN vecs va ON va.vid = pa.vid
+{dots_pred}  JOIN vecs va ON va.vid = pa.vid
   JOIN vecs vb ON vb.vid = pb.vid AND vb.pos = va.pos
   GROUP BY pa.vid, pb.vid
 ),
@@ -872,6 +892,7 @@ dropped AS (
 )
 SELECT p.vid AS vec_id, p.cid AS cid, (dr.vid IS NULL) AS kept
 FROM pts p LEFT JOIN dropped dr ON p.vid = dr.vid
+{final_pred}
 """
 
 

@@ -121,6 +121,16 @@ def main() -> int:
         action="store_true",
         help="keep existing --json-out rows and run only queries not yet recorded",
     )
+    p.add_argument(
+        "--scaled",
+        action="store_true",
+        help=(
+            "route the yardstick-infeasible queries (scripts/scaled_checks.py) "
+            "through their sampled/structural verification instead of the "
+            "doomed full oracle — makes the 10x replay fully verifiable "
+            "with no oracle_*_spark_ok escape class"
+        ),
+    )
     args = p.parse_args()
 
     from leader_graph_spark.plans import REGISTRY
@@ -138,9 +148,34 @@ def main() -> int:
             out = json.load(f)["results"]
         names = [n for n in names if n not in out]
         print(f"resuming: {len(out)} recorded, {len(names)} to run", flush=True)
+    scaled_names: set = set()
+    if args.scaled:
+        import scaled_checks
+
+        scaled_names = set(scaled_checks.CHECKS)
+        os.makedirs("/tmp/replay_scaled_out", exist_ok=True)
     for i, name in enumerate(names):
         spec = REGISTRY[name]
         rec: dict = {}
+        if name in scaled_names:
+            try:
+                rec = scaled_checks.run_scaled_check(
+                    spark, name, args.sf_dir, "/tmp/replay_scaled_out"
+                )
+            except Exception as e:  # noqa: BLE001
+                rec = {"status": f"error: {type(e).__name__}: {str(e)[:200]}"}
+            out[name] = rec
+            print(
+                f"[{i + 1}/{len(names)}] {name}: {rec['status']} (scaled)",
+                flush=True,
+            )
+            with open(args.json_out, "w") as f:
+                json.dump(
+                    {"sf_dir": args.sf_dir, "timeout": args.timeout, "results": out},
+                    f,
+                    indent=1,
+                )
+            continue
         t0 = time.time()
         try:
             sres, sstat = spark_side(spark, spec.spark, args.sf_dir, args.timeout)
@@ -181,7 +216,13 @@ def main() -> int:
     bad = [
         n
         for n, r in out.items()
-        if r["status"] not in ("match", "oracle_timeout_spark_ok", "oracle_error_spark_ok")
+        if r["status"]
+        not in (
+            "match",
+            "scaled_verify_match",
+            "oracle_timeout_spark_ok",
+            "oracle_error_spark_ok",
+        )
     ]
     print(f"done: {len(out)} queries, {len(bad)} failures: {bad}")
     return 1 if bad else 0

@@ -1,0 +1,481 @@
+"""Scaled (10x+) verification for the yardstick-infeasible oracles.
+
+Nine registry queries have oracles that are deliberately naive O(n²)
+cross joins or unrolled iterative CTEs — the honest ground-truth
+yardstick at sf0.01/sf0.1, but past DuckDB's time/memory caps at 10x.
+The ENGINE returns rows there; this module makes those rows
+*verifiable* at scale, so the 10x replay needs no
+``oracle_*_spark_ok`` escape class.
+
+Three check families (chosen per query by what restriction is sound):
+
+1. **Input-slice replay** (pairwise-local predicates: char-n-gram
+   Jaccard, Levenshtein pairs, embedding cosine pairs): the pair
+   predicate depends ONLY on the two members, so restricting the
+   input table to a deterministic md5 sample and running the
+   ORIGINAL oracle SQL **verbatim** yields exactly the qualifying
+   pairs within the sample — hash-compared against the engine
+   output filtered by the same predicate. Soundness AND completeness
+   verified on the slice; no SQL duplication, so the check can't
+   drift from the real oracle.
+
+2. **Cluster-closure slice** (canonical dedup election, leakage-safe
+   split): near-dup clusters are connected components, closed under
+   the pair relation — restricting ``documents`` to the members of an
+   md5 sample of ENGINE clusters and replaying the verbatim oracle
+   reproduces those clusters exactly. (A cluster the engine wrongly
+   SPLIT is detected only if both halves are sampled — documented
+   residual blindness; the full-graph logic is hash-pinned at
+   sf0.01/sf0.1 where the full oracle runs.)
+
+3. **Structural / iterative exact checks** (k-core, greedy packing,
+   per-vertex clustering coefficients, SemDeDup): where the global
+   property can't be input-sliced, verify it exactly another way —
+   k-core by driving the SAME 6-round peel iteratively (temp tables,
+   no 18 GB unrolled CTE materialization; FULL equality), greedy
+   packing by its complete invariant battery (partition + running
+   totals + budget + boundary tightness uniquely determine next-fit;
+   FULL coverage, all linear), LCC by exact per-vertex recomputation
+   for an md5 vertex sample, SemDeDup by the generator-parameterized
+   restricted oracle (k-means assignment stays full/linear; only the
+   quadratic candidate stage is sampled).
+
+Run standalone:
+
+    python scripts/scaled_checks.py --sf-dir /tmp/sf1.0 \
+        --json-out scaled_checks.json [--queries a,b,c]
+
+or let scripts/replay_oracle_at.py --scaled route the infeasible
+queries here automatically.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, "tests"))
+
+import duckdb  # noqa: E402
+
+from oracle import canonical_rows  # noqa: E402
+
+CHECKS: dict = {}
+
+
+def check(name):
+    def deco(fn):
+        CHECKS[name] = fn
+        return fn
+
+    return deco
+
+
+def _md5_byte(col: str, salt: str = "scale") -> str:
+    """First md5 byte of the salted key as an integer 0..255 — the
+    deterministic sample selector (same portable instr arithmetic the
+    registry oracles use)."""
+    md5 = f"md5('{salt}|' || CAST({col} AS VARCHAR))"
+    return (
+        f"((instr('0123456789abcdef', substr({md5}, 1, 1)) - 1) * 16"
+        f" + (instr('0123456789abcdef', substr({md5}, 2, 1)) - 1))"
+    )
+
+
+def _pred(col: str, pct: int) -> str:
+    return f"({_md5_byte(col)} < {max(1, (256 * pct) // 100)})"
+
+
+def _fetch(con, sql: str):
+    res = con.execute(sql)
+    cols = [d[0] for d in res.description]
+    return canonical_rows(cols, res.fetchall())
+
+
+def _compare(con, oracle_sql: str, spark_slice_sql: str):
+    o = _fetch(con, oracle_sql)
+    s = _fetch(con, spark_slice_sql)
+    ok = o == s
+    return ok, {
+        "oracle_rows": o[0],
+        "spark_rows": s[0],
+        "cols_match": o[1] == s[1],
+        "hash_match": o[2] == s[2],
+    }
+
+
+def _escalating_pair_slice(
+    con, oracle_sql: str, set_view, spark_slice, *, min_rows: int = 20
+):
+    """Pair-slice comparison with sample ESCALATION: a slice holding
+    fewer than ``min_rows`` matched pairs is vacuous evidence (a thin
+    sample can pass while the full output is wrong), so the sample
+    widens 20% → 50% → 100% until the slice carries rows — at small
+    scale that ends at the full (feasible there) oracle; at 10x the
+    20% slice already holds enough pairs and the cost stays ~4% of
+    the infeasible full join."""
+    detail: dict = {}
+    for pct in getattr(set_view, "pcts", (20, 50, 100)):
+        set_view(pct)
+        ok, detail = _compare(con, oracle_sql, spark_slice(pct))
+        detail["sample_pct"] = pct
+        if not ok or max(detail["oracle_rows"], detail["spark_rows"]) >= min_rows:
+            return ok, detail
+    return ok, detail
+
+
+# ---------------------------------------------------------------------------
+# family 1: input-slice replay of the verbatim oracle
+# ---------------------------------------------------------------------------
+
+
+@check("char_ngram_dup_docs")
+def _char_ngram(con, oracle_sql: str):
+    return _escalating_pair_slice(
+        con,
+        oracle_sql,
+        lambda pct: con.execute(
+            f"CREATE OR REPLACE VIEW documents AS"
+            f" SELECT * FROM base_documents WHERE {_pred('doc_id', pct)}"
+        ),
+        lambda pct: (
+            f"SELECT id_1, id_2, jaccard FROM spark_out"
+            f" WHERE {_pred('id_1', pct)} AND {_pred('id_2', pct)}"
+        ),
+    )
+
+
+@check("fuzzy_customer_name_pairs")
+def _fuzzy(con, oracle_sql: str):
+    # quadratic levenshtein: 10% is already 1% of the full join at 10x
+    def set_view(pct):
+        con.execute(
+            f"CREATE OR REPLACE VIEW customer AS"
+            f" SELECT * FROM base_customer WHERE {_pred('c_name', pct)}"
+        )
+
+    set_view.pcts = (10, 30, 100)
+    return _escalating_pair_slice(
+        con,
+        oracle_sql,
+        set_view,
+        lambda pct: (
+            f"SELECT name_a, name_b, dist FROM spark_out"
+            f" WHERE {_pred('name_a', pct)} AND {_pred('name_b', pct)}"
+        ),
+    )
+
+
+@check("embedding_near_dup")
+def _embedding(con, oracle_sql: str):
+    return _escalating_pair_slice(
+        con,
+        oracle_sql,
+        lambda pct: con.execute(
+            f"CREATE OR REPLACE VIEW embeddings AS"
+            f" SELECT * FROM base_embeddings WHERE {_pred('vec_id', pct)}"
+        ),
+        lambda pct: (
+            f"SELECT id_1, id_2, cosine_sim FROM spark_out"
+            f" WHERE {_pred('id_1', pct)} AND {_pred('id_2', pct)}"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# family 2: cluster-closure slice
+# ---------------------------------------------------------------------------
+
+
+def _closure_documents(con, pct: int):
+    con.execute(
+        f"CREATE OR REPLACE VIEW documents AS"
+        f" SELECT d.* FROM base_documents d"
+        f" JOIN spark_out o ON o.doc_id = d.doc_id"
+        f" WHERE {_pred('o.canonical_id', pct)}"
+    )
+
+
+@check("dedup_canonical_docs")
+def _canonical(con, oracle_sql: str):
+    _closure_documents(con, 20)
+    return _compare(
+        con,
+        oracle_sql,
+        f"SELECT doc_id, canonical_id, is_kept FROM spark_out"
+        f" WHERE {_pred('canonical_id', 20)}",
+    )
+
+
+@check("leakage_safe_split")
+def _leakage(con, oracle_sql: str):
+    # full-coverage linear invariant first: one split per cluster
+    leaks = con.execute(
+        "SELECT count(*) FROM (SELECT canonical_id FROM spark_out"
+        " GROUP BY canonical_id HAVING count(DISTINCT split) > 1)"
+    ).fetchone()[0]
+    if leaks:
+        return False, {"clusters_straddling_splits": leaks}
+    _closure_documents(con, 20)
+    return _compare(
+        con,
+        oracle_sql,
+        f"SELECT doc_id, canonical_id, split FROM spark_out"
+        f" WHERE {_pred('canonical_id', 20)}",
+    )
+
+
+# ---------------------------------------------------------------------------
+# family 3: structural / iterative exact checks
+# ---------------------------------------------------------------------------
+
+
+@check("kcore_copurchase")
+def _kcore(con, oracle_sql: str):
+    """Drive the oracle's 6-round peel ITERATIVELY (temp table per
+    round instead of one unrolled CTE): identical arithmetic, full
+    exact equality — memory is one edge table, not six."""
+    con.execute(
+        "CREATE OR REPLACE TEMP TABLE e AS "
+        "SELECT DISTINCT src, dst FROM ("
+        " SELECT concat('c', o_custkey) AS src, concat('p', l_partkey) AS dst"
+        " FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
+        " UNION ALL"
+        " SELECT concat('p', l_partkey), concat('c', o_custkey)"
+        " FROM orders JOIN lineitem ON o_orderkey = l_orderkey)"
+    )
+    for _ in range(6):
+        con.execute(
+            "CREATE OR REPLACE TEMP TABLE kk AS "
+            "SELECT src FROM (SELECT src, count(*) AS deg FROM e GROUP BY 1)"
+            " WHERE deg >= 2"
+        )
+        con.execute(
+            "CREATE OR REPLACE TEMP TABLE e_next AS "
+            "SELECT e.src, e.dst FROM e"
+            " JOIN kk a ON e.src = a.src JOIN kk b ON e.dst = b.src"
+        )
+        con.execute("DROP TABLE e")
+        con.execute("ALTER TABLE e_next RENAME TO e")
+    return _compare(
+        con,
+        "SELECT src AS id, CAST(count(*) AS BIGINT) AS degree FROM e GROUP BY 1",
+        "SELECT id, degree FROM spark_out",
+    )
+
+
+@check("greedy_packs_no_overflow")
+def _greedy(con, oracle_sql: str):
+    """Complete invariant battery — partition + per-pack running
+    totals + budget + boundary tightness + pack-id encoding uniquely
+    determine next-fit packing, so passing ALL of these over EVERY row
+    is full verification, each check linear."""
+    from leader_graph_spark.plans.mlprep_queries import (
+        _GREEDY_ORACLE,  # noqa: F401  (provenance)
+        _hex8_instr,
+        _KEY_REPR,
+        _PACK_BUDGET,
+    )
+
+    bad = {}
+    # (a) exact partition of the input with matching attributes
+    bad["partition"] = con.execute(
+        "SELECT count(*) FROM base_documents d FULL JOIN spark_out o"
+        " ON d.doc_id = o.doc_id"
+        " WHERE d.doc_id IS NULL OR o.doc_id IS NULL"
+        " OR d.lang != o.lang OR d.n_chars != o.n_chars"
+    ).fetchone()[0]
+    con.execute(
+        "CREATE OR REPLACE TEMP TABLE g AS "
+        "SELECT *,"
+        " sum(n_chars) OVER (PARTITION BY lang, pack_id ORDER BY doc_id"
+        "   ROWS UNBOUNDED PRECEDING) AS run,"
+        " row_number() OVER (PARTITION BY lang, pack_id ORDER BY doc_id) AS rn_in_pack,"
+        " lag(pack_id) OVER (PARTITION BY lang ORDER BY doc_id) AS prev_pack,"
+        " lag(pack_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS prev_used"
+        " FROM spark_out"
+    )
+    # (b) pack_tokens is the in-pack running total
+    bad["running_total"] = con.execute(
+        "SELECT count(*) FROM g WHERE pack_tokens != run"
+    ).fetchone()[0]
+    # (c) budget: only a pack-opening oversize doc may exceed it
+    bad["overflow"] = con.execute(
+        f"SELECT count(*) FROM g WHERE pack_tokens > {_PACK_BUDGET}"
+        f" AND NOT (rn_in_pack = 1 AND n_chars > {_PACK_BUDGET})"
+    ).fetchone()[0]
+    # (d) boundary tightness: a new pack opens IFF the doc would not fit
+    bad["spurious_boundary"] = con.execute(
+        f"SELECT count(*) FROM g WHERE prev_pack IS NOT NULL"
+        f" AND pack_id != prev_pack AND prev_used + n_chars <= {_PACK_BUDGET}"
+    ).fetchone()[0]
+    bad["missed_boundary"] = con.execute(
+        f"SELECT count(*) FROM g WHERE prev_pack IS NOT NULL"
+        f" AND pack_id = prev_pack AND prev_used + n_chars > {_PACK_BUDGET}"
+    ).fetchone()[0]
+    # (d') assignment is monotone in doc order (next-fit never reopens)
+    bad["non_monotone"] = con.execute(
+        "SELECT count(*) FROM g WHERE prev_pack IS NOT NULL AND pack_id < prev_pack"
+    ).fetchone()[0]
+    # (e) pack-id encoding: md5(lang-key) base + dense local sequence
+    bad["pack_id_encoding"] = con.execute(
+        f"SELECT count(*) FROM ("
+        f" SELECT lang, pack_id,"
+        f"  pack_id - CAST(({_hex8_instr(_KEY_REPR)} % 2147483648) * 4294967296 AS BIGINT)"
+        f"   AS pack_local,"
+        f"  dense_rank() OVER (PARTITION BY lang ORDER BY pack_id) - 1 AS want"
+        f" FROM g) WHERE pack_local != want"
+    ).fetchone()[0]
+    ok = not any(bad.values())
+    return ok, bad
+
+
+@check("supplier_clustering_coefficients")
+def _lcc(con, oracle_sql: str):
+    """Exact per-vertex recompute for an md5 sample of suppliers:
+    degree = |co-supply neighborhood|, triangles = connected neighbor
+    pairs — per-vertex cost deg², paid only for the sample."""
+    pct = 3
+    con.execute(
+        "CREATE OR REPLACE TEMP TABLE sp AS"
+        " SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem"
+    )
+    con.execute(
+        f"CREATE OR REPLACE TEMP TABLE samp AS"
+        f" SELECT DISTINCT s FROM sp WHERE {_pred('s', pct)}"
+    )
+    con.execute(
+        "CREATE OR REPLACE TEMP TABLE nbr AS"
+        " SELECT DISTINCT a.s AS v, b.s AS u"
+        " FROM sp a JOIN samp ON a.s = samp.s"
+        " JOIN sp b ON b.p = a.p AND b.s != a.s"
+    )
+    con.execute(
+        "CREATE OR REPLACE TEMP TABLE tri AS"
+        " SELECT n1.v, count(*) AS t"
+        " FROM nbr n1 JOIN nbr n2 ON n2.v = n1.v AND n1.u < n2.u"
+        " WHERE EXISTS (SELECT 1 FROM sp x JOIN sp y ON y.p = x.p"
+        "               WHERE x.s = n1.u AND y.s = n2.u)"
+        " GROUP BY n1.v"
+    )
+    return _compare(
+        con,
+        "SELECT d.v AS supp_id, CAST(d.d AS BIGINT) AS degree,"
+        " CAST(COALESCE(t.t, 0) AS BIGINT) AS n_triangles,"
+        " CAST((2000000 * COALESCE(t.t, 0)) // (d.d * (d.d - 1)) AS BIGINT) AS lcc_ppm"
+        " FROM (SELECT v, count(*) AS d FROM nbr GROUP BY v) d"
+        " LEFT JOIN tri t ON t.v = d.v WHERE d.d >= 2",
+        f"SELECT supp_id, degree, n_triangles, lcc_ppm FROM spark_out"
+        f" WHERE {_pred('supp_id', pct)}",
+    )
+
+
+@check("semantic_dedup_clusters")
+def _semantic(con, oracle_sql: str):
+    """Generator-parameterized restricted oracle: k-means assignment
+    CTEs run FULL (linear — the same CTEs kmeans_assignments hash-
+    matches at 10x), only the quadratic within-cluster candidate
+    stage is restricted to the sampled drop-candidates."""
+    from leader_graph_spark.operators.dedup import semantic_dedup_oracle_sql
+
+    tmpl = f"({_md5_byte('{vid}')} < 26)"  # ~10%
+    sql = semantic_dedup_oracle_sql(k=8, iterations=2, sample_pred=tmpl)
+    return _compare(
+        con,
+        sql,
+        f"SELECT vec_id, cid, kept FROM spark_out"
+        f" WHERE ({_md5_byte('vec_id')} < 26)",
+    )
+
+
+# ---------------------------------------------------------------------------
+# runner
+# ---------------------------------------------------------------------------
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+def make_con(sf_dir: str, spark_out_path: str):
+    con = duckdb.connect()
+    con.execute("SET temp_directory='/tmp/duckdb_scaled_tmp'")
+    con.execute("SET max_temp_directory_size='20GB'")
+    con.execute("SET memory_limit='24GB'")
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.execute(f"CREATE VIEW base_{t} AS SELECT * FROM {src}")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM base_{t}")
+    con.execute(
+        f"CREATE VIEW spark_out AS SELECT * FROM '{spark_out_path}/*.parquet'"
+    )
+    return con
+
+
+def run_scaled_check(spark, name: str, sf_dir: str, workdir: str) -> dict:
+    """Run the engine query at sf_dir, then its scaled check. Returns a
+    record dict with status scaled_verify_match / scaled_verify_MISMATCH."""
+    from leader_graph_spark.plans import REGISTRY
+
+    spec = REGISTRY[name]
+    out_path = os.path.join(workdir, name)
+    t0 = time.time()
+    spec.spark(spark, sf_dir).write.mode("overwrite").parquet(out_path)
+    spark_sec = round(time.time() - t0, 1)
+    t0 = time.time()
+    con = make_con(sf_dir, out_path)
+    try:
+        ok, detail = CHECKS[name](con, spec.oracle)
+    finally:
+        con.close()
+    rows = int(detail.get("spark_rows", 0)) if isinstance(detail, dict) else 0
+    return {
+        "status": "scaled_verify_match" if ok else "scaled_verify_MISMATCH",
+        "spark_sec": spark_sec,
+        "oracle_sec": round(time.time() - t0, 1),
+        "sampled_rows": rows,
+        "detail": detail,
+    }
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--sf-dir", required=True)
+    p.add_argument("--json-out", required=True)
+    p.add_argument("--queries", help="comma-separated subset")
+    p.add_argument("--workdir", default="/tmp/scaled_checks_out")
+    args = p.parse_args()
+
+    from leader_graph_spark.session import get_spark
+
+    names = (
+        [q for q in args.queries.split(",") if q] if args.queries else sorted(CHECKS)
+    )
+    os.makedirs(args.workdir, exist_ok=True)
+    spark = get_spark("scaled_checks")
+    out = {}
+    for i, name in enumerate(names):
+        try:
+            rec = run_scaled_check(spark, name, args.sf_dir, args.workdir)
+        except Exception as e:  # noqa: BLE001 — recorded, not swallowed
+            rec = {"status": f"error: {type(e).__name__}: {str(e)[:300]}"}
+        out[name] = rec
+        print(f"[{i + 1}/{len(names)}] {name}: {rec['status']}", flush=True)
+        with open(args.json_out, "w") as f:
+            json.dump({"sf_dir": args.sf_dir, "results": out}, f, indent=1)
+    shutil.rmtree(args.workdir, ignore_errors=True)
+    bad = [n for n, r in out.items() if r["status"] != "scaled_verify_match"]
+    print(f"done: {len(out)} checks, {len(bad)} failures: {bad}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
