@@ -46,7 +46,11 @@ def degrees(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    vertices: DataFrame, edges: DataFrame, *, max_iter: int = 25
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    max_iter: int = 25,
+    assume_symmetrized: bool = False,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation.
 
@@ -66,8 +70,9 @@ def connected_components(
     # graphs that's the whole MinHash candidate join — measured 4-5× of
     # the query's cost at sf0.1). At 100 TB the edge list is orders of
     # magnitude smaller than its producing pipeline; checkpointing it is
-    # the only sane plan.
-    sym = symmetrize(edges).localCheckpoint()
+    # the only sane plan. (assume_symmetrized: the auto-selector already
+    # did this — see connected_components_auto.)
+    sym = edges if assume_symmetrized else symmetrize(edges).localCheckpoint()
     labels = _active_vertices(sym)
     for _ in range(max_iter):
         # The convergence probe rides the SAME job as the round's
@@ -84,8 +89,62 @@ def connected_components(
     return _with_isolated(vertices, labels)
 
 
+NARROW_CC_CONF = "spark.leader_graph_spark.cc.narrowLabelMinEdges"
+
+
+def connected_components_auto(
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    max_iter: int = 25,
+    choice: dict | None = None,
+) -> DataFrame:
+    """Config-thresholded selection between the string-label CC and its
+    narrow-label scale twin — the "one call-site change" the SCALE.md
+    narrow-CC addendum promised, now a knob:
+
+    - the symmetrized edge set is checkpointed ONCE with its count
+      observed on the same job (no extra action), then handed to the
+      chosen variant (``assume_symmetrized=True`` — no double
+      materialization);
+    - NARROW is chosen when the ids are strings AND the undirected
+      edge count ≥ ``spark.leader_graph_spark.cc.narrowLabelMinEdges``
+      (session conf, default 10_000_000). Rationale: the narrow twin
+      cuts PER-ROUND label-stream shuffle ~5x (measured at the 10x
+      replica: 3.0 → 0.6 MB/round — SCALE.md round-7), but pays a
+      one-time vertex ranking; below the threshold the rank build
+      costs more than the rounds save, above it the per-round stream
+      dominates (at 100 TB it IS the cost).
+
+    Output is bit-identical either way (equality test-pinned).
+    ``choice`` (optional dict) receives {"variant", "n_edges",
+    "threshold"} — observability/test hook."""
+    conf = vertices.sparkSession.conf
+    threshold = int(conf.get(NARROW_CC_CONF, "10000000"))
+    sym, seen = _checkpoint_observed(symmetrize(edges), n=F.count(F.lit(1)))
+    id_is_string = dict(vertices.dtypes).get("id") == "string"
+    use_narrow = id_is_string and seen["n"] >= threshold
+    if choice is not None:
+        choice.update(
+            variant="narrow" if use_narrow else "string",
+            n_edges=seen["n"],
+            threshold=threshold,
+        )
+    if use_narrow:
+        return connected_components_narrow(
+            vertices, sym, max_iter=max_iter, assume_symmetrized=True
+        )
+    return connected_components(
+        vertices, sym, max_iter=max_iter, assume_symmetrized=True
+    )
+
+
 def connected_components_narrow(
-    vertices: DataFrame, edges: DataFrame, *, max_iter: int = 25
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    max_iter: int = 25,
+    assume_symmetrized: bool = False,
 ) -> DataFrame:
     """Narrow-label scale twin of :func:`connected_components`: the
     32-char md5 vertex ids this engine uses as content keys make every
@@ -95,8 +154,13 @@ def connected_components_narrow(
     min-rank ≡ min-id), propagates 8-byte BIGINT ranks, and maps back
     to id labels in one final join. Output is bit-identical to the
     string form (same min-reachable-id labeling; equality
-    test-pinned), with per-round shuffle width cut ~5x."""
-    sym = symmetrize(edges).localCheckpoint()
+    test-pinned), with per-round shuffle width cut ~5x (measured in
+    bytes at the 10x replica: 3.0 -> 0.6 MB/round — SCALE.md round-7).
+
+    ``assume_symmetrized``: the caller (``connected_components_auto``)
+    already holds a checkpointed undirected edge set — skip the
+    symmetrize+checkpoint."""
+    sym = edges if assume_symmetrized else symmetrize(edges).localCheckpoint()
     all_ids = (
         vertices.select("id")
         .unionByName(sym.select(F.col("src").alias("id")))

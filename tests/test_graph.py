@@ -354,6 +354,51 @@ def test_merge_components_chained_batches(spark):
     assert {c for _, c in got} == {1}
 
 
+def test_connected_components_auto_knob(spark):
+    """The config-thresholded narrow-label selection: both branches
+    produce bit-identical labels, and the session conf drives which
+    one runs (threshold above/below the edge count)."""
+    from leader_graph_spark.graph.algorithms import (
+        NARROW_CC_CONF,
+        connected_components_auto,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "src string, dst string"
+    )
+    verts = spark.createDataFrame([(v,) for v in "abcxyz"], "id string")
+    want = {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x"), ("z", "z")}
+    try:
+        spark.conf.set(NARROW_CC_CONF, "1")
+        pick: dict = {}
+        got = {
+            (r.id, r.component)
+            for r in connected_components_auto(verts, edges, choice=pick).collect()
+        }
+        assert pick["variant"] == "narrow" and pick["n_edges"] == 6
+        assert got == want
+        spark.conf.set(NARROW_CC_CONF, "1000000")
+        pick = {}
+        got = {
+            (r.id, r.component)
+            for r in connected_components_auto(verts, edges, choice=pick).collect()
+        }
+        assert pick["variant"] == "string"
+        assert got == want
+    finally:
+        spark.conf.unset(NARROW_CC_CONF)
+    # bigint ids never take the narrow path (nothing to narrow)
+    iedges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    iverts = spark.createDataFrame([(1,), (2,)], "id long")
+    pick = {}
+    spark.conf.set(NARROW_CC_CONF, "1")
+    try:
+        connected_components_auto(iverts, iedges, choice=pick).collect()
+    finally:
+        spark.conf.unset(NARROW_CC_CONF)
+    assert pick["variant"] == "string"
+
+
 def test_merge_components_driver_path_equals_distributed(spark):
     """The size-guarded driver-side union-find over the quotient graph
     must be bit-identical to the distributed quotient CC it replaces
