@@ -29,6 +29,30 @@ def _checkpoint_observed(df: DataFrame, **aggs) -> tuple[DataFrame, dict]:
     return out, obs.get
 
 
+def _release(*dfs: DataFrame | None) -> None:
+    """Unpersist SUPERSEDED localCheckpoint states — storage lifecycle
+    for the iterative loops.
+
+    Each round re-checkpoints its state; the superseded blocks
+    otherwise wait for the ASYNC ContextCleaner (driven by driver GC
+    plus a periodic System.gc() whose default interval is 30 MINUTES),
+    so a bench run accumulates rounds × |state| of dead storage. The
+    round-7 second-decade battery measured the consequence: at the 30×
+    replica, back-to-back k-core runs GC-thrashed the 16g JVM into
+    `OutOfMemoryError: Java heap space` (SCALE.md round-7). On a real
+    cluster the same lag inflates executor storage exactly when memory
+    is scarcest.
+
+    Only provably-dead states may be passed: ``localCheckpoint``
+    TRUNCATES lineage, so a released state that is referenced later is
+    unrecoverable by design — callers release a round's state only
+    after its successor checkpoint has materialized (eager) and no
+    returned plan references it."""
+    for df in dfs:
+        if df is not None:
+            df.unpersist()
+
+
 def symmetrize(edges: DataFrame) -> DataFrame:
     """Undirected view of a directed edge list (distinct both ways)."""
     return (
@@ -73,7 +97,8 @@ def connected_components(
     # the only sane plan. (assume_symmetrized: the auto-selector already
     # did this — see connected_components_auto.)
     sym = edges if assume_symmetrized else symmetrize(edges).localCheckpoint()
-    labels = _active_vertices(sym)
+    state = _active_vertices(sym)
+    labels = state
     for _ in range(max_iter):
         # The convergence probe rides the SAME job as the round's
         # checkpoint (`_changed` is a free column of the round join;
@@ -83,9 +108,13 @@ def connected_components(
             _min_propagation_round(sym, labels, with_changed=True),
             changed=F.sum(F.col("_changed").cast("long")),
         )
+        _release(state)
+        state = stepped
         labels = stepped.select("id", "component")
         if not seen["changed"]:
             break
+    if not assume_symmetrized:
+        _release(sym)
     return _with_isolated(vertices, labels)
 
 
@@ -131,12 +160,18 @@ def connected_components_auto(
             threshold=threshold,
         )
     if use_narrow:
-        return connected_components_narrow(
+        out = connected_components_narrow(
             vertices, sym, max_iter=max_iter, assume_symmetrized=True
         )
-    return connected_components(
-        vertices, sym, max_iter=max_iter, assume_symmetrized=True
-    )
+    else:
+        out = connected_components(
+            vertices, sym, max_iter=max_iter, assume_symmetrized=True
+        )
+    # Both variants end on a checkpointed label state; the returned plan
+    # no longer references the symmetrized edge set — release it here
+    # (this function owns it when assume_symmetrized was delegated).
+    _release(sym)
+    return out
 
 
 def connected_components_narrow(
@@ -175,15 +210,23 @@ def connected_components_narrow(
         .select(F.col("isrc").alias("src"), F.col("idst").alias("dst"))
         .localCheckpoint()
     )
-    labels = _active_vertices(int_edges)
+    if not assume_symmetrized:
+        # ranked + int_edges are materialized; the string edge set is
+        # dead from here on (when this function owns it).
+        _release(sym)
+    state = _active_vertices(int_edges)
+    labels = state
     for _ in range(max_iter):
         stepped, seen = _checkpoint_observed(
             _min_propagation_round(int_edges, labels, with_changed=True),
             changed=F.sum(F.col("_changed").cast("long")),
         )
+        _release(state)
+        state = stepped
         labels = stepped.select("id", "component")
         if not seen["changed"]:
             break
+    _release(int_edges)
     # map int ranks back to id labels; isolated vertices label themselves
     comp_name = ranked.select(
         F.col("rank0").alias("component"), F.col("v").alias("component_id")
@@ -340,8 +383,11 @@ def connected_components_two_phase(
     # pays too). 8 partitions is plenty for a state that is orders of
     # magnitude smaller than the input corpus.
     e, fp = ckpt_fingerprint(canonical(sym).coalesce(8))
+    _release(sym)
     for _ in range(max_iter):
-        e, nfp = ckpt_fingerprint(small_star(large_star(e)).coalesce(8))
+        new_e, nfp = ckpt_fingerprint(small_star(large_star(e)).coalesce(8))
+        _release(e)
+        e = new_e
         if nfp == fp:
             break
         fp = nfp
@@ -390,14 +436,18 @@ def min_propagation(
     # to full-vertex propagation — an isolated vertex can neither give
     # nor receive a label — so the unrolled SQL oracle is unchanged.
     sym = symmetrize(edges).localCheckpoint()
-    labels = _active_vertices(sym)
+    state = _active_vertices(sym)
+    labels = state
     done = 0
     while done < rounds:
         hops = min(hops_per_checkpoint, rounds - done)
         for _ in range(hops):
             labels = _min_propagation_round(sym, labels)
         labels = labels.localCheckpoint()
+        _release(state)
+        state = labels
         done += hops
+    _release(sym)
     return _with_isolated(vertices, labels)
 
 
@@ -438,7 +488,7 @@ def pagerank_fixed_point(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.expr("rank div d")).alias("s"))
         )
-        ranks = (
+        new_ranks = (
             nodes.join(contrib, "id", "left")
             .select(
                 "id",
@@ -448,6 +498,9 @@ def pagerank_fixed_point(
             )
             .localCheckpoint()
         )
+        _release(ranks)
+        ranks = new_ranks
+    _release(edges, outd)
     return ranks
 
 
@@ -476,6 +529,7 @@ def khop_distances(
     sym = symmetrize(edges).localCheckpoint()
     visited = sources.select("id", F.lit(0).alias("dist")).localCheckpoint()
     frontier = visited.select("id")
+    prev_frontier: DataFrame | None = None
     for r in range(1, k + 1):
         frontier = (
             sym.join(frontier, sym.src == frontier.id)
@@ -484,9 +538,14 @@ def khop_distances(
             .join(visited, "id", "left_anti")
             .localCheckpoint()
         )
-        visited = visited.unionByName(
+        _release(prev_frontier)
+        prev_frontier = frontier
+        new_visited = visited.unionByName(
             frontier.select("id", F.lit(r).alias("dist"))
         ).localCheckpoint()
+        _release(visited)
+        visited = new_visited
+    _release(sym, prev_frontier)
     return visited
 
 
@@ -529,11 +588,14 @@ def label_propagation_fixed(edges: DataFrame, *, rounds: int) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select(F.col("nid").alias("id"), F.col("label").alias("new_label"))
         )
-        labels = (
+        new_labels = (
             labels.join(pick, "id", "left")
             .select("id", F.coalesce("new_label", "label").alias("label"))
             .localCheckpoint()
         )
+        _release(labels)
+        labels = new_labels
+    _release(sym)
     return labels.select("id", F.col("label").alias("community"))
 
 
@@ -564,7 +626,8 @@ def min_propagation_jumped(
     round count and contract: identical to :func:`min_propagation`
     whenever ``distance`` ≥ the component diameter."""
     sym = symmetrize(edges).localCheckpoint()
-    labels = _active_vertices(sym)
+    state = _active_vertices(sym)
+    labels = state
     for _ in range(distance):
         labels = _min_propagation_round(sym, labels)
         jump_to = labels.select(
@@ -580,6 +643,9 @@ def min_propagation_jumped(
             )
             .localCheckpoint()
         )
+        _release(state)
+        state = labels
+    _release(sym)
     return _with_isolated(vertices, labels)
 
 
@@ -619,12 +685,14 @@ def kcore_subgraph(edges: DataFrame, *, k: int, rounds: int) -> DataFrame:
             .where(F.col("deg") >= k)
             .select("src")
         )
-        e, seen = _checkpoint_observed(
+        new_e, seen = _checkpoint_observed(
             e.join(keep, "src", "semi").join(
                 keep.withColumnRenamed("src", "dst"), "dst", "semi"
             ),
             n=F.count(F.lit(1)),
         )
+        _release(e)
+        e = new_e
         n_next = seen["n"]
         if n_next == n_edges:
             break
@@ -717,6 +785,8 @@ def merge_components(
         mapping = labels.sparkSession.createDataFrame(
             [(v, comp_min[find(v)]) for v in sorted(members)], schema
         )
+        # driver path consumed the quotient in one collect — release it
+        _release(q_edges)
     else:
         q_vertices = (
             q_edges.select(F.col("src").alias("id"))
@@ -799,10 +869,12 @@ def strongly_connected_components(
             )
             n_keep = seen["n"]
             if n_keep == n_remaining:
+                _release(keep)
                 break
             assigned.append(remaining.join(keep, "id", "anti").select(
                 "id", F.col("id").alias("component")
             ).localCheckpoint())
+            _release(remaining)
             remaining, n_remaining = keep, n_keep
         if n_remaining == 0:
             break
@@ -813,6 +885,7 @@ def strongly_connected_components(
             .localCheckpoint()
         )
         colors = remaining.select("id", F.col("id").alias("color"))
+        color_state: DataFrame | None = None
         for _ in range(max_rounds):
             pred_min = (
                 e_r.join(colors, e_r.src == colors.id)
@@ -822,7 +895,7 @@ def strongly_connected_components(
             new_color = F.least(
                 F.col("color"), F.coalesce(F.col("pmin"), F.col("color"))
             )
-            colors, seen = _checkpoint_observed(
+            stepped, seen = _checkpoint_observed(
                 colors.join(pred_min, "id", "left").select(
                     "id",
                     new_color.alias("color"),
@@ -830,12 +903,15 @@ def strongly_connected_components(
                 ),
                 changed=F.sum(F.col("_changed").cast("long")),
             )
-            colors = colors.select("id", "color")
+            _release(color_state)
+            color_state = stepped
+            colors = stepped.select("id", "color")
             if not seen["changed"]:
                 break
         # -- backward mark within color classes ------------------------
         marked = colors.where(F.col("id") == F.col("color")).localCheckpoint()
         frontier = marked
+        prev_frontier: DataFrame | None = None
         for _ in range(max_rounds):
             preds = (
                 e_r.join(frontier, e_r.dst == frontier.id)
@@ -847,15 +923,21 @@ def strongly_connected_components(
             frontier, seen = _checkpoint_observed(
                 same_color.join(marked, "id", "anti"), n=F.count(F.lit(1))
             )
+            _release(prev_frontier)
+            prev_frontier = frontier
             if not seen["n"]:
                 break
-            marked = marked.unionByName(frontier).localCheckpoint()
+            new_marked = marked.unionByName(frontier).localCheckpoint()
+            _release(marked)
+            marked = new_marked
         assigned.append(
             marked.select("id", F.col("color").alias("component")).localCheckpoint()
         )
-        remaining, seen = _checkpoint_observed(
+        new_remaining, seen = _checkpoint_observed(
             remaining.join(marked, "id", "anti"), n=F.count(F.lit(1))
         )
+        _release(remaining, marked, color_state, e_r, prev_frontier)
+        remaining = new_remaining
         n_remaining = seen["n"]
     if n_remaining:
         raise RuntimeError(
@@ -1094,7 +1176,7 @@ def personalized_pagerank_fixed_point(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.expr("rank div d")).alias("s"))
         )
-        ranks = (
+        new_ranks = (
             seeded.join(contrib, "id", "left")
             .select(
                 "id",
@@ -1104,4 +1186,7 @@ def personalized_pagerank_fixed_point(
             )
             .localCheckpoint()
         )
+        _release(ranks)
+        ranks = new_ranks
+    _release(edges, outd, seeded)
     return ranks

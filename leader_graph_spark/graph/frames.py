@@ -207,7 +207,7 @@ class DFGraph:
         (without it, level k replans and recomputes the whole k-deep
         join lineage and the probe doubles the actions — exponential
         replanning by depth 8 on a real graph)."""
-        from leader_graph_spark.graph.algorithms import _checkpoint_observed
+        from leader_graph_spark.graph.algorithms import _checkpoint_observed, _release
 
         to_f = F.expr(toExpr) if isinstance(toExpr, str) else toExpr
         from_f = F.expr(fromExpr) if isinstance(fromExpr, str) else fromExpr
@@ -223,6 +223,7 @@ class DFGraph:
             return hit0.select("from", F.col("from").alias("to"))
         targets = v.filter(to_f).select(F.struct(*v.columns).alias("to"))
         paths = start.select(F.struct(*v.columns).alias("from"))
+        prev_step = None
         for k in range(1, maxPathLength + 1):
             prev = "from" if k == 1 else f"v{k - 1}"
             e = edges.select(F.struct(*edges.columns).alias(f"e{k - 1}"))
@@ -237,6 +238,8 @@ class DFGraph:
                 ),
                 hits=F.count(F.col("to.id")),
             )
+            _release(prev_step)
+            prev_step = stepped
             if seen_counts["hits"]:
                 return stepped.where(F.col("to.id").isNotNull())
             vk = v.select(F.struct(*v.columns).alias(f"v{k}"))
@@ -245,6 +248,7 @@ class DFGraph:
             )
             for s in ["from"] + [f"v{i}" for i in range(1, k)]:
                 paths = paths.filter(F.col(f"v{k}.id") != F.col(f"{s}.id"))
+        _release(prev_step)
         return hit0.select("from", F.col("from").alias("to")).limit(0)
 
     # -- algorithm delegates ----------------------------------------------

@@ -109,6 +109,7 @@ def kmeans_fit(
                 centroids,
             )
         # Lloyd update: element-wise integer mean per cluster.
+        prev_centroids = centroids
         centroids = (
             assign.select("cid", F.posexplode("v").alias("pos", "val"))
             .groupBy("cid", "pos")
@@ -122,6 +123,9 @@ def kmeans_fit(
             )
             .localCheckpoint()
         )
+        from leader_graph_spark.graph.algorithms import _release
+
+        _release(prev_centroids)
     raise AssertionError("iterations must be >= 1")
 
 

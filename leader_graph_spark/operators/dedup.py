@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from leader_graph_spark.graph.algorithms import _release
 from leader_graph_spark.sources.tables import fan_out
 
 HEX = "0123456789abcdef"
@@ -521,7 +522,9 @@ def ngram_jaccard_pairs_prefix(
             .where(F.col("df") > max_df)
             .select("shingle")
         )
-        sh = sh.join(hot, "shingle", "left_anti").localCheckpoint()
+        filtered = sh.join(hot, "shingle", "left_anti").localCheckpoint()
+        _release(sh)
+        sh = filtered
     cand = jaccard_prefix_candidates(sh, id_col=id_col, t_num=t_num, t_den=t_den)
     jac = jaccard_on_pairs(cand, sh, id_col=id_col)
     return jac.filter(F.col("jaccard") >= t_num / t_den).select(
@@ -1193,7 +1196,9 @@ def containment_pairs_prefix(
             .where(F.col("df") > max_df)
             .select("shingle")
         )
-        sh = sh.join(hot, "shingle", "left_anti").localCheckpoint()
+        filtered = sh.join(hot, "shingle", "left_anti").localCheckpoint()
+        _release(sh)
+        sh = filtered
     cand = containment_prefix_candidates(sh, id_col=id_col, t_num=t_num, t_den=t_den)
     # In-row verify: per-doc shingle ARRAYS joined onto the candidate
     # pairs, intersected with array higher-order functions — the same

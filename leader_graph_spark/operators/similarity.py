@@ -145,6 +145,36 @@ def srp_lsh_buckets(
     return fan_out(emb.select(id_col, vec_col)).mapInPandas(run, out_schema)
 
 
+def scaled_lsh_params(
+    n_rows: int, *, n_planes: int, n_tables: int, target_bucket: int
+) -> tuple[int, int]:
+    """Occupancy-targeted LSH sizing: derive (planes, tables) so the
+    EXPECTED bucket size stays ≤ ``target_bucket`` as the corpus grows.
+
+    With planes fixed, buckets-per-table is a constant 2^planes, so
+    per-bucket occupancy — and the per-bucket verify work, which is
+    quadratic in occupancy — grows quadratically with the corpus. The
+    round-7 second-decade battery measured the consequence on
+    ``ann_lsh_topk``: wall exponent 1.38 across 10×→30× at fixed
+    (4, 4). The fix is the standard one: planes must track log2(n).
+
+    planes' = max(n_planes, ceil(log2(n / target_bucket))) caps
+    expected occupancy at ``target_bucket``; tables' = n_tables +
+    (planes' − n_planes) adds one OR-amplification table per extra
+    AND bit to defend recall (full compensation would need
+    exponentially many tables — LSH theory's ρ exponent — so this is
+    a measured-recall knob, not an invariant; SCALE.md round-7 records
+    the sampled ground-truth recall at 10×/30×). At the driver's
+    verification scales the derivation returns the base (planes,
+    tables) unchanged, so oracle hashes are stable by construction."""
+    import math
+
+    if n_rows <= target_bucket:
+        return n_planes, n_tables
+    planes = max(n_planes, math.ceil(math.log2(n_rows / target_bucket)))
+    return planes, n_tables + (planes - n_planes)
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     *,
@@ -154,6 +184,7 @@ def ann_lsh_topk(
     n_planes: int = 4,
     n_tables: int = 4,
     dim: int = 64,
+    target_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidate pairs = vectors sharing an SRP
     bucket in any of ``n_tables`` tables; exact cosine rank over the
@@ -161,6 +192,13 @@ def ann_lsh_topk(
     (table, bucket) — shuffles O(n·tables·avg_bucket) instead of the
     brute-force O(n²) cross join; recall/compute trades off via
     (n_planes, n_tables).
+
+    ``target_bucket`` (the 100 TB knob): when set, (n_planes,
+    n_tables) are re-derived from the corpus count via
+    :func:`scaled_lsh_params` so expected bucket occupancy — the term
+    the per-bucket gram verify is QUADRATIC in — stays capped as data
+    grows; below ``target_bucket``·2^n_planes rows the explicit
+    parameters are used unchanged. Costs one count() on the input.
 
     Verification is a per-bucket vectorized kernel (``applyInPandas``):
     each (table, bucket) group computes its normalized gram matrix with
@@ -173,6 +211,13 @@ def ann_lsh_topk(
     import pandas as pd
     from pyspark.sql import types as T
 
+    if target_bucket is not None:
+        n_planes, n_tables = scaled_lsh_params(
+            emb.count(),
+            n_planes=n_planes,
+            n_tables=n_tables,
+            target_bucket=target_bucket,
+        )
     buckets = srp_lsh_buckets(
         emb, id_col=id_col, vec_col=vec_col, n_planes=n_planes, n_tables=n_tables, dim=dim
     )

@@ -59,6 +59,19 @@ def get_spark(app_name: str = "leader_graph_spark", shuffle_partitions: int | No
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # ContextCleaner backstop for one-shot localCheckpoints whose
+        # RETURNED plans still reference them (edge sets under lazy
+        # anti-joins, neighbor tables, kmeans vector states): those
+        # can't be released explicitly, and the cleaner only notices
+        # them after a driver GC — whose periodic trigger defaults to
+        # 30 MINUTES, long enough for a bench/test session to pile up
+        # dead blocks (the 30x second-decade battery OOM'd on exactly
+        # this accumulation before the explicit _release discipline
+        # landed; SCALE.md round-7). One System.gc() per minute is
+        # noise next to query cost and bounds the residue. Iterative
+        # loops do NOT rely on this — they release superseded rounds
+        # explicitly (graph/algorithms._release).
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

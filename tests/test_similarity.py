@@ -602,3 +602,36 @@ def test_char_ngrams_catch_cjk_dups_word_shingles_miss(spark):
     inter = len(sets[1] & sets[2])
     union = len(sets[1] | sets[2])
     assert inter / union > 0.5  # clearly near-dup in char space
+
+
+def test_scaled_lsh_params_derivation():
+    from leader_graph_spark.operators.similarity import scaled_lsh_params
+
+    # below target: explicit params pass through untouched (this is
+    # what pins the driver-scale oracle hashes: sf0.01 has 500
+    # embeddings, sf0.1 has 2000 — both derive to the base (4, 4))
+    assert scaled_lsh_params(200, n_planes=4, n_tables=4, target_bucket=256) == (4, 4)
+    assert scaled_lsh_params(500, n_planes=4, n_tables=4, target_bucket=256) == (4, 4)
+    assert scaled_lsh_params(2000, n_planes=4, n_tables=4, target_bucket=256) == (4, 4)
+    # 4096 = 256 * 2^4: log2 boundary still equals the base
+    assert scaled_lsh_params(4096, n_planes=4, n_tables=4, target_bucket=256) == (4, 4)
+    # one decade up: planes track log2(n/target), one extra table per
+    # extra AND bit
+    assert scaled_lsh_params(20_000, n_planes=4, n_tables=4, target_bucket=256) == (7, 7)
+    assert scaled_lsh_params(60_000, n_planes=4, n_tables=4, target_bucket=256) == (8, 8)
+    # expected occupancy stays capped: n / 2^planes <= target
+    for n in (10**4, 10**6, 10**9, 10**12):
+        p, _ = scaled_lsh_params(n, n_planes=4, n_tables=4, target_bucket=256)
+        assert n / (1 << p) <= 256
+
+
+def test_ann_lsh_target_bucket_identical_below_threshold(spark, sf_dir):
+    # at verification scale the occupancy knob must be a no-op — same
+    # rows with and without it (this is the oracle-stability contract)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(300)
+    base = ann_lsh_topk(emb, k=5, n_planes=4, n_tables=4, dim=64)
+    knobbed = ann_lsh_topk(
+        emb, k=5, n_planes=4, n_tables=4, dim=64, target_bucket=256
+    )
+    assert base.exceptAll(knobbed).count() == 0
+    assert knobbed.exceptAll(base).count() == 0
