@@ -325,6 +325,7 @@ def srp_near_duplicates(
     n_planes: int = 4,
     n_tables: int = 4,
     dim: int = 64,
+    target_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via SRP-LSH buckets — the scale
     path for :func:`embedding_near_duplicates` (which is O(n²) by
@@ -346,6 +347,19 @@ def srp_near_duplicates(
     vectors re-join after pair-distinct."""
     from leader_graph_spark.sources.tables import fan_out
 
+    if target_bucket is not None:
+        # Occupancy cap (see scaled_lsh_params / SCALE.md round-7):
+        # fixed planes make candidate pairs quadratic in the corpus.
+        # NOT used by the registered embedding_near_dup query — its
+        # oracle replays the literal (n_planes, n_tables) hyperplanes,
+        # so that config is part of the query's spec; this knob is the
+        # library surface for corpora past the occupancy knee.
+        n_planes, n_tables = scaled_lsh_params(
+            emb.count(),
+            n_planes=n_planes,
+            n_tables=n_tables,
+            target_bucket=target_bucket,
+        )
     vecs = fan_out(emb).select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )

@@ -635,3 +635,13 @@ def test_ann_lsh_target_bucket_identical_below_threshold(spark, sf_dir):
     )
     assert base.exceptAll(knobbed).count() == 0
     assert knobbed.exceptAll(base).count() == 0
+
+
+def test_srp_near_dup_target_bucket_identity_below_threshold(spark, sf_dir):
+    from leader_graph_spark.operators.similarity import srp_near_duplicates
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(300)
+    base = srp_near_duplicates(emb, threshold=0.35)
+    knobbed = srp_near_duplicates(emb, threshold=0.35, target_bucket=256)
+    assert base.exceptAll(knobbed).count() == 0
+    assert knobbed.exceptAll(base).count() == 0
