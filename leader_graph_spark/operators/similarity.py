@@ -160,19 +160,23 @@ def scaled_lsh_params(
 
     planes' = max(n_planes, ceil(log2(n / target_bucket))) caps
     expected occupancy at ``target_bucket``; tables' = n_tables +
-    (planes' − n_planes) adds one OR-amplification table per extra
+    2·(planes' − n_planes) adds two OR-amplification tables per extra
     AND bit to defend recall (full compensation would need
     exponentially many tables — LSH theory's ρ exponent — so this is
-    a measured-recall knob, not an invariant; SCALE.md round-7 records
-    the sampled ground-truth recall at 10×/30×). At the driver's
-    verification scales the derivation returns the base (planes,
-    tables) unchanged, so oracle hashes are stable by construction."""
+    a measured-recall knob, not an invariant). Calibration at the 10×
+    replica (20k near-random vectors, full recall@5 vs brute force):
+    one-table-per-bit at target 256 → (7,7), recall 0.29 — BELOW the
+    registered query's 0.30 contract (caught by the 10× oracle
+    replay); this formula at target 1024 → (5,6), recall 0.52 with
+    the quadratic still capped. At the driver's verification scales
+    the derivation returns the base (planes, tables) unchanged, so
+    oracle hashes are stable by construction."""
     import math
 
     if n_rows <= target_bucket:
         return n_planes, n_tables
     planes = max(n_planes, math.ceil(math.log2(n_rows / target_bucket)))
-    return planes, n_tables + (planes - n_planes)
+    return planes, n_tables + 2 * (planes - n_planes)
 
 
 def ann_lsh_topk(

@@ -142,7 +142,7 @@ def _ann_lsh_topk_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_lsh_topk(
         emb, id_col="vec_id", vec_col="embedding", k=5, n_planes=4, n_tables=4,
-        dim=64, target_bucket=256,
+        dim=64, target_bucket=1024,
     )
 
 
@@ -169,7 +169,7 @@ def ann_lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     lsh = ann_lsh_topk(
         emb, id_col="vec_id", vec_col="embedding", k=5, n_planes=4, n_tables=4,
-        dim=64, target_bucket=256,
+        dim=64, target_bucket=1024,
     )
     from leader_graph_spark.operators.similarity import brute_force_topk
 

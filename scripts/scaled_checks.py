@@ -116,17 +116,43 @@ def _escalating_pair_slice(
     """Pair-slice comparison with sample ESCALATION: a slice holding
     fewer than ``min_rows`` matched pairs is vacuous evidence (a thin
     sample can pass while the full output is wrong), so the sample
-    widens 20% → 50% → 100% until the slice carries rows — at small
-    scale that ends at the full (feasible there) oracle; at 10x the
-    20% slice already holds enough pairs and the cost stays ~4% of
-    the infeasible full join."""
+    widens until the slice carries rows — at small scale that ends at
+    the full (feasible there) oracle; at 10x an early rung usually
+    holds enough pairs already.
+
+    Feasibility cap (first full-10x run lesson): a quadratic oracle's
+    cost grows with the SQUARE of the rung, so a wide rung can blow
+    DuckDB's spill/memory caps even though the narrow rungs — the
+    whole point of slicing — ran fine (char_ngram at 10x: the 20%
+    rung held <20 pairs, the 50% rung is ~25% of the infeasible full
+    join and OOM'd the 18.6 GB temp cap, and the resulting error row
+    LOOKED like a verification failure). The ladder is finer now, and
+    a rung that dies on a resource error returns the widest COMPLETED
+    rung's verdict annotated ``escalation_capped_at_pct`` — honest
+    thin-sample evidence beats a fake error; if NO rung completed with
+    rows, the resource error propagates."""
     detail: dict = {}
-    for pct in getattr(set_view, "pcts", (20, 50, 100)):
-        set_view(pct)
-        ok, detail = _compare(con, oracle_sql, spark_slice(pct))
+    completed: tuple | None = None
+    for pct in getattr(set_view, "pcts", (20, 30, 40, 50, 100)):
+        try:
+            set_view(pct)
+            ok, detail = _compare(con, oracle_sql, spark_slice(pct))
+        except duckdb.Error as e:
+            msg = str(e)
+            resource = isinstance(e, duckdb.OutOfMemoryException) or (
+                "Out of Memory" in msg or "max_temp_directory_size" in msg
+            )
+            if resource and completed is not None:
+                ok, detail = completed
+                detail["escalation_capped_at_pct"] = pct
+                detail["cap_reason"] = msg.splitlines()[0][:160]
+                return ok, detail
+            raise
         detail["sample_pct"] = pct
         if not ok or max(detail["oracle_rows"], detail["spark_rows"]) >= min_rows:
             return ok, detail
+        if max(detail["oracle_rows"], detail["spark_rows"]) > 0:
+            completed = (ok, dict(detail))
     return ok, detail
 
 
@@ -137,13 +163,21 @@ def _escalating_pair_slice(
 
 @check("char_ngram_dup_docs")
 def _char_ngram(con, oracle_sql: str):
+    def set_view(pct):
+        con.execute(
+            f"CREATE OR REPLACE VIEW documents AS"
+            f" SELECT * FROM base_documents WHERE {_pred('doc_id', pct)}"
+        )
+
+    # The naive shared-shingle oracle's temp footprint grows ~pct² and
+    # hits DuckDB's 20 GB spill cap between the 15% and 20% rungs at
+    # 10x (measured: 10% = 14 s / 34 pairs, 15% = 45 s, 20% = OOM) —
+    # start the ladder where the evidence is already sufficient.
+    set_view.pcts = (10, 15, 20, 30, 50, 100)
     return _escalating_pair_slice(
         con,
         oracle_sql,
-        lambda pct: con.execute(
-            f"CREATE OR REPLACE VIEW documents AS"
-            f" SELECT * FROM base_documents WHERE {_pred('doc_id', pct)}"
-        ),
+        set_view,
         lambda pct: (
             f"SELECT id_1, id_2, jaccard FROM spark_out"
             f" WHERE {_pred('id_1', pct)} AND {_pred('id_2', pct)}"

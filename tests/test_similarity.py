@@ -615,10 +615,14 @@ def test_scaled_lsh_params_derivation():
     assert scaled_lsh_params(2000, n_planes=4, n_tables=4, target_bucket=256) == (4, 4)
     # 4096 = 256 * 2^4: log2 boundary still equals the base
     assert scaled_lsh_params(4096, n_planes=4, n_tables=4, target_bucket=256) == (4, 4)
-    # one decade up: planes track log2(n/target), one extra table per
-    # extra AND bit
-    assert scaled_lsh_params(20_000, n_planes=4, n_tables=4, target_bucket=256) == (7, 7)
-    assert scaled_lsh_params(60_000, n_planes=4, n_tables=4, target_bucket=256) == (8, 8)
+    # past the knee: planes track log2(n/target), TWO extra tables per
+    # extra AND bit (recall calibration: (7,7) at the 10x replica
+    # measured recall@5 0.29 < the query's 0.30 contract; the
+    # registered call sites use target_bucket=1024 → (5,6) at 10x,
+    # measured 0.52)
+    assert scaled_lsh_params(20_000, n_planes=4, n_tables=4, target_bucket=256) == (7, 10)
+    assert scaled_lsh_params(20_000, n_planes=4, n_tables=4, target_bucket=1024) == (5, 6)
+    assert scaled_lsh_params(60_000, n_planes=4, n_tables=4, target_bucket=1024) == (6, 8)
     # expected occupancy stays capped: n / 2^planes <= target
     for n in (10**4, 10**6, 10**9, 10**12):
         p, _ = scaled_lsh_params(n, n_planes=4, n_tables=4, target_bucket=256)
