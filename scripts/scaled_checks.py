@@ -195,9 +195,17 @@ def _fuzzy(con, oracle_sql: str):
         )
 
     set_view.pcts = (10, 30, 100)
+    # Value-pair comparison: similar_string_pairs' documented contract
+    # is pairs of DISTINCT name VALUES (it .distinct()s names first);
+    # the row-pair oracle is identical wherever names are unique (every
+    # driver scale — exact hash parity pinned there), but the replica
+    # duplicates c_name across replicas (keys offset, names verbatim),
+    # so the raw oracle multiplies every value pair by multiplicity².
+    # Collapse that multiplicity; the 10x first-run caught this as a
+    # clean oracle_rows == 100 × spark_rows signature.
     return _escalating_pair_slice(
         con,
-        oracle_sql,
+        f"SELECT DISTINCT * FROM ({oracle_sql})",
         set_view,
         lambda pct: (
             f"SELECT name_a, name_b, dist FROM spark_out"
@@ -236,14 +244,50 @@ def _closure_documents(con, pct: int):
     )
 
 
+def _closure_compare(con, oracle_sql: str, spark_slice_fmt):
+    """Closure-slice compare with DESCENDING feasibility rungs.
+
+    The canonical-dedup oracle re-runs the full MinHash + recursive-CTE
+    pipeline over the restricted document view; its memory footprint is
+    driven by the slice's DOC count, which scales with pct·n — at the
+    10x replica the 20% rung (~40k docs, singleton clusters dominate)
+    blew DuckDB's 24 GB memory limit (first full-10x run of this
+    family). Unlike the pair family (which escalates UP for evidence
+    volume) every doc here yields an output row, so a lean slice is
+    still evidence-dense: try rich→lean and accept the first rung that
+    completes, annotating the pct. A rung's OOM poisons the DuckDB
+    transaction — roll it back before retrying."""
+    last_err = None
+    for pct in (20, 10, 5, 2):
+        try:
+            _closure_documents(con, pct)
+            ok, detail = _compare(con, oracle_sql, spark_slice_fmt(pct))
+        except duckdb.Error as e:
+            msg = str(e)
+            if "Out of Memory" in msg or "max_temp_directory_size" in msg:
+                last_err = e
+                try:
+                    con.execute("ROLLBACK")
+                except duckdb.Error:
+                    pass
+                continue
+            raise
+        detail["sample_pct"] = pct
+        if last_err is not None:
+            detail["descended_from_oom"] = str(last_err).splitlines()[0][:160]
+        return ok, detail
+    raise last_err
+
+
 @check("dedup_canonical_docs")
 def _canonical(con, oracle_sql: str):
-    _closure_documents(con, 20)
-    return _compare(
+    return _closure_compare(
         con,
         oracle_sql,
-        f"SELECT doc_id, canonical_id, is_kept FROM spark_out"
-        f" WHERE {_pred('canonical_id', 20)}",
+        lambda pct: (
+            f"SELECT doc_id, canonical_id, is_kept FROM spark_out"
+            f" WHERE {_pred('canonical_id', pct)}"
+        ),
     )
 
 
@@ -256,12 +300,13 @@ def _leakage(con, oracle_sql: str):
     ).fetchone()[0]
     if leaks:
         return False, {"clusters_straddling_splits": leaks}
-    _closure_documents(con, 20)
-    return _compare(
+    return _closure_compare(
         con,
         oracle_sql,
-        f"SELECT doc_id, canonical_id, split FROM spark_out"
-        f" WHERE {_pred('canonical_id', 20)}",
+        lambda pct: (
+            f"SELECT doc_id, canonical_id, split FROM spark_out"
+            f" WHERE {_pred('canonical_id', pct)}"
+        ),
     )
 
 
