@@ -756,7 +756,12 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .distinct()
     )
-    return kcore_subgraph(cp, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+    # bipartite by construction: src ids are 'c…', dst ids are 'p…' —
+    # disjoint namespaces, so the symmetrized union is distinct without
+    # the extra full-shuffle distinct (symmetrize docstring).
+    return kcore_subgraph(
+        cp, k=_KCORE_K, rounds=_KCORE_ROUNDS, disjoint_directions=True
+    )
 
 
 @query("incremental_component_merge", _CC_ORACLE, bench=True, tags=("graph-iterative", "incremental"))

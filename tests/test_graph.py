@@ -503,3 +503,21 @@ def test_narrow_cc_equals_string_cc(spark, sf_smoke):
     e2 = spark.createDataFrame([("b", "a"), ("b", "c")], "src string, dst string")
     got2 = {tuple(r) for r in connected_components_narrow(v2, e2).collect()}
     assert got2 == {("a", "a"), ("b", "a"), ("c", "a"), ("z", "z")}
+
+
+def test_symmetrize_disjoint_directions_identity(spark):
+    """The disjoint-directions fast path must be value-identical to the
+    distinct form whenever its precondition holds (bipartite distinct
+    edges) — and the test also documents the precondition by building
+    exactly the co-purchase shape."""
+    from leader_graph_spark.graph.algorithms import symmetrize
+
+    edges = spark.createDataFrame(
+        [("c1", "p1"), ("c1", "p2"), ("c2", "p1"), ("c3", "p3")],
+        ["src", "dst"],
+    )
+    base = symmetrize(edges)
+    fast = symmetrize(edges, disjoint_directions=True)
+    assert base.exceptAll(fast).count() == 0
+    assert fast.exceptAll(base).count() == 0
+    assert fast.count() == 8
