@@ -47,9 +47,22 @@ def _release(*dfs: DataFrame | None) -> None:
     TRUNCATES lineage, so a released state that is referenced later is
     unrecoverable by design — callers release a round's state only
     after its successor checkpoint has materialized (eager) and no
-    returned plan references it."""
+    returned plan references it.
+
+    Mechanics: ``Dataset.unpersist()`` is a NO-OP for localCheckpoints
+    — it routes through the SQL cache manager, which only tracks
+    ``persist()``/``cache()`` entries, while localCheckpoint persists
+    at the RDD level (test_iterative_loops_release_superseded_
+    checkpoints caught the first version of this function silently
+    releasing nothing). A checkpointed Dataset's analyzed plan is a
+    ``LogicalRDD`` carrying the persisted RDD — unpersist THAT."""
     for df in dfs:
-        if df is not None:
+        if df is None:
+            continue
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith(".LogicalRDD"):
+            plan.rdd().unpersist(False)
+        else:
             df.unpersist()
 
 

@@ -521,3 +521,47 @@ def test_symmetrize_disjoint_directions_identity(spark):
     assert base.exceptAll(fast).count() == 0
     assert fast.exceptAll(base).count() == 0
     assert fast.count() == 8
+
+
+def test_iterative_loops_release_superseded_checkpoints(spark):
+    """The round-7 checkpoint-lifecycle fix, pinned: after an iterative
+    algorithm completes, only its LIVE states (final labels + any
+    lookup tables its returned lazy plan references) may remain
+    persisted — superseded round states must be gone WITHOUT waiting
+    for the async ContextCleaner (whose periodic GC defaults to 30
+    minutes; the 30x battery OOM'd on exactly that lag)."""
+    from pyspark.sql import functions as F
+
+    from leader_graph_spark.graph.algorithms import (
+        connected_components,
+        kcore_subgraph,
+        pagerank_fixed_point,
+    )
+
+    def n_persisted():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    # a path graph converges in several rounds — enough to leak if
+    # superseded states weren't released
+    edges = spark.createDataFrame(
+        [(f"v{i:02d}", f"v{i + 1:02d}") for i in range(12)], ["src", "dst"]
+    )
+    vertices = edges.select(F.col("src").alias("id")).unionByName(
+        edges.select(F.col("dst").alias("id"))
+    ).distinct()
+
+    base = n_persisted()
+    cc = connected_components(vertices, edges)
+    cc.count()
+    after_cc = n_persisted()
+    # live: final label state (1). Headroom of 2 tolerates engine
+    # internals, but a leak of one state PER ROUND (12+ here) fails.
+    assert after_cc - base <= 3, f"CC leaked checkpoints: {after_cc - base}"
+
+    kcore_subgraph(edges, k=2, rounds=8).count()
+    after_kcore = n_persisted()
+    assert after_kcore - after_cc <= 3, f"kcore leaked: {after_kcore - after_cc}"
+
+    pagerank_fixed_point(edges, iterations=8).count()
+    after_pr = n_persisted()
+    assert after_pr - after_kcore <= 3, f"pagerank leaked: {after_pr - after_kcore}"
