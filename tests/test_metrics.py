@@ -37,7 +37,10 @@ BENCH_BUDGETS: dict[str, tuple[float, int]] = {
     # probes fused into checkpoint jobs + driver-side quotient
     # union-find (round 7): 105 -> 62 and 17 -> 13 driver actions
     "incremental_component_merge": (1.3, 70),
-    "kcore_copurchase": (2.8, 17),
+    # tightened after the bipartite symmetrize fast path dropped the
+    # redundant distinct's full shuffle (round 7: 98 -> 70 MB at sf0.1,
+    # 0.8 MB at this smoke scale)
+    "kcore_copurchase": (1.6, 17),
     "local_supplier_volume": (0.05, 17),
     "minhash_near_dup_docs": (1.0, 8),
     "ngram_jaccard_prefix_filtered": (5.0, 16),
