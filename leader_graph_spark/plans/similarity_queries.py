@@ -165,7 +165,17 @@ def ann_lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic embeddings are near-random (pairwise cosine ≈ 0.33) so
     absolute recall is structurally low — the unit suite pins > 0.35
     at default params; 0.30 leaves noise headroom while still turning
-    the row red if the banding ever stops finding true neighbors."""
+    the row red if the banding ever stops finding true neighbors.
+
+    ``target_bucket=1024`` is the 100 TB occupancy cap
+    (``scaled_lsh_params``): below ~4k vectors it derives the same
+    (4, 4) as the explicit params (oracle hashes unchanged at every
+    driver scale); past the knee, planes track log2(n) so per-bucket
+    gram work stays constant. The recall CONTRACT holds at scale too —
+    the 10× replay runs this very harness and measured 0.515 full
+    recall at the derived (5, 6); the first calibration (target 256)
+    failed it at 0.292 and was caught by that replay (SCALE.md
+    round-7, Finding 3)."""
     emb = load_table(spark, sf_dir, "embeddings")
     lsh = ann_lsh_topk(
         emb, id_col="vec_id", vec_col="embedding", k=5, n_planes=4, n_tables=4,
