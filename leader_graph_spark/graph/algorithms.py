@@ -223,7 +223,7 @@ def connected_components_narrow(
         .unionByName(sym.select(F.col("src").alias("id")))
         .distinct()
     )
-    ranked = ranked_vertices(all_ids.select(F.col("id").alias("v"))).localCheckpoint()
+    ranked = ranked_vertices(all_ids.select(F.col("id").alias("v")), checkpoint=True)
     r_src = ranked.select(F.col("v").alias("src"), F.col("rank0").alias("isrc"))
     r_dst = ranked.select(F.col("v").alias("dst"), F.col("rank0").alias("idst"))
     int_edges = (
@@ -1067,7 +1067,12 @@ def _negative_pick_hash(salt: str):
     ).cast("bigint")
 
 
-def ranked_vertices(vertices: DataFrame, *, n_partitions: int | None = None) -> DataFrame:
+def ranked_vertices(
+    vertices: DataFrame,
+    *,
+    n_partitions: int | None = None,
+    checkpoint: bool = False,
+) -> DataFrame:
     """(v, rank0) with rank0 = 0-indexed position of v in the globally
     sorted vertex universe — WITHOUT a global single-reducer window.
     Two-phase distributed rank: repartitionByRange(v) +
@@ -1081,7 +1086,13 @@ def ranked_vertices(vertices: DataFrame, *, n_partitions: int | None = None) -> 
     ``sparkContext.defaultParallelism`` so rank-build parallelism
     tracks the cluster instead of capping at a constant — on a
     1000-executor cluster the range partitioner spreads |V| over the
-    real slot count, not 32."""
+    real slot count, not 32.
+
+    ``checkpoint=True`` materializes the result and RELEASES the
+    internal ranged checkpoint (|V|-sized blocks that the lazy return
+    otherwise keeps referenced — and persisted — for as long as the
+    caller holds the plan); use it when the caller was going to
+    ``localCheckpoint()`` the result anyway (narrow CC does)."""
     if n_partitions is None:
         n_partitions = max(vertices.sparkSession.sparkContext.defaultParallelism, 1)
     ranged = (
@@ -1091,17 +1102,21 @@ def ranked_vertices(vertices: DataFrame, *, n_partitions: int | None = None) -> 
         .withColumn("_mid", F.monotonically_increasing_id())
         .localCheckpoint()
     )
-    ranged = ranged.withColumn(
+    with_pos = ranged.withColumn(
         "_pid", F.shiftright("_mid", 33).cast("int")
     ).withColumn("_local", F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)))
-    totals = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_ptotal"))
+    totals = with_pos.groupBy("_pid").agg(F.count(F.lit(1)).alias("_ptotal"))
     w_carry = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     carry = totals.select(
         "_pid", F.coalesce(F.sum("_ptotal").over(w_carry), F.lit(0)).alias("_carry")
     )
-    return ranged.join(F.broadcast(carry), "_pid").select(
+    out = with_pos.join(F.broadcast(carry), "_pid").select(
         "v", (F.col("_carry") + F.col("_local")).cast("bigint").alias("rank0")
     )
+    if checkpoint:
+        out = out.localCheckpoint()
+        _release(ranged)
+    return out
 
 
 def link_prediction_pairs(
