@@ -565,3 +565,31 @@ def test_iterative_loops_release_superseded_checkpoints(spark):
     pagerank_fixed_point(edges, iterations=8).count()
     after_pr = n_persisted()
     assert after_pr - after_kcore <= 3, f"pagerank leaked: {after_pr - after_kcore}"
+
+
+def test_narrow_cc_releases_rank_and_edge_states(spark):
+    """Narrow CC holds the most intermediate checkpoints of any loop
+    (sym, rank build, int_edges, per-round labels) — after it returns
+    and the result is materialized, only the final label state and the
+    rank table (both referenced by the returned plan) may remain."""
+    from pyspark.sql import functions as F
+
+    from leader_graph_spark.graph.algorithms import connected_components_narrow
+
+    def n_persisted():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(10)], ["src", "dst"]
+    )
+    vertices = edges.select(F.col("src").alias("id")).unionByName(
+        edges.select(F.col("dst").alias("id"))
+    ).distinct()
+    base = n_persisted()
+    out = connected_components_narrow(vertices, edges)
+    out.count()
+    # live: final labels + ranked (the returned join references both).
+    # 10 propagation rounds would leak 10+ states without the release
+    # discipline.
+    leaked = n_persisted() - base
+    assert leaked <= 4, f"narrow CC left {leaked} persisted states"
