@@ -593,3 +593,36 @@ def test_narrow_cc_releases_rank_and_edge_states(spark):
     # discipline.
     leaked = n_persisted() - base
     assert leaked <= 4, f"narrow CC left {leaked} persisted states"
+
+
+def test_scc_releases_phase_states(spark):
+    """SCC has the most intricate release wiring (trim rounds, color
+    rounds, backward-mark rounds, per-phase edge restriction) — pin
+    its storage bound on a graph with cycles + a DAG tail."""
+    from leader_graph_spark.graph.algorithms import strongly_connected_components
+
+    def n_persisted():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    edges = spark.createDataFrame(
+        # 3-cycle, 2-cycle, and a DAG tail feeding them
+        [("a", "b"), ("b", "c"), ("c", "a"),
+         ("d", "e"), ("e", "d"),
+         ("f", "a"), ("g", "f"), ("c", "d")],
+        ["src", "dst"],
+    )
+    from pyspark.sql import functions as F
+    vertices = edges.select(F.col("src").alias("id")).unionByName(
+        edges.select(F.col("dst").alias("id"))
+    ).distinct()
+    base = n_persisted()
+    out = strongly_connected_components(vertices, edges)
+    rows = {r.id: r.component for r in out.collect()}
+    assert rows["a"] == rows["b"] == rows["c"] == "a"
+    assert rows["d"] == rows["e"] == "d"
+    assert rows["f"] == "f" and rows["g"] == "g"
+    leaked = n_persisted() - base
+    # live: the assigned per-phase outputs referenced by the returned
+    # union (one per trim batch / mark phase) + e_all. The multi-phase
+    # loop ran dozens of checkpoints; a leak shows up far above this.
+    assert leaked <= 8, f"SCC left {leaked} persisted states"
