@@ -626,3 +626,20 @@ def test_scc_releases_phase_states(spark):
     # union (one per trim batch / mark phase) + e_all. The multi-phase
     # loop ran dozens of checkpoints; a leak shows up far above this.
     assert leaked <= 8, f"SCC left {leaked} persisted states"
+
+
+def test_release_of_live_state_fails_loudly(spark):
+    """_release is only safe on provably-dead states: localCheckpoint
+    truncates lineage, so releasing a state that a live plan still
+    references must fail LOUDLY at execution (not silently recompute
+    wrong data). Pins the sharp edge the release discipline's call
+    sites are designed around."""
+    import pytest
+
+    from leader_graph_spark.graph.algorithms import _release
+
+    ckpt = spark.range(100).selectExpr("id", "id * 2 AS v").localCheckpoint()
+    derived = ckpt.groupBy((ckpt.id % 3).alias("k")).count()
+    _release(ckpt)
+    with pytest.raises(Exception, match="(?i)checkpoint|block|rdd"):
+        derived.count()
