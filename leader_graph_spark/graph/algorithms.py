@@ -935,6 +935,15 @@ def strongly_connected_components(
             colors = stepped.select("id", "color")
             if not seen["changed"]:
                 break
+        else:
+            # Exhausting the round budget mid-propagation would hand MARK
+            # non-converged colors and silently mislabel high-diameter
+            # cycle chains — the docstring's no-partial-labels contract
+            # must hold for the inner loops too, not just max_phases.
+            raise RuntimeError(
+                f"SCC forward coloring did not converge within "
+                f"{max_rounds} rounds (diameter exceeds budget)"
+            )
         # -- backward mark within color classes ------------------------
         marked = colors.where(F.col("id") == F.col("color")).localCheckpoint()
         frontier = marked
@@ -957,6 +966,14 @@ def strongly_connected_components(
             new_marked = marked.unionByName(frontier).localCheckpoint()
             _release(marked)
             marked = new_marked
+        else:
+            # A frontier still alive after max_rounds means the extracted
+            # set is a PARTIAL SCC; its unmarked members would get a
+            # different label next phase. Raise instead.
+            raise RuntimeError(
+                f"SCC backward mark did not converge within "
+                f"{max_rounds} rounds (diameter exceeds budget)"
+            )
         assigned.append(
             marked.select("id", F.col("color").alias("component")).localCheckpoint()
         )
@@ -971,6 +988,10 @@ def strongly_connected_components(
             f"SCC did not converge within {max_phases} phases "
             f"({n_remaining} vertices unassigned)"
         )
+    # the assigned outputs are independently checkpointed — the edge set
+    # and the (now empty) remaining state are dead and must not stay
+    # pinned until the periodic-GC backstop fires
+    _release(e_all, remaining)
     out = assigned[0] if assigned else verts.select(
         "id", F.col("id").alias("component")
     ).limit(0)

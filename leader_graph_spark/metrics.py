@@ -68,18 +68,36 @@ def _store(spark: SparkSession):
 
 
 def _stage_list(spark: SparkSession):
-    """AppStatusStore.stageList with Spark 4's full signature
-    (statuses, details, withSummaries, unsortedQuantiles, taskStatus)
-    — py4j can't use the Scala defaults."""
+    """AppStatusStore.stageList — py4j can't use the Scala defaults, and
+    the arity differs across Spark lines: 4.x takes (statuses, details,
+    withSummaries, unsortedQuantiles, taskStatus); 3.5 lacks the
+    ``details`` flag. Try the 4.x signature first, fall back to 3.5's,
+    so ``pip install leader-graph-spark[spark]`` (pyspark>=3.5) can run
+    bench/measure on either line."""
     jvm = spark._jvm
     gw = spark.sparkContext._gateway
-    return _store(spark).stageList(
-        jvm.java.util.ArrayList(),
-        False,
-        False,
-        gw.new_array(gw.jvm.double, 0),
-        jvm.java.util.ArrayList(),
-    )
+    store = _store(spark)
+    try:
+        return store.stageList(
+            jvm.java.util.ArrayList(),
+            False,
+            False,
+            gw.new_array(gw.jvm.double, 0),
+            jvm.java.util.ArrayList(),
+        )
+    except Exception:
+        pass
+    try:
+        # older arity without the ``details`` flag
+        return store.stageList(
+            jvm.java.util.ArrayList(),
+            False,
+            gw.new_array(gw.jvm.double, 0),
+            jvm.java.util.ArrayList(),
+        )
+    except Exception:
+        # last resort: statuses-only (Scala default-arg stub)
+        return store.stageList(jvm.java.util.ArrayList())
 
 
 def _max_ids(spark: SparkSession) -> tuple[int, int]:

@@ -729,6 +729,22 @@ FROM e{_KCORE_ROUNDS} GROUP BY 1
 """
 
 
+def _namespace_guard(col: str, prefix: str, query_name: str):
+    """Column expression that passes ``col`` through unchanged but
+    raises at runtime if any id lacks the expected namespace prefix —
+    the cheap structural guard that makes ``disjoint_directions=True``
+    misuse fail loudly instead of silently double-counting degrees.
+    Fused into a USED column so Catalyst cannot prune it, and costs no
+    extra driver action."""
+    return (
+        F.when(F.col(col).startswith(prefix), F.col(col))
+        .otherwise(F.raise_error(F.concat(
+            F.lit(f"{query_name}: disjoint_directions requires "
+                  f"{col} ids prefixed '{prefix}', got "), F.col(col))))
+        .alias(col)
+    )
+
+
 @query("kcore_copurchase", _kcore_oracle(), bench=True, tags=("graph-iterative", "kcore"))
 def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of the customer–part co-purchase bipartite graph
@@ -758,7 +774,15 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # bipartite by construction: src ids are 'c…', dst ids are 'p…' —
     # disjoint namespaces, so the symmetrized union is distinct without
-    # the extra full-shuffle distinct (symmetrize docstring).
+    # the extra full-shuffle distinct (symmetrize docstring). The
+    # namespace split is ENFORCED, not assumed: the guard rides the
+    # existing scan (no extra action) and raises at runtime if a future
+    # edit to the edge build drops the prefixes — flag misuse would
+    # otherwise silently double-count degrees.
+    cp = cp.select(
+        _namespace_guard("src", "c", "kcore_copurchase"),
+        _namespace_guard("dst", "p", "kcore_copurchase"),
+    )
     return kcore_subgraph(
         cp, k=_KCORE_K, rounds=_KCORE_ROUNDS, disjoint_directions=True
     )

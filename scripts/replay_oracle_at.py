@@ -208,22 +208,23 @@ def main() -> int:
         with open(args.json_out, "w") as f:
             json.dump({"sf_dir": args.sf_dir, "timeout": args.timeout, "results": out}, f, indent=1)
 
-    # Accepted statuses: oracle_timeout_spark_ok AND oracle_error_spark_ok
-    # are both the documented outcome of the yardstick caps (240-600s,
-    # 24GB/20GB spill) on quadratic/unrolled oracles at 10x — the ENGINE
-    # finished; only the infeasible yardstick didn't. Failures are the
-    # engine-side statuses.
-    bad = [
-        n
-        for n, r in out.items()
-        if r["status"]
-        not in (
-            "match",
-            "scaled_verify_match",
-            "oracle_timeout_spark_ok",
-            "oracle_error_spark_ok",
-        )
-    ]
+    # Accepted statuses: oracle_timeout_spark_ok / oracle_error_spark_ok
+    # are the documented outcome of the yardstick caps (240-600s,
+    # 24GB/20GB spill) on quadratic/unrolled oracles at 10x — but ONLY
+    # for the queries whose yardsticks are documented infeasible
+    # (scaled_checks.CHECKS). An oracle crash on any OTHER query (a SQL
+    # bug, an unrelated OOM) is a gate failure, not a pass — otherwise
+    # the escape class the --scaled flag eliminates creeps back in.
+    import scaled_checks as _sc
+
+    def _accepted(n: str, status: str) -> bool:
+        if status in ("match", "scaled_verify_match"):
+            return True
+        if status in ("oracle_timeout_spark_ok", "oracle_error_spark_ok"):
+            return n in _sc.CHECKS
+        return False
+
+    bad = [n for n, r in out.items() if not _accepted(n, r["status"])]
     print(f"done: {len(out)} queries, {len(bad)} failures: {bad}")
     return 1 if bad else 0
 

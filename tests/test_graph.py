@@ -628,6 +628,48 @@ def test_scc_releases_phase_states(spark):
     assert leaked <= 8, f"SCC left {leaked} persisted states"
 
 
+def test_scc_raises_on_round_budget_exhaustion(spark):
+    """Pin the no-partial-labels contract on the INNER loops: a cycle
+    whose diameter exceeds max_rounds must raise, not proceed to MARK
+    with non-converged colors and silently mislabel the chain."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from leader_graph_spark.graph.algorithms import strongly_connected_components
+
+    n = 12  # a 12-cycle: color convergence needs ~n rounds
+    edges = spark.createDataFrame(
+        [(f"v{i:02d}", f"v{(i + 1) % n:02d}") for i in range(n)], ["src", "dst"]
+    )
+    vertices = edges.select(F.col("src").alias("id")).distinct()
+    with pytest.raises(RuntimeError, match="did not converge"):
+        strongly_connected_components(vertices, edges, max_rounds=3).count()
+    # ...and with an adequate budget the same graph labels correctly
+    out = strongly_connected_components(vertices, edges, max_rounds=2 * n)
+    rows = {r.id: r.component for r in out.collect()}
+    assert set(rows.values()) == {"v00"}
+
+
+def test_kcore_namespace_guard_raises(spark):
+    """The disjoint_directions structural guard must fail loudly when
+    an id lacks its namespace prefix (and pass ids through untouched
+    when the invariant holds)."""
+    import pytest
+
+    from leader_graph_spark.plans.graph_queries import _namespace_guard
+
+    good = spark.createDataFrame([("c1", "p2"), ("c3", "p4")], ["src", "dst"])
+    guarded = good.select(
+        _namespace_guard("src", "c", "t"), _namespace_guard("dst", "p", "t")
+    )
+    assert sorted(tuple(r) for r in guarded.collect()) == [("c1", "p2"), ("c3", "p4")]
+    bad = spark.createDataFrame([("c1", "p2"), ("x3", "p4")], ["src", "dst"])
+    with pytest.raises(Exception, match="disjoint_directions"):
+        bad.select(
+            _namespace_guard("src", "c", "t"), _namespace_guard("dst", "p", "t")
+        ).collect()
+
+
 def test_release_of_live_state_fails_loudly(spark):
     """_release is only safe on provably-dead states: localCheckpoint
     truncates lineage, so releasing a state that a live plan still
