@@ -1201,7 +1201,11 @@ def link_prediction_pairs(
 
 
 def personalized_pagerank_fixed_point(
-    edges: DataFrame, sources: DataFrame, *, iterations: int = 8
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    iterations: int = 8,
+    damping_pct: int = 85,
 ) -> DataFrame:
     """Personalized PageRank (damping 0.85) in integer micro-units:
     the teleport mass lands ONLY on the ``sources`` set instead of
@@ -1213,7 +1217,16 @@ def personalized_pagerank_fixed_point(
     Σcontrib) div 100`` with teleport 150 000 micro-units on seeds and
     0 elsewhere, so the unrolled SQL oracle reproduces every iteration
     bit-for-bit. Per iteration: one co-partitioned join + one dst-keyed
-    aggregation; seeds broadcast (a seed set is small by definition)."""
+    aggregation; seeds broadcast (a seed set is small by definition).
+
+    ``damping_pct`` generalizes the damping factor to any whole percent
+    (GraphFrames' ``resetProbability`` = ``1 - damping_pct/100``); the
+    default 85 is the form the unrolled SQL oracle replays bit-exactly."""
+    if not (isinstance(damping_pct, int) and 0 <= damping_pct <= 100):
+        raise ValueError(
+            f"damping_pct must be a whole percent in [0, 100], got {damping_pct!r} "
+            "(the integer fixed-point form keeps the unrolled oracle bit-exact)"
+        )
     edges = edges.select("src", "dst").localCheckpoint()
     nodes = (
         edges.select("src")
@@ -1228,7 +1241,8 @@ def personalized_pagerank_fixed_point(
         "left",
     ).select("id", F.coalesce("_seed", F.lit(0)).alias("is_seed"))
     seeded = seeded.localCheckpoint()
-    teleport = (F.col("is_seed") * 150000).cast("bigint")
+    teleport_micro = (100 - damping_pct) * 10000
+    teleport = (F.col("is_seed") * teleport_micro).cast("bigint")
     ranks = seeded.select(
         "id", (F.col("is_seed") * 1000000).cast("bigint").alias("rank")
     ).localCheckpoint()
@@ -1243,7 +1257,9 @@ def personalized_pagerank_fixed_point(
             seeded.join(contrib, "id", "left")
             .select(
                 "id",
-                (teleport + F.expr("(coalesce(s, CAST(0 AS BIGINT)) * 85) div 100"))
+                (teleport + F.expr(
+                    f"(coalesce(s, CAST(0 AS BIGINT)) * {damping_pct}) div 100"
+                ))
                 .cast("bigint")
                 .alias("rank"),
             )

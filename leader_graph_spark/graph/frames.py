@@ -318,6 +318,60 @@ class DFGraph:
             out = out.unionByName(p)
         return out.groupBy("id").agg(agg_expr.alias("agg"))
 
+    @property
+    def pregel(self) -> "Pregel":
+        """GraphFrames-parity Pregel builder (``g.pregel.withVertexColumn
+        (...).sendMsgToDst(...).aggMsgs(...).run()``) — a naming facade
+        over the same checkpointed message-passing loop every algorithm
+        in :mod:`graph.algorithms` uses."""
+        return Pregel(self)
+
+    def parallelPersonalizedPageRank(
+        self,
+        *,
+        sourceIds: list,
+        maxIter: int = 8,
+        resetProbability: float = 0.15,
+    ) -> DataFrame:
+        """GraphFrames-parity per-seed personalized PageRank: one
+        oracle-proven :func:`graph.algorithms.
+        personalized_pagerank_fixed_point` run per source id, returned
+        as the vertex DataFrame plus a ``pageranks`` MAP<seed, rank>
+        column (GraphFrames packs a vector keyed by seed index; a map
+        keyed by the seed id is the DataFrame-idiomatic equivalent and
+        loses no information). Ranks are integer micro-units — the
+        bit-exact fixed-point form.
+
+        Scale shape: s seeds cost s independent 8-iteration runs; each
+        run's join/agg per iteration is the measured scale-safe plan
+        (VERDICT r7 plan audit). The final assembly is one map_from
+        projection over s joined columns — no shuffle beyond the runs
+        themselves."""
+        from leader_graph_spark.graph.algorithms import (
+            personalized_pagerank_fixed_point,
+        )
+
+        if not sourceIds:
+            raise ValueError("sourceIds must be non-empty")
+        damping_pct = round((1 - resetProbability) * 100)
+        if abs((1 - resetProbability) * 100 - damping_pct) > 1e-9:
+            raise ValueError(
+                "resetProbability must be a whole percent (integer "
+                "fixed-point form), e.g. 0.15 or 0.2"
+            )
+        spark = self.vertices.sparkSession
+        out = self.vertices
+        entries = []
+        for i, sid in enumerate(sourceIds):
+            seed_df = spark.createDataFrame([(sid,)], ["id"])
+            r = personalized_pagerank_fixed_point(
+                self.edges, seed_df, iterations=maxIter, damping_pct=damping_pct
+            ).withColumnRenamed("rank", f"__ppr_{i}")
+            out = out.join(r, "id", "left")
+            entries.extend([F.lit(sid), F.coalesce(F.col(f"__ppr_{i}"), F.lit(0))])
+        keep = [c for c in self.vertices.columns]
+        return out.select(*keep, F.create_map(*entries).alias("pageranks"))
+
     def filterVertices(self, condition) -> "DFGraph":
         """Subgraph induced by the kept vertices (edges must keep both
         endpoints) — GraphFrames' filterVertices semantics."""
@@ -331,3 +385,155 @@ class DFGraph:
 
     def filterEdges(self, condition) -> "DFGraph":
         return DFGraph(self.vertices, self.edges.filter(condition))
+
+
+class Pregel:
+    """GraphFrames' Pregel API over :class:`DFGraph` — the builder a
+    GraphFrames user reaches for when no canned algorithm fits:
+
+        from pyspark.sql import functions as F
+        ranks = (g.pregel
+                 .setMaxIter(12)
+                 .withVertexColumn("comp", F.col("id"),
+                     F.least(F.col("comp"),
+                             F.coalesce(Pregel.msg(), F.col("comp"))))
+                 .sendMsgToDst(Pregel.src("comp"))
+                 .sendMsgToSrc(Pregel.dst("comp"))
+                 .aggMsgs(F.min(Pregel.msg()))
+                 .run())
+
+    Semantics match GraphFrames: every superstep sends the configured
+    messages over EVERY edge (null messages are dropped), aggregates
+    them per receiving vertex, then updates each declared vertex column
+    SIMULTANEOUSLY (one select, so an update never sees a sibling's new
+    value); ``Pregel.msg()`` is null for vertices that received nothing.
+    Exactly ``maxIter`` supersteps run — convergence detection is the
+    caller's via a vertex column, as in GraphFrames.
+
+    Scale shape: per superstep ONE triplet build (two vertex-struct
+    joins) + one union + one hash aggregation + one state join — the
+    identical plan the hand-written loops use — and the round state is
+    ``localCheckpoint``-ed with the superseded round released
+    (the storage discipline of :mod:`graph.algorithms`), so plan depth
+    and executor storage stay bounded at any iteration count."""
+
+    MSG_COL = "_pregel_msg_"
+
+    def __init__(self, graph: DFGraph):
+        self._g = graph
+        self._max_iter = 10
+        self._vcols: list[tuple[str, object, object]] = []
+        self._to_src: list = []
+        self._to_dst: list = []
+        self._agg = None
+
+    # -- triplet-namespace helpers (GraphFrames static API) ---------------
+    @staticmethod
+    def msg():
+        return F.col(Pregel.MSG_COL)
+
+    @staticmethod
+    def src(col: str):
+        return F.col(f"src.{col}")
+
+    @staticmethod
+    def dst(col: str):
+        return F.col(f"dst.{col}")
+
+    @staticmethod
+    def edge(col: str):
+        return F.col(f"edge.{col}")
+
+    # -- builder -----------------------------------------------------------
+    def setMaxIter(self, n: int) -> "Pregel":
+        self._max_iter = int(n)
+        return self
+
+    def withVertexColumn(self, name, initialExpr, updateAfterAggMsgsExpr) -> "Pregel":
+        if name == Pregel.MSG_COL:
+            raise ValueError(f"{Pregel.MSG_COL!r} is reserved")
+        self._vcols.append((name, initialExpr, updateAfterAggMsgsExpr))
+        return self
+
+    def sendMsgToSrc(self, msgExpr) -> "Pregel":
+        self._to_src.append(msgExpr)
+        return self
+
+    def sendMsgToDst(self, msgExpr) -> "Pregel":
+        self._to_dst.append(msgExpr)
+        return self
+
+    def aggMsgs(self, aggExpr) -> "Pregel":
+        self._agg = aggExpr
+        return self
+
+    def run(self) -> DataFrame:
+        from leader_graph_spark.graph.algorithms import _release
+
+        if not self._vcols:
+            raise ValueError("pregel needs at least one withVertexColumn")
+        if not (self._to_src or self._to_dst):
+            raise ValueError("pregel needs sendMsgToSrc and/or sendMsgToDst")
+        if self._agg is None:
+            raise ValueError("pregel needs aggMsgs")
+
+        def as_col(e):
+            return F.expr(e) if isinstance(e, str) else e
+
+        base = self._g.vertices
+        updated = {name for name, _, _ in self._vcols}
+        passthrough = [c for c in base.columns if c not in updated]
+        v = base.select(
+            *passthrough,
+            *[as_col(init).alias(name) for name, init, _ in self._vcols],
+        ).localCheckpoint()
+        edges = self._g.edges.select(
+            F.col("src").alias("__esrc"),
+            F.col("dst").alias("__edst"),
+            F.struct(*self._g.edges.columns).alias("edge"),
+        ).localCheckpoint()
+
+        for _ in range(self._max_iter):
+            vs = v.select(F.col("id").alias("__vid"), F.struct(*v.columns).alias("__vs"))
+            triplets = (
+                edges.join(vs, F.col("__esrc") == F.col("__vid"))
+                .withColumnRenamed("__vs", "src")
+                .drop("__vid")
+                .join(
+                    v.select(
+                        F.col("id").alias("__vid"), F.struct(*v.columns).alias("dst")
+                    ),
+                    F.col("__edst") == F.col("__vid"),
+                )
+            )
+            parts = [
+                triplets.select(
+                    F.col("src.id").alias("id"), as_col(m).alias(Pregel.MSG_COL)
+                )
+                for m in self._to_src
+            ] + [
+                triplets.select(
+                    F.col("dst.id").alias("id"), as_col(m).alias(Pregel.MSG_COL)
+                )
+                for m in self._to_dst
+            ]
+            msgs = parts[0]
+            for p in parts[1:]:
+                msgs = msgs.unionByName(p)
+            agg = (
+                msgs.where(F.col(Pregel.MSG_COL).isNotNull())
+                .groupBy("id")
+                .agg(as_col(self._agg).alias(Pregel.MSG_COL))
+            )
+            new_v = (
+                v.join(agg, "id", "left")
+                .select(
+                    *passthrough,
+                    *[as_col(upd).alias(name) for name, _, upd in self._vcols],
+                )
+                .localCheckpoint()
+            )
+            _release(v)
+            v = new_v
+        _release(edges)
+        return v

@@ -70,8 +70,13 @@ def get_spark(app_name: str = "leader_graph_spark", shuffle_partitions: int | No
         # landed; SCALE.md round-7). One System.gc() per minute is
         # noise next to query cost and bounds the residue. Iterative
         # loops do NOT rely on this — they release superseded rounds
-        # explicitly (graph/algorithms._release).
-        .config("spark.cleaner.periodicGC.interval", "1min")
+        # explicitly (graph/algorithms._release). Overridable so the
+        # bench can A/B the backstop against timing drift
+        # (SPARK_GRAFT_PERIODIC_GC, e.g. "30min").
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "1min"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -226,3 +226,133 @@ def test_scc_facade_delegate(spark):
     g = DFGraph(vertices, edges)
     out = {(r.id, r.component) for r in g.stronglyConnectedComponents().collect()}
     assert out == {(1, 1), (2, 1), (3, 1), (4, 4), (5, 5)}
+
+
+def test_pregel_cc_equals_connected_components(spark):
+    """g.pregel min-label propagation must reproduce the oracle-proven
+    connected_components labels exactly (the VERDICT r7 facade-parity
+    acceptance test)."""
+    from leader_graph_spark.graph.algorithms import connected_components
+    from leader_graph_spark.graph.frames import Pregel
+
+    # two components: a 5-chain and a triangle, plus an isolated vertex
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (12, 10)],
+        "src long, dst long",
+    )
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .unionByName(spark.createDataFrame([(99,)], "id long"))
+    )
+    g = DFGraph(vertices, edges)
+    got = (
+        g.pregel.setMaxIter(8)
+        .withVertexColumn(
+            "comp",
+            F.col("id"),
+            F.least(F.col("comp"), F.coalesce(Pregel.msg(), F.col("comp"))),
+        )
+        .sendMsgToDst(Pregel.src("comp"))
+        .sendMsgToSrc(Pregel.dst("comp"))
+        .aggMsgs(F.min(Pregel.msg()))
+        .run()
+    )
+    expected = {
+        (r.id, r.component)
+        for r in connected_components(vertices, edges).collect()
+    }
+    assert {(r.id, r.comp) for r in got.collect()} == expected
+    assert set(got.columns) == {"id", "comp"}
+
+
+def test_pregel_null_messages_dropped_and_simultaneous_update(spark):
+    """Null messages must not reach the aggregate, and two vertex
+    columns must update against the PRE-superstep values (one select,
+    GraphFrames semantics)."""
+    from leader_graph_spark.graph.frames import Pregel
+
+    vertices = spark.createDataFrame([(1, 5), (2, 7)], "id long, x long")
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    g = DFGraph(vertices, edges)
+    out = (
+        g.pregel.setMaxIter(1)
+        .withVertexColumn("a", F.col("x"), F.coalesce(Pregel.msg(), F.lit(-1)))
+        .withVertexColumn("b", F.col("x") * 10, F.col("a") + F.col("b"))
+        # send only to dst, and only when src.x > 100 → null = dropped
+        .sendMsgToDst(F.when(Pregel.src("x") > 100, Pregel.src("x")))
+        .aggMsgs(F.sum(Pregel.msg()))
+        .run()
+    )
+    rows = {r.id: (r.a, r.b) for r in out.collect()}
+    # no message anywhere (both null): a = -1; b uses OLD a (the init x)
+    assert rows[1] == (-1, 5 + 50)
+    assert rows[2] == (-1, 7 + 70)
+
+
+def test_pregel_storage_bounded(spark):
+    """The pregel loop must release superseded round states — 12
+    supersteps may leave only the final state + edge residue."""
+    from leader_graph_spark.graph.frames import Pregel
+
+    def n_persisted():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "src long, dst long"
+    )
+    vertices = edges.select(F.col("src").alias("id")).unionByName(
+        edges.select(F.col("dst").alias("id"))
+    ).distinct()
+    g = DFGraph(vertices, edges)
+    base = n_persisted()
+    out = (
+        g.pregel.setMaxIter(12)
+        .withVertexColumn(
+            "comp",
+            F.col("id"),
+            F.least(F.col("comp"), F.coalesce(Pregel.msg(), F.col("comp"))),
+        )
+        .sendMsgToDst(Pregel.src("comp"))
+        .sendMsgToSrc(Pregel.dst("comp"))
+        .aggMsgs(F.min(Pregel.msg()))
+        .run()
+    )
+    out.count()
+    leaked = n_persisted() - base
+    assert leaked <= 3, f"pregel left {leaked} persisted states"
+
+
+def test_parallel_personalized_pagerank_matches_per_seed_runs(spark):
+    """parallelPersonalizedPageRank's map column must equal one
+    personalized_pagerank_fixed_point run per seed, bit-for-bit."""
+    from leader_graph_spark.graph.algorithms import (
+        personalized_pagerank_fixed_point,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 2)], "src long, dst long"
+    )
+    vertices = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], "id long")
+    g = DFGraph(vertices, edges)
+    out = g.parallelPersonalizedPageRank(sourceIds=[1, 3], maxIter=4)
+    got = {r.id: dict(r.pageranks) for r in out.collect()}
+    for seed in (1, 3):
+        seed_df = spark.createDataFrame([(seed,)], "id long")
+        exp = {
+            r.id: r.rank
+            for r in personalized_pagerank_fixed_point(
+                edges, seed_df, iterations=4
+            ).collect()
+        }
+        for vid in (1, 2, 3, 4):
+            assert got[vid][seed] == exp.get(vid, 0), (vid, seed)
+
+
+def test_parallel_ppr_rejects_fractional_percent(spark):
+    vertices = spark.createDataFrame([(1,), (2,)], "id long")
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    g = DFGraph(vertices, edges)
+    with pytest.raises(ValueError, match="whole percent"):
+        g.parallelPersonalizedPageRank(sourceIds=[1], resetProbability=0.157)
