@@ -754,6 +754,21 @@ def _int_dot(a: Column, b: Column) -> Column:
     )
 
 
+def scaled_semantic_k(n_rows: int, *, k: int, target_cluster: int) -> int:
+    """Occupancy-targeted SemDeDup codebook sizing: the within-cluster
+    pair stage is Σ|cluster|² ≈ n²/k, so a FIXED k makes semantic dedup
+    quadratic in the corpus — k must grow with n to keep expected
+    cluster occupancy (and with it per-cluster verify work) at
+    ``target_cluster``. Returns ``max(k, ceil(n / target_cluster))``:
+    below k·target_cluster rows the explicit k is used unchanged, so at
+    the driver's verification scale the derivation is the identity and
+    the static k oracle stays bit-exact by construction; above it, k
+    tracks n and per-cluster work is bounded."""
+    import math
+
+    return max(k, math.ceil(n_rows / target_cluster))
+
+
 def semantic_dedup(
     emb: DataFrame,
     *,
@@ -763,6 +778,7 @@ def semantic_dedup(
     iterations: int = 2,
     tau2_num: int = 49,
     tau2_den: int = 400,
+    target_cluster: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means the embedding space, then compare pairs
@@ -797,6 +813,10 @@ def semantic_dedup(
         to_fixed_point,
     )
 
+    if target_cluster is not None:
+        # The 100 TB knob (see scaled_semantic_k): k ∝ n/target keeps
+        # Σ|cluster|² linear in n. Costs one count() on the input.
+        k = scaled_semantic_k(emb.count(), k=k, target_cluster=target_cluster)
     assign = kmeans_fixed_point(
         emb, id_col=id_col, vec_col=vec_col, k=k, iterations=iterations
     ).select(F.col(id_col).alias("vid"), "cid")

@@ -201,6 +201,22 @@ def resize_images(
                         channels=ch,
                     )
                     orig_w, orig_h = w, h
+                elif decode_available():
+                    # REAL non-PNG path (JPEG/WEBP…) under the
+                    # [multimodal] extra: PIL decode → nearest resample
+                    # (deterministic) → re-encode in the source format.
+                    import io
+
+                    from PIL import Image
+
+                    img = Image.open(io.BytesIO(raw))
+                    fmt = img.format or "JPEG"
+                    orig_w, orig_h = img.size
+                    out = io.BytesIO()
+                    img.convert("RGB").resize(
+                        (target_w, target_h), Image.NEAREST
+                    ).save(out, format=fmt)
+                    resized = out.getvalue()
                 else:
                     # deterministic stand-in: digest-seeded bytes scaled
                     # to ~3 bytes/pixel of the TARGET size so downstream

@@ -230,6 +230,45 @@ def _embedding(con, oracle_sql: str):
     )
 
 
+@check("embedding_near_dup_scaled")
+def _embedding_scaled(con, oracle_sql: str):
+    """Scale-config verification of the SRP occupancy cap: re-derive
+    the (planes, tables) the engine derived from the FULL replica count
+    (at 10× that's (5,6) — the knob is ACTIVE, unlike the driver
+    scale), regenerate the verbatim bucket-hashing oracle at that
+    config, and replay it on an input slice. Sound because bucket
+    membership is per-vector (independent of other rows, so the full-
+    corpus-derived planes apply unchanged on the slice) and pair
+    emission is pairwise-local."""
+    from leader_graph_spark.operators.similarity import scaled_lsh_params
+    from leader_graph_spark.plans.similarity_queries import _srp_neardup_oracle
+
+    n = con.execute("SELECT count(*) FROM base_embeddings").fetchone()[0]
+    planes, tables = scaled_lsh_params(
+        n, n_planes=4, n_tables=4, target_bucket=1024
+    )
+    scaled_oracle = _srp_neardup_oracle(n_planes=planes, n_tables=tables)
+
+    def set_view(pct):
+        con.execute(
+            f"CREATE OR REPLACE VIEW embeddings AS"
+            f" SELECT * FROM base_embeddings WHERE {_pred('vec_id', pct)}"
+        )
+
+    ok, detail = _escalating_pair_slice(
+        con,
+        scaled_oracle,
+        set_view,
+        lambda pct: (
+            f"SELECT id_1, id_2, cosine_sim FROM spark_out"
+            f" WHERE {_pred('id_1', pct)} AND {_pred('id_2', pct)}"
+        ),
+    )
+    detail["derived_planes_tables"] = [planes, tables]
+    detail["knob_active"] = (planes, tables) != (4, 4)
+    return ok, detail
+
+
 # ---------------------------------------------------------------------------
 # family 2: cluster-closure slice
 # ---------------------------------------------------------------------------
@@ -471,6 +510,34 @@ def _semantic(con, oracle_sql: str):
         f"SELECT vec_id, cid, kept FROM spark_out"
         f" WHERE ({_md5_byte('vec_id')} < 26)",
     )
+
+
+@check("semantic_dedup_scaled")
+def _semantic_scaled(con, oracle_sql: str):
+    """Scale-config verification of the SemDeDup codebook sizing:
+    re-derive the k the engine derived from the FULL replica count (at
+    10× that's k=40 — the knob is ACTIVE, unlike the driver scale),
+    regenerate the oracle at that k, k-means assignment full/linear,
+    quadratic candidate stage md5-sampled (identical machinery to the
+    pinned-k ``semantic_dedup_clusters`` check)."""
+    from leader_graph_spark.operators.dedup import (
+        scaled_semantic_k,
+        semantic_dedup_oracle_sql,
+    )
+
+    n = con.execute("SELECT count(*) FROM base_embeddings").fetchone()[0]
+    k = scaled_semantic_k(n, k=8, target_cluster=512)
+    tmpl = f"({_md5_byte('{vid}')} < 26)"  # ~10%
+    sql = semantic_dedup_oracle_sql(k=k, iterations=2, sample_pred=tmpl)
+    ok, detail = _compare(
+        con,
+        sql,
+        f"SELECT vec_id, cid, kept FROM spark_out"
+        f" WHERE ({_md5_byte('vec_id')} < 26)",
+    )
+    detail["derived_k"] = k
+    detail["knob_active"] = k != 8
+    return ok, detail
 
 
 # ---------------------------------------------------------------------------

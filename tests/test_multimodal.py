@@ -3,6 +3,8 @@ rewrite, uniform stride policy, short-clip behavior, determinism."""
 
 from __future__ import annotations
 
+import pytest
+
 def test_resize_rewrites_payload_and_meta(spark, sf_smoke):
     from leader_graph_spark.operators.multimodal import attach_fake_payloads, resize_images
     from leader_graph_spark.sources.tables import load_table
@@ -153,3 +155,47 @@ def test_png_decoder_rejects_malformed_payloads():
     fake = PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(b"\x00" * 13)) + chunk(b"IEND", b"")
     with _pytest.raises(ValueError, match="size mismatch"):
         decode_png(fake)
+
+
+def test_real_jpeg_decode_and_resize(spark):
+    """Real-JPEG lane under the [multimodal] extra (pip install
+    leader-graph-spark[multimodal]): a PIL-encoded JPEG fixture flows
+    through extract_image_features (real decode: true mean pixel, real
+    pixel-derived phash) and resize_images (real PIL nearest resample,
+    re-encoded JPEG out). Skips with reason when PIL is absent — PNG
+    coverage is unconditional via the hermetic stdlib codec above."""
+    PIL = pytest.importorskip("PIL", reason="Pillow not installed — "
+                              "pip install leader-graph-spark[multimodal]")
+    import io
+
+    from PIL import Image
+
+    from leader_graph_spark.operators.multimodal import (
+        extract_image_features,
+        resize_images,
+    )
+
+    # 8x6 gradient JPEG, quality 95 (deterministic encode)
+    img = Image.new("RGB", (8, 6))
+    img.putdata([(x * 30, y * 40, 128) for y in range(6) for x in range(8)])
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG", quality=95)
+    payload = buf.getvalue()
+    assert payload[:2] == b"\xff\xd8"  # a real JPEG, not a stand-in
+
+    df = spark.createDataFrame(
+        [(1, bytearray(payload), {"format": "jpeg", "width": 8, "height": 6})],
+        "id long, payload binary, meta struct<format:string,width:int,height:int>",
+    )
+    feats = extract_image_features(df, id_col="id").collect()[0]
+    # real decode: mean pixel of the actual JPEG (not the md5 fake,
+    # whose mean is digest[0]/255 — independent of pixel content)
+    ref = Image.open(io.BytesIO(payload)).convert("RGB").tobytes()
+    assert feats.mean_pixel == pytest.approx(sum(ref) / len(ref) / 255.0)
+    assert feats.n_bytes == len(payload)
+
+    out = resize_images(df, id_col="id", target_w=4, target_h=4).collect()[0]
+    rimg = Image.open(io.BytesIO(bytes(out.payload)))
+    assert rimg.format == "JPEG" and rimg.size == (4, 4)
+    assert out.meta["width"] == 4 and out.meta["height"] == 4
+    assert out.meta["orig_width"] == 8 and out.meta["orig_height"] == 6

@@ -649,3 +649,27 @@ def test_srp_near_dup_target_bucket_identity_below_threshold(spark, sf_dir):
     knobbed = srp_near_duplicates(emb, threshold=0.35, target_bucket=256)
     assert base.exceptAll(knobbed).count() == 0
     assert knobbed.exceptAll(base).count() == 0
+
+
+def test_scaled_semantic_k_derivation():
+    from leader_graph_spark.operators.dedup import scaled_semantic_k
+
+    # identity below k·target (driver scales: oracle stays bit-exact)
+    assert scaled_semantic_k(500, k=8, target_cluster=512) == 8
+    assert scaled_semantic_k(4096, k=8, target_cluster=512) == 8
+    # tracks n above the knee: expected occupancy capped at target
+    assert scaled_semantic_k(20000, k=8, target_cluster=512) == 40
+    assert scaled_semantic_k(1_000_000, k=8, target_cluster=512) == 1954
+
+
+def test_semantic_dedup_target_cluster_knob_matches_explicit_k(spark, sf_smoke):
+    """semantic_dedup(target_cluster=...) must equal the explicit-k run
+    at the derived k — the knob only picks k, never changes semantics."""
+    from leader_graph_spark.operators.dedup import semantic_dedup
+    from leader_graph_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings").limit(300)
+    # 300 vectors, target 30 → derived k = 10 (knob ACTIVE: != base 4)
+    knob = semantic_dedup(emb, k=4, iterations=2, target_cluster=30)
+    explicit = semantic_dedup(emb, k=10, iterations=2)
+    assert sorted(map(tuple, knob.collect())) == sorted(map(tuple, explicit.collect()))
