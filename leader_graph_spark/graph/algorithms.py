@@ -66,6 +66,59 @@ def _release(*dfs: DataFrame | None) -> None:
             df.unpersist()
 
 
+STATIC_LOOP_CONF = "spark.leader_graph_spark.loop.staticMaxRows"
+
+
+class _loop_exec_conf:
+    """Static shuffle execution for a KNOWN-SMALL iterative loop.
+
+    An iterative round moves a label stream whose size is known exactly
+    (the loop state is checkpointed with an observed count). When that
+    state is small, the per-round cost is pure scheduling volume, and
+    AQE makes it worse, not better: every round's shuffle becomes a
+    materialized query stage (a separate sub-job on the scheduler
+    queue) and the session's cores-sized ``spark.sql.shuffle.partitions``
+    fans each tiny stage into dozens of near-empty tasks. Measured on
+    ``incremental_component_merge`` at sf0.1: AQE on / 32 partitions =
+    7.2 s, 68 jobs, 1157 tasks; AQE off / 4 static partitions = 3.3 s,
+    28 jobs, 181 tasks — same bytes, half the wall (SCALE.md round-8).
+
+    Scope rule (the 100 TB story): static mode engages ONLY when the
+    loop state is below ``spark.leader_graph_spark.loop.staticMaxRows``
+    (default 50M rows — at ~50 B/row comfortably inside one executor
+    wave even badly skewed); partitions are derived from the row count
+    (≈250k rows each, floor 4 for local parallelism, cap 256). Above
+    the threshold nothing changes: AQE keeps runtime coalescing and
+    skew-splitting, which at that size are worth their sub-job cost.
+    Confs are restored on exit; loops execute their rounds EAGERLY
+    (checkpoint-per-round), so the scope covers exactly the loop."""
+
+    def __init__(self, spark, n_rows: int):
+        self.spark = spark
+        conf = spark.conf
+        self.active = n_rows < int(conf.get(STATIC_LOOP_CONF, "50000000"))
+        self.n_rows = n_rows
+        self.saved: dict[str, str] = {}
+
+    def __enter__(self):
+        if not self.active:
+            return self
+        conf = self.spark.conf
+        parts = max(4, min(256, -(-self.n_rows // 250_000)))
+        self.saved = {
+            "spark.sql.adaptive.enabled": conf.get("spark.sql.adaptive.enabled"),
+            "spark.sql.shuffle.partitions": conf.get("spark.sql.shuffle.partitions"),
+        }
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.shuffle.partitions", str(parts))
+        return self
+
+    def __exit__(self, *exc):
+        for k, v in self.saved.items():
+            self.spark.conf.set(k, v)
+        return False
+
+
 def symmetrize(edges: DataFrame, *, disjoint_directions: bool = False) -> DataFrame:
     """Undirected view of a directed edge list (distinct both ways).
 
@@ -97,6 +150,7 @@ def connected_components(
     *,
     max_iter: int = 25,
     assume_symmetrized: bool = False,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation.
 
@@ -118,23 +172,30 @@ def connected_components(
     # magnitude smaller than its producing pipeline; checkpointing it is
     # the only sane plan. (assume_symmetrized: the auto-selector already
     # did this — see connected_components_auto.)
-    sym = edges if assume_symmetrized else symmetrize(edges).localCheckpoint()
-    state = _active_vertices(sym)
-    labels = state
-    for _ in range(max_iter):
-        # The convergence probe rides the SAME job as the round's
-        # checkpoint (`_changed` is a free column of the round join;
-        # the observed sum is computed inline by the checkpoint
-        # action) — ONE driver action per round, probe included.
-        stepped, seen = _checkpoint_observed(
-            _min_propagation_round(sym, labels, with_changed=True),
-            changed=F.sum(F.col("_changed").cast("long")),
-        )
-        _release(state)
-        state = stepped
-        labels = stepped.select("id", "component")
-        if not seen["changed"]:
-            break
+    if assume_symmetrized:
+        sym = edges
+        if n_edges is None:
+            n_edges = edges.count()  # checkpointed by the caller — cheap
+    else:
+        sym, seen = _checkpoint_observed(symmetrize(edges), n=F.count(F.lit(1)))
+        n_edges = seen["n"]
+    with _loop_exec_conf(vertices.sparkSession, n_edges):
+        state = _active_vertices(sym)
+        labels = state
+        for _ in range(max_iter):
+            # The convergence probe rides the SAME job as the round's
+            # checkpoint (`_changed` is a free column of the round join;
+            # the observed sum is computed inline by the checkpoint
+            # action) — ONE driver action per round, probe included.
+            stepped, seen = _checkpoint_observed(
+                _min_propagation_round(sym, labels, with_changed=True),
+                changed=F.sum(F.col("_changed").cast("long")),
+            )
+            _release(state)
+            state = stepped
+            labels = stepped.select("id", "component")
+            if not seen["changed"]:
+                break
     if not assume_symmetrized:
         _release(sym)
     return _with_isolated(vertices, labels)
@@ -187,7 +248,8 @@ def connected_components_auto(
         )
     else:
         out = connected_components(
-            vertices, sym, max_iter=max_iter, assume_symmetrized=True
+            vertices, sym, max_iter=max_iter, assume_symmetrized=True,
+            n_edges=seen["n"],
         )
     # Both variants end on a checkpointed label state; the returned plan
     # no longer references the symmetrized edge set — release it here

@@ -837,9 +837,26 @@ def incremental_component_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3-round shortcut produced unconverged labels the merge then
     # faithfully propagated — the oracle caught it; convergence is the
     # safe contract here and the demo's extra count() actions are the
-    # price of it
-    labels = connected_components(base_vertices, base_edges)
-    return merge_components(labels, delta_edges)
+    # price of it.
+    #
+    # Execution scope (round-8): the whole maintenance pipeline — base
+    # CC loop, label state, quotient build — moves rows bounded by the
+    # customer table, so one cheap parquet count sizes a
+    # _loop_exec_conf static-execution scope (AQE off + derived static
+    # partitions when small, no-op above the staticMaxRows threshold).
+    # The base label state is checkpointed once: merge_components reads
+    # it twice (quotient build + remap), and an unmaterialized label
+    # plan re-runs the CC tail per use (measured: 7.2 s / 68 jobs /
+    # 1157 tasks → 3.5 s / 31 jobs / 240 tasks at sf0.1; SCALE.md
+    # round-8). The checkpoint is referenced by the returned plan, so
+    # it is NOT released here — one-shot residue falls to the session's
+    # periodic-GC backstop, the documented policy for returned states.
+    from leader_graph_spark.graph.algorithms import _loop_exec_conf
+
+    n_base = customer.count()
+    with _loop_exec_conf(spark, 3 * n_base):
+        labels = connected_components(base_vertices, base_edges).localCheckpoint()
+        return merge_components(labels, delta_edges)
 
 
 _WALK_STEPS = 3

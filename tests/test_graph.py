@@ -685,3 +685,49 @@ def test_release_of_live_state_fails_loudly(spark):
     _release(ckpt)
     with pytest.raises(Exception, match="(?i)checkpoint|block|rdd"):
         derived.count()
+
+
+def test_loop_exec_conf_scopes_and_restores(spark):
+    """_loop_exec_conf: static AQE-off execution with derived partition
+    count inside the scope, exact restoration outside, and a NO-OP
+    above the staticMaxRows threshold (the 100 TB guard)."""
+    from leader_graph_spark.graph.algorithms import STATIC_LOOP_CONF, _loop_exec_conf
+
+    before_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    before_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    with _loop_exec_conf(spark, 100_000) as c:
+        assert c.active
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        # ceil(100k / 250k) = 1 → floor 4
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+        # nested scopes restore to the OUTER static values
+        with _loop_exec_conf(spark, 10_000_000):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "40"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == before_aqe
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before_parts
+
+    # above the threshold: nothing changes (cluster-scale loops keep AQE)
+    with _loop_exec_conf(spark, 60_000_000) as c:
+        assert not c.active
+        assert spark.conf.get("spark.sql.adaptive.enabled") == before_aqe
+
+    # threshold is a session conf
+    spark.conf.set(STATIC_LOOP_CONF, "1000")
+    try:
+        with _loop_exec_conf(spark, 5_000) as c:
+            assert not c.active
+    finally:
+        spark.conf.unset(STATIC_LOOP_CONF)
+
+
+def test_loop_exec_conf_restores_on_exception(spark):
+    from leader_graph_spark.graph.algorithms import _loop_exec_conf
+
+    before = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        with _loop_exec_conf(spark, 1_000):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.adaptive.enabled") == before
