@@ -106,8 +106,27 @@ QUERIES = [
 
 
 def _rotated(r: int) -> str:
-    a = string.ascii_lowercase
-    return a[r % 26 :] + a[: r % 26]
+    """Per-replica lowercase substitution alphabet. Replica 0 is the
+    identity; every other replica gets a DERANGED permutation seeded by
+    r. A plain Caesar rotation (the round-5..7 form) wraps at r % 26 —
+    at factor 100 replicas 0/26/52/78 carry IDENTICAL text, and the
+    text-dedup lanes (minhash/ngram/containment) see a pathological
+    cross-replica duplicate corpus instead of 'the same workload,
+    bigger' (caught by the round-8 third-decade battery: minhash bytes
+    ratio 5.6x for 3.3x data — the generator, not the engine). Random
+    permutations seeded per replica collide with probability ~n²/26!;
+    identity collisions are excluded explicitly."""
+    import random
+
+    if r == 0:
+        return string.ascii_lowercase
+    rng = random.Random(1_000_003 * r)
+    perm = list(string.ascii_lowercase)
+    while True:
+        rng.shuffle(perm)
+        s = "".join(perm)
+        if s != string.ascii_lowercase:
+            return s
 
 
 def build_replica(spark, out_dir: str, factor: int) -> None:
@@ -129,15 +148,29 @@ def build_replica(spark, out_dir: str, factor: int) -> None:
                     F.translate("text", string.ascii_lowercase, _rotated(r)),
                 )
             if t == "embeddings" and r > 0:
-                # rotate the vector by r dims: norm-preserving, kills
-                # cross-replica cosine similarity
+                # rotate the vector by r dims AND flip a per-replica
+                # deterministic sign pattern: both norm-preserving, and
+                # the sign pattern keeps replicas r and r+64 from being
+                # identical (the bare rotation wraps at r % 64 — same
+                # third-decade wrap artifact as the text rotation)
+                import random as _random
+
                 n = 64
                 rr = r % n or 1
+                signs = [
+                    1.0 if _random.Random(7_000_003 * r + i).random() < 0.5 else -1.0
+                    for i in range(n)
+                ]
+                rotated = F.concat(
+                    F.slice("embedding", rr + 1, n - rr),
+                    F.slice("embedding", 1, rr),
+                )
                 df = df.withColumn(
                     "embedding",
-                    F.concat(
-                        F.slice("embedding", rr + 1, n - rr),
-                        F.slice("embedding", 1, rr),
+                    F.zip_with(
+                        rotated,
+                        F.array(*[F.lit(s) for s in signs]),
+                        lambda x, s: x * s,
                     ),
                 )
             parts.append(df)
