@@ -555,35 +555,39 @@ def pagerank_fixed_point(
     """
     # Materialize the edge list (and its derived degree table) once —
     # left lazy they re-execute their producing pipeline every
-    # iteration (see connected_components).
-    edges = edges.select("src", "dst").localCheckpoint()
-    nodes = (
-        edges.select("src")
-        .unionByName(edges.select(F.col("dst").alias("src")))
-        .distinct()
-        .select(F.col("src").alias("id"))
+    # iteration (see connected_components). The edge count rides the
+    # checkpoint job (observe) and sizes the static-execution scope.
+    edges, seen = _checkpoint_observed(
+        edges.select("src", "dst"), n=F.count(F.lit(1))
     )
-    outd = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).localCheckpoint()
-    ranks = nodes.select("id", F.lit(1000000).cast("bigint").alias("rank")).localCheckpoint()
-    for _ in range(iterations):
-        contrib = (
-            edges.join(ranks, edges.src == ranks.id)
-            .join(outd, "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum(F.expr("rank div d")).alias("s"))
+    with _loop_exec_conf(edges.sparkSession, seen["n"]):
+        nodes = (
+            edges.select("src")
+            .unionByName(edges.select(F.col("dst").alias("src")))
+            .distinct()
+            .select(F.col("src").alias("id"))
         )
-        new_ranks = (
-            nodes.join(contrib, "id", "left")
-            .select(
-                "id",
-                (F.lit(150000) + F.expr("(coalesce(s, CAST(0 AS BIGINT)) * 85) div 100"))
-                .cast("bigint")
-                .alias("rank"),
+        outd = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).localCheckpoint()
+        ranks = nodes.select("id", F.lit(1000000).cast("bigint").alias("rank")).localCheckpoint()
+        for _ in range(iterations):
+            contrib = (
+                edges.join(ranks, edges.src == ranks.id)
+                .join(outd, "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum(F.expr("rank div d")).alias("s"))
             )
-            .localCheckpoint()
-        )
-        _release(ranks)
-        ranks = new_ranks
+            new_ranks = (
+                nodes.join(contrib, "id", "left")
+                .select(
+                    "id",
+                    (F.lit(150000) + F.expr("(coalesce(s, CAST(0 AS BIGINT)) * 85) div 100"))
+                    .cast("bigint")
+                    .alias("rank"),
+                )
+                .localCheckpoint()
+            )
+            _release(ranks)
+            ranks = new_ranks
     _release(edges, outd)
     return ranks
 
@@ -610,25 +614,26 @@ def khop_distances(
     sources themselves are dist 0.
     """
     # One-shot edge materialization — see connected_components.
-    sym = symmetrize(edges).localCheckpoint()
-    visited = sources.select("id", F.lit(0).alias("dist")).localCheckpoint()
-    frontier = visited.select("id")
-    prev_frontier: DataFrame | None = None
-    for r in range(1, k + 1):
-        frontier = (
-            sym.join(frontier, sym.src == frontier.id)
-            .select(F.col("dst").alias("id"))
-            .distinct()
-            .join(visited, "id", "left_anti")
-            .localCheckpoint()
-        )
-        _release(prev_frontier)
-        prev_frontier = frontier
-        new_visited = visited.unionByName(
-            frontier.select("id", F.lit(r).alias("dist"))
-        ).localCheckpoint()
-        _release(visited)
-        visited = new_visited
+    sym, seen = _checkpoint_observed(symmetrize(edges), n=F.count(F.lit(1)))
+    with _loop_exec_conf(sym.sparkSession, seen["n"]):
+        visited = sources.select("id", F.lit(0).alias("dist")).localCheckpoint()
+        frontier = visited.select("id")
+        prev_frontier: DataFrame | None = None
+        for r in range(1, k + 1):
+            frontier = (
+                sym.join(frontier, sym.src == frontier.id)
+                .select(F.col("dst").alias("id"))
+                .distinct()
+                .join(visited, "id", "left_anti")
+                .localCheckpoint()
+            )
+            _release(prev_frontier)
+            prev_frontier = frontier
+            new_visited = visited.unionByName(
+                frontier.select("id", F.lit(r).alias("dist"))
+            ).localCheckpoint()
+            _release(visited)
+            visited = new_visited
     _release(sym, prev_frontier)
     return visited
 
@@ -657,28 +662,29 @@ def label_propagation_fixed(edges: DataFrame, *, rounds: int) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    sym = symmetrize(edges).localCheckpoint()
-    nodes = sym.select(F.col("src").alias("id")).distinct()
-    labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint()
+    sym, seen = _checkpoint_observed(symmetrize(edges), n=F.count(F.lit(1)))
     w = Window.partitionBy("nid").orderBy(F.desc("c"), F.asc("label"))
-    for _ in range(rounds):
-        cnt = (
-            sym.join(labels, sym.src == labels.id)
-            .groupBy(F.col("dst").alias("nid"), "label")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        pick = (
-            cnt.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(F.col("nid").alias("id"), F.col("label").alias("new_label"))
-        )
-        new_labels = (
-            labels.join(pick, "id", "left")
-            .select("id", F.coalesce("new_label", "label").alias("label"))
-            .localCheckpoint()
-        )
-        _release(labels)
-        labels = new_labels
+    with _loop_exec_conf(sym.sparkSession, seen["n"]):
+        nodes = sym.select(F.col("src").alias("id")).distinct()
+        labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint()
+        for _ in range(rounds):
+            cnt = (
+                sym.join(labels, sym.src == labels.id)
+                .groupBy(F.col("dst").alias("nid"), "label")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            pick = (
+                cnt.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select(F.col("nid").alias("id"), F.col("label").alias("new_label"))
+            )
+            new_labels = (
+                labels.join(pick, "id", "left")
+                .select("id", F.coalesce("new_label", "label").alias("label"))
+                .localCheckpoint()
+            )
+            _release(labels)
+            labels = new_labels
     _release(sym)
     return labels.select("id", F.col("label").alias("community"))
 
@@ -709,26 +715,27 @@ def min_propagation_jumped(
     whose primitive differs; this function keeps the plain-propagation
     round count and contract: identical to :func:`min_propagation`
     whenever ``distance`` ≥ the component diameter."""
-    sym = symmetrize(edges).localCheckpoint()
-    state = _active_vertices(sym)
-    labels = state
-    for _ in range(distance):
-        labels = _min_propagation_round(sym, labels)
-        jump_to = labels.select(
-            F.col("id").alias("_jid"), F.col("component").alias("_jcomp")
-        )
-        labels = (
-            labels.join(jump_to, labels.component == F.col("_jid"), "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce("_jcomp", F.col("component"))
-                ).alias("component"),
+    sym, seen = _checkpoint_observed(symmetrize(edges), n=F.count(F.lit(1)))
+    with _loop_exec_conf(sym.sparkSession, seen["n"]):
+        state = _active_vertices(sym)
+        labels = state
+        for _ in range(distance):
+            labels = _min_propagation_round(sym, labels)
+            jump_to = labels.select(
+                F.col("id").alias("_jid"), F.col("component").alias("_jcomp")
             )
-            .localCheckpoint()
-        )
-        _release(state)
-        state = labels
+            labels = (
+                labels.join(jump_to, labels.component == F.col("_jid"), "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"), F.coalesce("_jcomp", F.col("component"))
+                    ).alias("component"),
+                )
+                .localCheckpoint()
+            )
+            _release(state)
+            state = labels
     _release(sym)
     return _with_isolated(vertices, labels)
 
@@ -759,33 +766,34 @@ def kcore_subgraph(
         n=F.count(F.lit(1)),
     )
     e, n_edges = sym, seen["n"]
-    for _ in range(rounds):
-        # Early exit at the fixed point: peeling is idempotent, so
-        # stopping when a round removes nothing returns EXACTLY what
-        # the remaining unrolled rounds would — the fixed-round oracle
-        # contract is preserved while the engine pays only the peel
-        # depth (measured: the shipped graph converges by round 4 of
-        # 8; rounds 5-8 were pure checkpoint+semi-join overhead, ~2x
-        # of the query at 10x scale). The surviving-edge count rides
-        # the checkpoint job itself (observe) — one action per round.
-        keep = (
-            e.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .where(F.col("deg") >= k)
-            .select("src")
-        )
-        new_e, seen = _checkpoint_observed(
-            e.join(keep, "src", "semi").join(
-                keep.withColumnRenamed("src", "dst"), "dst", "semi"
-            ),
-            n=F.count(F.lit(1)),
-        )
-        _release(e)
-        e = new_e
-        n_next = seen["n"]
-        if n_next == n_edges:
-            break
-        n_edges = n_next
+    with _loop_exec_conf(e.sparkSession, n_edges):
+        for _ in range(rounds):
+            # Early exit at the fixed point: peeling is idempotent, so
+            # stopping when a round removes nothing returns EXACTLY what
+            # the remaining unrolled rounds would — the fixed-round oracle
+            # contract is preserved while the engine pays only the peel
+            # depth (measured: the shipped graph converges by round 4 of
+            # 8; rounds 5-8 were pure checkpoint+semi-join overhead, ~2x
+            # of the query at 10x scale). The surviving-edge count rides
+            # the checkpoint job itself (observe) — one action per round.
+            keep = (
+                e.groupBy("src")
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .where(F.col("deg") >= k)
+                .select("src")
+            )
+            new_e, seen = _checkpoint_observed(
+                e.join(keep, "src", "semi").join(
+                    keep.withColumnRenamed("src", "dst"), "dst", "semi"
+                ),
+                n=F.count(F.lit(1)),
+            )
+            _release(e)
+            e = new_e
+            n_next = seen["n"]
+            if n_next == n_edges:
+                break
+            n_edges = n_next
     return e.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("degree")
     )
@@ -938,113 +946,114 @@ def strongly_connected_components(
         edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct(),
         n=F.count(F.lit(1)),
     )
-    verts = vertices.select("id").distinct()
-    assigned: list[DataFrame] = []
-    remaining, seen = _checkpoint_observed(verts, n=F.count(F.lit(1)))
-    n_remaining = seen["n"]
-    for _ in range(max_phases):
-        if n_remaining == 0:
-            break
-        # -- trim singleton SCCs ---------------------------------------
-        for _ in range(max_rounds):
-            e_r = e_all.join(
-                remaining.withColumnRenamed("id", "src"), "src", "semi"
-            ).join(remaining.withColumnRenamed("id", "dst"), "dst", "semi")
-            has_in = e_r.select(F.col("dst").alias("id")).distinct()
-            has_out = e_r.select(F.col("src").alias("id")).distinct()
-            keep, seen = _checkpoint_observed(
-                remaining.join(has_in, "id", "semi").join(has_out, "id", "semi"),
-                n=F.count(F.lit(1)),
-            )
-            n_keep = seen["n"]
-            if n_keep == n_remaining:
-                _release(keep)
-                break
-            assigned.append(remaining.join(keep, "id", "anti").select(
-                "id", F.col("id").alias("component")
-            ).localCheckpoint())
-            _release(remaining)
-            remaining, n_remaining = keep, n_keep
-        if n_remaining == 0:
-            break
-        # -- forward min-color to convergence --------------------------
-        e_r = (
-            e_all.join(remaining.withColumnRenamed("id", "src"), "src", "semi")
-            .join(remaining.withColumnRenamed("id", "dst"), "dst", "semi")
-            .localCheckpoint()
-        )
-        colors = remaining.select("id", F.col("id").alias("color"))
-        color_state: DataFrame | None = None
-        for _ in range(max_rounds):
-            pred_min = (
-                e_r.join(colors, e_r.src == colors.id)
-                .groupBy(F.col("dst").alias("id"))
-                .agg(F.min("color").alias("pmin"))
-            )
-            new_color = F.least(
-                F.col("color"), F.coalesce(F.col("pmin"), F.col("color"))
-            )
-            stepped, seen = _checkpoint_observed(
-                colors.join(pred_min, "id", "left").select(
-                    "id",
-                    new_color.alias("color"),
-                    (new_color != F.col("color")).alias("_changed"),
-                ),
-                changed=F.sum(F.col("_changed").cast("long")),
-            )
-            _release(color_state)
-            color_state = stepped
-            colors = stepped.select("id", "color")
-            if not seen["changed"]:
-                break
-        else:
-            # Exhausting the round budget mid-propagation would hand MARK
-            # non-converged colors and silently mislabel high-diameter
-            # cycle chains — the docstring's no-partial-labels contract
-            # must hold for the inner loops too, not just max_phases.
-            raise RuntimeError(
-                f"SCC forward coloring did not converge within "
-                f"{max_rounds} rounds (diameter exceeds budget)"
-            )
-        # -- backward mark within color classes ------------------------
-        marked = colors.where(F.col("id") == F.col("color")).localCheckpoint()
-        frontier = marked
-        prev_frontier: DataFrame | None = None
-        for _ in range(max_rounds):
-            preds = (
-                e_r.join(frontier, e_r.dst == frontier.id)
-                .select(F.col("src").alias("id"), "color")
-                .distinct()
-            )
-            # stay inside the color class, and only newly marked rows
-            same_color = preds.join(colors, ["id", "color"], "semi")
-            frontier, seen = _checkpoint_observed(
-                same_color.join(marked, "id", "anti"), n=F.count(F.lit(1))
-            )
-            _release(prev_frontier)
-            prev_frontier = frontier
-            if not seen["n"]:
-                break
-            new_marked = marked.unionByName(frontier).localCheckpoint()
-            _release(marked)
-            marked = new_marked
-        else:
-            # A frontier still alive after max_rounds means the extracted
-            # set is a PARTIAL SCC; its unmarked members would get a
-            # different label next phase. Raise instead.
-            raise RuntimeError(
-                f"SCC backward mark did not converge within "
-                f"{max_rounds} rounds (diameter exceeds budget)"
-            )
-        assigned.append(
-            marked.select("id", F.col("color").alias("component")).localCheckpoint()
-        )
-        new_remaining, seen = _checkpoint_observed(
-            remaining.join(marked, "id", "anti"), n=F.count(F.lit(1))
-        )
-        _release(remaining, marked, color_state, e_r, prev_frontier)
-        remaining = new_remaining
+    with _loop_exec_conf(vertices.sparkSession, seen["n"]):
+        verts = vertices.select("id").distinct()
+        assigned: list[DataFrame] = []
+        remaining, seen = _checkpoint_observed(verts, n=F.count(F.lit(1)))
         n_remaining = seen["n"]
+        for _ in range(max_phases):
+            if n_remaining == 0:
+                break
+            # -- trim singleton SCCs ---------------------------------------
+            for _ in range(max_rounds):
+                e_r = e_all.join(
+                    remaining.withColumnRenamed("id", "src"), "src", "semi"
+                ).join(remaining.withColumnRenamed("id", "dst"), "dst", "semi")
+                has_in = e_r.select(F.col("dst").alias("id")).distinct()
+                has_out = e_r.select(F.col("src").alias("id")).distinct()
+                keep, seen = _checkpoint_observed(
+                    remaining.join(has_in, "id", "semi").join(has_out, "id", "semi"),
+                    n=F.count(F.lit(1)),
+                )
+                n_keep = seen["n"]
+                if n_keep == n_remaining:
+                    _release(keep)
+                    break
+                assigned.append(remaining.join(keep, "id", "anti").select(
+                    "id", F.col("id").alias("component")
+                ).localCheckpoint())
+                _release(remaining)
+                remaining, n_remaining = keep, n_keep
+            if n_remaining == 0:
+                break
+            # -- forward min-color to convergence --------------------------
+            e_r = (
+                e_all.join(remaining.withColumnRenamed("id", "src"), "src", "semi")
+                .join(remaining.withColumnRenamed("id", "dst"), "dst", "semi")
+                .localCheckpoint()
+            )
+            colors = remaining.select("id", F.col("id").alias("color"))
+            color_state: DataFrame | None = None
+            for _ in range(max_rounds):
+                pred_min = (
+                    e_r.join(colors, e_r.src == colors.id)
+                    .groupBy(F.col("dst").alias("id"))
+                    .agg(F.min("color").alias("pmin"))
+                )
+                new_color = F.least(
+                    F.col("color"), F.coalesce(F.col("pmin"), F.col("color"))
+                )
+                stepped, seen = _checkpoint_observed(
+                    colors.join(pred_min, "id", "left").select(
+                        "id",
+                        new_color.alias("color"),
+                        (new_color != F.col("color")).alias("_changed"),
+                    ),
+                    changed=F.sum(F.col("_changed").cast("long")),
+                )
+                _release(color_state)
+                color_state = stepped
+                colors = stepped.select("id", "color")
+                if not seen["changed"]:
+                    break
+            else:
+                # Exhausting the round budget mid-propagation would hand MARK
+                # non-converged colors and silently mislabel high-diameter
+                # cycle chains — the docstring's no-partial-labels contract
+                # must hold for the inner loops too, not just max_phases.
+                raise RuntimeError(
+                    f"SCC forward coloring did not converge within "
+                    f"{max_rounds} rounds (diameter exceeds budget)"
+                )
+            # -- backward mark within color classes ------------------------
+            marked = colors.where(F.col("id") == F.col("color")).localCheckpoint()
+            frontier = marked
+            prev_frontier: DataFrame | None = None
+            for _ in range(max_rounds):
+                preds = (
+                    e_r.join(frontier, e_r.dst == frontier.id)
+                    .select(F.col("src").alias("id"), "color")
+                    .distinct()
+                )
+                # stay inside the color class, and only newly marked rows
+                same_color = preds.join(colors, ["id", "color"], "semi")
+                frontier, seen = _checkpoint_observed(
+                    same_color.join(marked, "id", "anti"), n=F.count(F.lit(1))
+                )
+                _release(prev_frontier)
+                prev_frontier = frontier
+                if not seen["n"]:
+                    break
+                new_marked = marked.unionByName(frontier).localCheckpoint()
+                _release(marked)
+                marked = new_marked
+            else:
+                # A frontier still alive after max_rounds means the extracted
+                # set is a PARTIAL SCC; its unmarked members would get a
+                # different label next phase. Raise instead.
+                raise RuntimeError(
+                    f"SCC backward mark did not converge within "
+                    f"{max_rounds} rounds (diameter exceeds budget)"
+                )
+            assigned.append(
+                marked.select("id", F.col("color").alias("component")).localCheckpoint()
+            )
+            new_remaining, seen = _checkpoint_observed(
+                remaining.join(marked, "id", "anti"), n=F.count(F.lit(1))
+            )
+            _release(remaining, marked, color_state, e_r, prev_frontier)
+            remaining = new_remaining
+            n_remaining = seen["n"]
     if n_remaining:
         raise RuntimeError(
             f"SCC did not converge within {max_phases} phases "
@@ -1289,45 +1298,48 @@ def personalized_pagerank_fixed_point(
             f"damping_pct must be a whole percent in [0, 100], got {damping_pct!r} "
             "(the integer fixed-point form keeps the unrolled oracle bit-exact)"
         )
-    edges = edges.select("src", "dst").localCheckpoint()
-    nodes = (
-        edges.select("src")
-        .unionByName(edges.select(F.col("dst").alias("src")))
-        .distinct()
-        .select(F.col("src").alias("id"))
+    edges, seen = _checkpoint_observed(
+        edges.select("src", "dst"), n=F.count(F.lit(1))
     )
-    outd = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).localCheckpoint()
-    seeded = nodes.join(
-        F.broadcast(sources.select(F.col("id"), F.lit(1).alias("_seed"))),
-        "id",
-        "left",
-    ).select("id", F.coalesce("_seed", F.lit(0)).alias("is_seed"))
-    seeded = seeded.localCheckpoint()
-    teleport_micro = (100 - damping_pct) * 10000
-    teleport = (F.col("is_seed") * teleport_micro).cast("bigint")
-    ranks = seeded.select(
-        "id", (F.col("is_seed") * 1000000).cast("bigint").alias("rank")
-    ).localCheckpoint()
-    for _ in range(iterations):
-        contrib = (
-            edges.join(ranks, edges.src == ranks.id)
-            .join(outd, "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum(F.expr("rank div d")).alias("s"))
+    with _loop_exec_conf(edges.sparkSession, seen["n"]):
+        nodes = (
+            edges.select("src")
+            .unionByName(edges.select(F.col("dst").alias("src")))
+            .distinct()
+            .select(F.col("src").alias("id"))
         )
-        new_ranks = (
-            seeded.join(contrib, "id", "left")
-            .select(
-                "id",
-                (teleport + F.expr(
-                    f"(coalesce(s, CAST(0 AS BIGINT)) * {damping_pct}) div 100"
-                ))
-                .cast("bigint")
-                .alias("rank"),
+        outd = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).localCheckpoint()
+        seeded = nodes.join(
+            F.broadcast(sources.select(F.col("id"), F.lit(1).alias("_seed"))),
+            "id",
+            "left",
+        ).select("id", F.coalesce("_seed", F.lit(0)).alias("is_seed"))
+        seeded = seeded.localCheckpoint()
+        teleport_micro = (100 - damping_pct) * 10000
+        teleport = (F.col("is_seed") * teleport_micro).cast("bigint")
+        ranks = seeded.select(
+            "id", (F.col("is_seed") * 1000000).cast("bigint").alias("rank")
+        ).localCheckpoint()
+        for _ in range(iterations):
+            contrib = (
+                edges.join(ranks, edges.src == ranks.id)
+                .join(outd, "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum(F.expr("rank div d")).alias("s"))
             )
-            .localCheckpoint()
-        )
-        _release(ranks)
-        ranks = new_ranks
+            new_ranks = (
+                seeded.join(contrib, "id", "left")
+                .select(
+                    "id",
+                    (teleport + F.expr(
+                        f"(coalesce(s, CAST(0 AS BIGINT)) * {damping_pct}) div 100"
+                    ))
+                    .cast("bigint")
+                    .alias("rank"),
+                )
+                .localCheckpoint()
+            )
+            _release(ranks)
+            ranks = new_ranks
     _release(edges, outd, seeded)
     return ranks
