@@ -85,18 +85,25 @@ class _loop_exec_conf:
 
     Scope rule (the 100 TB story): static mode engages ONLY when the
     loop state is below ``spark.leader_graph_spark.loop.staticMaxRows``
-    (default 50M rows — at ~50 B/row comfortably inside one executor
-    wave even badly skewed); partitions are derived from the row count
-    (≈250k rows each, floor 4 for local parallelism, cap 256). Above
-    the threshold nothing changes: AQE keeps runtime coalescing and
-    skew-splitting, which at that size are worth their sub-job cost.
-    Confs are restored on exit; loops execute their rounds EAGERLY
-    (checkpoint-per-round), so the scope covers exactly the loop."""
+    (default 4M rows); partitions are derived from the row count
+    (≈250k rows each, floor 4 for local parallelism, cap 256). The
+    threshold is where the derived partition count crosses the slot
+    count: below it the per-round cost is scheduling volume and static
+    execution halves the wall (the incremental-merge A/B); above it
+    the rounds are real compute and AQE earns its sub-jobs back —
+    measured on kcore_copurchase at the x30 replica (36M-row edge
+    state): static 36.5-43.8s / 1343 tasks vs AQE 30.5-31.2s / 415
+    tasks with 12 exchange-reusing skipped stages and ~25% fewer
+    shuffled bytes (round-8 third-decade battery; an earlier 50M-row
+    default put that loop on the wrong side). Above the threshold
+    nothing changes. Confs are restored on exit; loops execute their
+    rounds EAGERLY (checkpoint-per-round), so the scope covers exactly
+    the loop."""
 
     def __init__(self, spark, n_rows: int):
         self.spark = spark
         conf = spark.conf
-        self.active = n_rows < int(conf.get(STATIC_LOOP_CONF, "50000000"))
+        self.active = n_rows < int(conf.get(STATIC_LOOP_CONF, "4000000"))
         self.n_rows = n_rows
         self.saved: dict[str, str] = {}
 
@@ -794,9 +801,17 @@ def kcore_subgraph(
             if n_next == n_edges:
                 break
             n_edges = n_next
-    return e.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("degree")
-    )
+        # Checkpoint the SMALL per-vertex output and release the
+        # surviving-edge state: returned lazy, the plan pins the
+        # edge-sized block (120M rows at the x100 replica — the
+        # largest checkpoint in the engine) until the periodic-GC
+        # backstop, and back-to-back runs swing ±45% from the
+        # accumulated storage (round-8 third-decade battery).
+        out = e.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("degree")
+        ).localCheckpoint()
+        _release(e)
+    return out
 
 
 def merge_components(

@@ -186,28 +186,35 @@ def lsh_candidate_pairs(
 def jaccard_on_pairs(
     pairs: DataFrame, shingles: DataFrame, *, id_col: str
 ) -> DataFrame:
-    """Exact Jaccard for given candidate pairs, via shingle-set join.
-    Output: (id_1, id_2, jaccard)."""
-    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    sa = shingles.select(F.col(id_col).alias("id_1"), "shingle")
-    sb = shingles.select(F.col(id_col).alias("id_2"), "shingle")
-    inter = (
-        pairs.join(sa, "id_1")
-        .join(sb, ["id_2", "shingle"])
-        .groupBy("id_1", "id_2")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    za = sizes.select(F.col(id_col).alias("id_1"), F.col("sz").alias("sz_1"))
-    zb = sizes.select(F.col(id_col).alias("id_2"), F.col("sz").alias("sz_2"))
+    """Exact Jaccard for given candidate pairs. Output:
+    (id_1, id_2, jaccard). Input shingle rows must be per-id DISTINCT
+    (the :func:`shingle_rows` contract) — duplicates would inflate the
+    intersection.
+
+    Shape (round-8 rewrite): per-doc shingle ARRAYS via one
+    groupBy-collect of the row stream, then two id-keyed joins onto
+    the pairs and an in-row ``array_intersect`` — the verify form the
+    MinHash lane already measured 1.7x over the exploded row join at
+    sf0.1. The old form exploded every pair by its shingles into a
+    |pairs| x |avg set| row stream (554M rows at the x100 replica)
+    whose sort-merge join was the single largest working set in the
+    repo — the third-decade battery measured it superlinear (wall 5.5x
+    for 3.3x data, memory-ceiling-bound at 48g) while candidate counts
+    grew exactly linearly. The array form shuffles one row per doc and
+    one row per pair, intersects JVM-side, and needs no sort."""
+    sets = shingles.groupBy(id_col).agg(F.collect_list("shingle").alias("_sh"))
+    sa = sets.select(F.col(id_col).alias("id_1"), F.col("_sh").alias("_sh1"))
+    sb = sets.select(F.col(id_col).alias("id_2"), F.col("_sh").alias("_sh2"))
+    inter = F.size(F.array_intersect("_sh1", "_sh2"))
     return (
-        inter.join(za, "id_1")
-        .join(zb, "id_2")
+        pairs.join(sa, "id_1")
+        .join(sb, "id_2")
         .select(
             "id_1",
             "id_2",
             (
-                F.col("inter")
-                / (F.col("sz_1") + F.col("sz_2") - F.col("inter")).cast("double")
+                inter
+                / (F.size("_sh1") + F.size("_sh2") - inter).cast("double")
             ).alias("jaccard"),
         )
     )
@@ -525,8 +532,26 @@ def ngram_jaccard_pairs_prefix(
         filtered = sh.join(hot, "shingle", "left_anti").localCheckpoint()
         _release(sh)
         sh = filtered
-    cand = jaccard_prefix_candidates(sh, id_col=id_col, t_num=t_num, t_den=t_den)
-    jac = jaccard_on_pairs(cand, sh, id_col=id_col)
+        cand = jaccard_prefix_candidates(sh, id_col=id_col, t_num=t_num, t_den=t_den)
+        verify_rows = sh
+    else:
+        # Checkpoint the SMALL candidate set and release the shingle
+        # stream before the verify: the row stream is the corpus-sized
+        # block here (26M rows / several GB heap at the x100 replica),
+        # and left referenced by the returned plan it leaks until the
+        # periodic-GC backstop — the third-decade battery measured
+        # back-to-back runs degrading 3x from exactly this (x30 run 1
+        # = 23.5s, run 2 = 71s). The verify rebuilds shingles lazily
+        # in-row from the documents (the MinHash lane's shape): one
+        # extra columnar doc scan per side, zero retained storage.
+        cand = jaccard_prefix_candidates(
+            sh, id_col=id_col, t_num=t_num, t_den=t_den
+        ).localCheckpoint()
+        _release(sh)
+        verify_rows = shingle_rows(
+            fanned, id_col=id_col, text_col=text_col, n=shingle_n
+        )
+    jac = jaccard_on_pairs(cand, verify_rows, id_col=id_col)
     return jac.filter(F.col("jaccard") >= t_num / t_den).select(
         "id_1", "id_2", F.round("jaccard", 6).alias("jaccard")
     )
@@ -1220,6 +1245,16 @@ def containment_pairs_prefix(
         _release(sh)
         sh = filtered
     cand = containment_prefix_candidates(sh, id_col=id_col, t_num=t_num, t_den=t_den)
+    if max_df is None:
+        # Checkpoint the small candidate output and release the
+        # corpus-sized shingle stream the lazy cand plan otherwise
+        # pins for the returned plan's lifetime (the ngram lane's
+        # round-8 one-shot-leak fix; back-to-back runs degraded 3x
+        # from the retained blocks). The filtered branch keeps sh:
+        # its verify regroups the filtered stream, and the post-cap
+        # stream is small by design.
+        cand = cand.localCheckpoint()
+        _release(sh)
     # In-row verify: per-doc shingle ARRAYS joined onto the candidate
     # pairs, intersected with array higher-order functions — the same
     # form minhash_near_duplicates measured ~1.7× over re-joining the

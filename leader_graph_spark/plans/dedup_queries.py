@@ -815,6 +815,7 @@ def char_ngram_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     caught the earlier naive shared-shingle join exceeding 240 s at
     50k docs (hot 12-char sequences fan out df² candidates), while the
     prefix form sends exactly those hot shingles to the suffix."""
+    from leader_graph_spark.graph.algorithms import _release
     from leader_graph_spark.operators.dedup import (
         char_shingle_rows,
         jaccard_on_pairs,
@@ -829,10 +830,19 @@ def char_ngram_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = char_shingle_rows(
         docs, id_col="doc_id", text_col="text", n=_CHAR_N
     ).localCheckpoint()
+    # checkpoint the small candidate set, release the corpus-sized
+    # shingle stream, verify on a lazily rebuilt stream — the
+    # one-shot-checkpoint leak fix measured on the word-shingle twin
+    # (operators/dedup.py: ngram_jaccard_pairs_prefix, round-8)
     cand = jaccard_prefix_candidates(
         sh, id_col="doc_id", t_num=_CHAR_T_NUM, t_den=_CHAR_T_DEN
+    ).localCheckpoint()
+    _release(sh)
+    jac = jaccard_on_pairs(
+        cand,
+        char_shingle_rows(docs, id_col="doc_id", text_col="text", n=_CHAR_N),
+        id_col="doc_id",
     )
-    jac = jaccard_on_pairs(cand, sh, id_col="doc_id")
     return jac.where(F.col("jaccard") >= _CHAR_T_NUM / _CHAR_T_DEN).select(
         "id_1", "id_2", F.round("jaccard", 6).alias("jaccard")
     )

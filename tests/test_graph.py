@@ -701,8 +701,8 @@ def test_loop_exec_conf_scopes_and_restores(spark):
         # ceil(100k / 250k) = 1 → floor 4
         assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
         # nested scopes restore to the OUTER static values
-        with _loop_exec_conf(spark, 10_000_000):
-            assert spark.conf.get("spark.sql.shuffle.partitions") == "40"
+        with _loop_exec_conf(spark, 2_000_000):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
         assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
     assert spark.conf.get("spark.sql.adaptive.enabled") == before_aqe
     assert spark.conf.get("spark.sql.shuffle.partitions") == before_parts
