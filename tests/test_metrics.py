@@ -35,16 +35,21 @@ BENCH_BUDGETS: dict[str, tuple[float, int]] = {
     "funnel_view_click_purchase": (0.2, 5),
     "image_phash_codec_roundtrip": (0.01, 4),
     # probes fused into checkpoint jobs + driver-side quotient
-    # union-find (round 7): 105 -> 62 and 17 -> 13 driver actions
-    "incremental_component_merge": (1.3, 70),
+    # union-find (round 7): 105 -> 62 and 17 -> 13 driver actions;
+    # static-loop execution (round 8) cut the AQE sub-jobs: measured 38
+    "incremental_component_merge": (1.3, 48),
     # tightened after the bipartite symmetrize fast path dropped the
     # redundant distinct's full shuffle (round 7: 98 -> 70 MB at sf0.1,
     # 0.8 MB at this smoke scale)
-    "kcore_copurchase": (1.6, 17),
+    # round-8 static-loop scope + terminal degree checkpoint: measured 8
+    "kcore_copurchase": (1.6, 11),
     "local_supplier_volume": (0.05, 17),
     "minhash_near_dup_docs": (1.0, 8),
-    "ngram_jaccard_prefix_filtered": (5.0, 16),
-    "personalized_pagerank_regions": (0.4, 68),
+    # round-8 array-form verify trades ~1.5 MB more smoke-scale shuffle
+    # (sets collected once per side) for the sublinear third decade
+    "ngram_jaccard_prefix_filtered": (6.0, 16),
+    # round-8 static-loop scope halved the AQE sub-jobs: measured 36
+    "personalized_pagerank_regions": (0.2, 45),
     "pricing_summary": (0.05, 5),
     "schoolmates_shared_part": (0.3, 8),
     "shipping_priority_top10": (0.1, 10),
