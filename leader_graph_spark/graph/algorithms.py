@@ -526,18 +526,19 @@ def min_propagation(
     # edge-less vertices join back once at the end. Output is identical
     # to full-vertex propagation — an isolated vertex can neither give
     # nor receive a label — so the unrolled SQL oracle is unchanged.
-    sym = symmetrize(edges).localCheckpoint()
-    state = _active_vertices(sym)
-    labels = state
-    done = 0
-    while done < rounds:
-        hops = min(hops_per_checkpoint, rounds - done)
-        for _ in range(hops):
-            labels = _min_propagation_round(sym, labels)
-        labels = labels.localCheckpoint()
-        _release(state)
-        state = labels
-        done += hops
+    sym, seen = _checkpoint_observed(symmetrize(edges), n=F.count(F.lit(1)))
+    with _loop_exec_conf(sym.sparkSession, seen["n"]):
+        state = _active_vertices(sym)
+        labels = state
+        done = 0
+        while done < rounds:
+            hops = min(hops_per_checkpoint, rounds - done)
+            for _ in range(hops):
+                labels = _min_propagation_round(sym, labels)
+            labels = labels.localCheckpoint()
+            _release(state)
+            state = labels
+            done += hops
     _release(sym)
     return _with_isolated(vertices, labels)
 
