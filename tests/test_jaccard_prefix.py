@@ -55,3 +55,45 @@ def test_random_corpus_matches_quadratic(spark, seed):
     got = _pairs(ngram_jaccard_pairs_prefix, docs, spark, shingle_n=3, t_num=4, t_den=5)
     want = _pairs(ngram_jaccard_pairs, docs, spark, shingle_n=3, threshold=0.8)
     assert got == want
+
+
+def test_prefix_lanes_release_shingle_stream(spark):
+    """The round-8 one-shot-leak fix, pinned BY SIZE: after the
+    prefix-filtered Jaccard/containment result materializes, the
+    corpus-sized shingle checkpoint must be GONE — only the small
+    candidate checkpoint may remain. A block COUNT cannot distinguish
+    the two one-block end states, so the assertion bounds the BYTES the
+    call leaves persisted: the retained candidate checkpoint is a few
+    KB of id pairs, while the shingle stream (~350 distinct corpora
+    rows per doc here) measures well past the bound. Before the fix
+    the pinned stream compounded across runs until the periodic-GC
+    backstop (x30 back-to-back runs degraded 3x; SCALE.md round-8)."""
+    from leader_graph_spark.operators.dedup import containment_pairs_prefix
+
+    def persisted_bytes():
+        return sum(
+            info.memSize() + info.diskSize()
+            for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        )
+
+    # 400 docs x ~30 distinct word-shingles: the shingle stream is
+    # ~12k fat deserialized rows (>= 1 MB on heap); candidates a few KB
+    docs = [
+        (
+            i,
+            " ".join(f"w{i}x{j}" for j in range(30)) + " shared tail tokens",
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    bound = 512 * 1024
+
+    base = persisted_bytes()
+    ngram_jaccard_pairs_prefix(df, id_col="doc_id", text_col="text").count()
+    leaked = persisted_bytes() - base
+    assert leaked <= bound, f"ngram prefix left {leaked} bytes persisted"
+
+    base = persisted_bytes()
+    containment_pairs_prefix(df, id_col="doc_id", text_col="text").count()
+    leaked = persisted_bytes() - base
+    assert leaked <= bound, f"containment left {leaked} bytes persisted"

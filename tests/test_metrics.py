@@ -27,7 +27,8 @@ BENCH_BUDGETS: dict[str, tuple[float, int]] = {
     "containment_near_dup_pairs": (5.3, 15),
     "corpus_release_manifest": (3.1, 21),
     "curated_pretrain_mix": (2.0, 25),
-    "dedup_canonical_docs": (1.1, 39),
+    # round-8 min_propagation static scope: measured 15
+    "dedup_canonical_docs": (1.1, 22),
     "dup_span_coverage": (2.5, 10),
     "events_tumbling_hourly": (0.2, 5),
     "flagship_colleagues_bucketed": (0.1, 8),
