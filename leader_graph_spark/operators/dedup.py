@@ -140,49 +140,6 @@ def minhash_signatures(
     return shingles.groupBy(id_col).agg(*aggs)
 
 
-def minhash_signatures_inrow(
-    df: DataFrame,
-    *,
-    id_col: str,
-    text_col: str,
-    shingle_n: int = 3,
-    num_hashes: int = 16,
-) -> DataFrame:
-    """MinHash signatures computed IN-ROW from each document's shingle
-    array — zero shuffle, identical values to
-    :func:`minhash_signatures` over the same document's shingles (min
-    over the same multiset; md5 evaluated once per shingle, each seed's
-    affine map + ``array_min`` over the shared base-value array).
-
-    Why it exists (round-8 third-decade battery): the row-stream
-    groupBy's map-side partial aggregation emits more rows per input
-    as per-task document cardinality concentrates (x100 on a fixed
-    32-thread box measured shuffle bytes 5.1x for 3.3x data — combiner
-    hash tables overflowing to pass-through). One row per doc in, one
-    row per doc out, makes the signature stage shuffle-free at every
-    scale. Documents with no shingles are dropped, matching the
-    groupBy form's absent-group semantics."""
-    vals = F.transform(
-        shingle_array(text_col, shingle_n),
-        lambda x: F.conv(
-            F.substring(F.md5(x), 1, MINHASH_HEX_CHARS), 16, 10
-        ).cast("long"),
-    )
-    sig_cols = [
-        F.array_min(
-            F.transform(
-                F.col("_mhv"), lambda v: (F.lit(a) * v + F.lit(b)) % MINHASH_PRIME
-            )
-        ).alias(f"s{s}")
-        for s, (a, b) in enumerate(minhash_coeffs(num_hashes))
-    ]
-    return (
-        df.select(F.col(id_col), vals.alias("_mhv"))
-        .where(F.size("_mhv") > 0)
-        .select(F.col(id_col), *sig_cols)
-    )
-
-
 def lsh_band_buckets(
     signatures: DataFrame, *, id_col: str, num_hashes: int = 16, bands: int = 4
 ) -> DataFrame:
@@ -277,26 +234,21 @@ def minhash_near_duplicates(
     buckets → candidate pairs → exact-Jaccard verification ≥ threshold.
     Output: (id_1, id_2, jaccard rounded to 6).
 
-    Shuffle economics: the signature stage is computed IN-ROW from
-    each document's shingle array (:func:`minhash_signatures_inrow`) —
-    zero shuffle, where the earlier row-stream groupBy's map-side
-    combiner went superlinear in bytes under fixed-box key
-    concentration (round-8 third-decade battery, 5.1x bytes for 3.3x
-    data); the exact-Jaccard stage joins per-doc distinct shingle
-    ARRAYS (built by array HOFs with no explode and no shuffle) onto
-    the candidate pairs and intersects in-row — measured ~1.7× over
-    the explode→equi-join→count Jaccard, which re-parsed every
-    document and shuffled 52 rows/doc. The array forms assume a
-    document's shingle set fits in a row (true for normal documents;
-    book-length outliers would switch back to the row form)."""
+    Shuffle economics (measured at sf0.1): the signature stage consumes
+    NON-distinct shingles — duplicates cannot change a min, so the
+    global dedup shuffle is skipped entirely; the exact-Jaccard stage
+    joins per-doc distinct shingle ARRAYS (built by array HOFs with no
+    explode and no shuffle) onto the candidate pairs and intersects
+    in-row — measured ~1.7× over the explode→equi-join→count Jaccard,
+    which re-parsed every document and shuffled 52 rows/doc. The array
+    form assumes a document's shingle set fits in a row (true for
+    normal documents; book-length outliers would switch back to the
+    row form)."""
     fanned = fan_out(df)
-    sigs = minhash_signatures_inrow(
-        fanned,
-        id_col=id_col,
-        text_col=text_col,
-        shingle_n=shingle_n,
-        num_hashes=num_hashes,
+    sh_all = shingle_rows(
+        fanned, id_col=id_col, text_col=text_col, n=shingle_n, distinct=False
     )
+    sigs = minhash_signatures(sh_all, id_col=id_col, num_hashes=num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col=id_col, num_hashes=num_hashes, bands=bands)
     sets = fanned.select(
         F.col(id_col), F.array_distinct(shingle_array(text_col, shingle_n)).alias("sh")
@@ -353,13 +305,15 @@ def incremental_near_dup(
     from pyspark.sql import Window
 
     new_f, idx_f = fan_out(new_df), fan_out(index_df)
-    sig_new = minhash_signatures_inrow(
-        new_f, id_col=id_col, text_col=text_col,
-        shingle_n=shingle_n, num_hashes=num_hashes,
+    sig_new = minhash_signatures(
+        shingle_rows(new_f, id_col=id_col, text_col=text_col, n=shingle_n, distinct=False),
+        id_col=id_col,
+        num_hashes=num_hashes,
     )
-    sig_idx = minhash_signatures_inrow(
-        idx_f, id_col=id_col, text_col=text_col,
-        shingle_n=shingle_n, num_hashes=num_hashes,
+    sig_idx = minhash_signatures(
+        shingle_rows(idx_f, id_col=id_col, text_col=text_col, n=shingle_n, distinct=False),
+        id_col=id_col,
+        num_hashes=num_hashes,
     )
     b_new = lsh_band_buckets(
         sig_new, id_col=id_col, num_hashes=num_hashes, bands=bands
