@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F
 
+from leader_graph_spark.hostload import HostWindow, _loadavg1
 from leader_graph_spark.metrics import measure_query
 from leader_graph_spark.plans import bench_queries
 from leader_graph_spark.session import DEFAULT_SF_DIR, get_spark
@@ -58,15 +59,35 @@ def main() -> None:
     # consecutive attempts of one query all land in the same slow
     # window — interleaving spreads each query's attempts across the
     # full wall-clock span.
+    # Each attempt runs inside a HostWindow (leader_graph_spark/hostload.py):
+    # loadavg before/after, whole-box /proc/stat busy-fraction, our-tree vs
+    # FOREIGN cpu split, and the noisiest foreign PIDs. Two rounds of
+    # driver-run drift (r7, r8: 17/22 queries +9-37%, unreproducible on a
+    # quiet box) were adjudicated as host contention only by post-hoc
+    # re-measurement; with per-attempt telemetry in the artifact, a flagged
+    # ratio is explainable from the committed JSON alone.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    bench_load_start = _loadavg1()
     all_times: dict[str, list[float]] = {}
+    all_host: dict[str, list[dict]] = {}
     for _ in range(runs):
         for name, spec in sorted(bench_queries().items()):
-            t0 = time.perf_counter()
-            df = spec.bench_spark(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            all_times.setdefault(name, []).append(time.perf_counter() - t0)
+            with HostWindow() as hw:
+                t0 = time.perf_counter()
+                df = spec.bench_spark(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                elapsed = time.perf_counter() - t0
+            all_times.setdefault(name, []).append(elapsed)
+            all_host.setdefault(name, []).append(hw.as_dict())
     timings = {name: round(min(ts), 3) for name, ts in all_times.items()}
+    # Per query: telemetry of the attempt that produced the reported min
+    # (the capability number), plus the worst foreign fraction seen across
+    # attempts (did ANY attempt face contention?).
+    host = {}
+    for name, ts in all_times.items():
+        best = all_host[name][ts.index(min(ts))]
+        best["foreign_frac_max"] = max(h["foreign_frac"] for h in all_host[name])
+        host[name] = best
 
     # Shuffle-bytes/spill/actions ledger: one extra measured pass per
     # query AFTER the timed runs (so listener polling never contaminates
@@ -93,6 +114,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "ledger": ledger,
+        "host": {
+            "ncpu": os.cpu_count(),
+            "load1_bench_start": round(bench_load_start, 2),
+            "load1_bench_end": round(_loadavg1(), 2),
+            "queries": host,
+        },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
@@ -176,6 +203,14 @@ def main() -> None:
                 "flagged": sorted(
                     q for q, r in ratios.items() if r > bands[q]
                 ),
+                # Adjudication data for each flagged ratio: the host
+                # telemetry of the attempt whose time IS the ratio's
+                # numerator. foreign_frac ~0 on every attempt means the
+                # regression is real; a large foreign_frac names the
+                # contention that inflated the number.
+                "flagged_host": {
+                    q: host[q] for q, r in sorted(ratios.items()) if r > bands[q]
+                },
             }
         # Bytes guard: shuffle volume is near-deterministic for a fixed
         # plan + data (unlike wall time), so the band is tight — flag a

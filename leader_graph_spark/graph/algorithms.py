@@ -98,7 +98,19 @@ class _loop_exec_conf:
     default put that loop on the wrong side). Above the threshold
     nothing changes. Confs are restored on exit; loops execute their
     rounds EAGERLY (checkpoint-per-round), so the scope covers exactly
-    the loop."""
+    the loop.
+
+    CONCURRENCY CONTRACT: this scope mutates SESSION-GLOBAL conf
+    (disables AQE, pins ``spark.sql.shuffle.partitions``) for the
+    duration of the loop — any query executed concurrently on the
+    SAME SparkSession while a loop is running would also run under
+    the static settings. Every iterative algorithm in this module
+    therefore assumes single-query-at-a-time use of its session,
+    which is the repo-wide execution model (one driver, queries run
+    sequentially; the bench and the driver harness both comply). A
+    caller that needs concurrent queries during a loop should run
+    the loop on ``spark.newSession()`` (separate SQLConf, shared
+    cluster) or raise ``STATIC_LOOP_CONF`` to 0 to keep AQE on."""
 
     def __init__(self, spark, n_rows: int):
         self.spark = spark

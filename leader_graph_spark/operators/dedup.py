@@ -191,6 +191,16 @@ def jaccard_on_pairs(
     (the :func:`shingle_rows` contract) — duplicates would inflate the
     intersection.
 
+    Contract note (round-8 rewrite): candidate pairs whose sets share
+    ZERO shingles are emitted with ``jaccard = 0.0`` (both per-doc
+    array joins are inner joins on the ids, so every input pair whose
+    two ids have at least one shingle row survives). The pre-round-8
+    exploded-row form silently dropped such pairs. Callers that
+    filter ``jaccard >= t`` for ``t > 0`` are unaffected; callers
+    that want the old drop-zero contract should filter
+    ``jaccard > 0`` on the result. Pairs whose id has no shingle rows
+    at all (empty document) are still dropped by the inner joins.
+
     Shape (round-8 rewrite): per-doc shingle ARRAYS via one
     groupBy-collect of the row stream, then two id-keyed joins onto
     the pairs and an in-row ``array_intersect`` — the verify form the
@@ -523,17 +533,30 @@ def ngram_jaccard_pairs_prefix(
     fanned = fan_out(df)
     sh = shingle_rows(fanned, id_col=id_col, text_col=text_col, n=shingle_n).localCheckpoint()
     if max_df is not None:
+        # Same leak class as the unfiltered branch below (measured
+        # there: back-to-back x30 runs degrading 3x): only SMALL
+        # states may stay referenced by the returned lazy plan. The
+        # hot-shingle set is tiny (|occurrences| / max_df distinct
+        # shingles at most), so checkpoint it, checkpoint the
+        # candidate pairs, release the corpus-sized shingle stream,
+        # and let the verify rebuild shingle rows lazily from the
+        # documents re-filtered by an anti-join against the small hot
+        # checkpoint — retained storage is cand + hot, never the
+        # stream.
         hot = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
             .where(F.col("df") > max_df)
             .select("shingle")
-        )
-        filtered = sh.join(hot, "shingle", "left_anti").localCheckpoint()
+        ).localCheckpoint()
+        filtered = sh.join(hot, "shingle", "left_anti")
+        cand = jaccard_prefix_candidates(
+            filtered, id_col=id_col, t_num=t_num, t_den=t_den
+        ).localCheckpoint()
         _release(sh)
-        sh = filtered
-        cand = jaccard_prefix_candidates(sh, id_col=id_col, t_num=t_num, t_den=t_den)
-        verify_rows = sh
+        verify_rows = shingle_rows(
+            fanned, id_col=id_col, text_col=text_col, n=shingle_n
+        ).join(hot, "shingle", "left_anti")
     else:
         # Checkpoint the SMALL candidate set and release the shingle
         # stream before the verify: the row stream is the corpus-sized

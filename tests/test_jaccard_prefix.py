@@ -97,3 +97,53 @@ def test_prefix_lanes_release_shingle_stream(spark):
     containment_pairs_prefix(df, id_col="doc_id", text_col="text").count()
     leaked = persisted_bytes() - base
     assert leaked <= bound, f"containment left {leaked} bytes persisted"
+
+    # max_df branch (round-9 fix): the hot-shingle cut must retain only
+    # the tiny hot checkpoint + candidates, never the filtered stream
+    base = persisted_bytes()
+    ngram_jaccard_pairs_prefix(
+        df, id_col="doc_id", text_col="text", max_df=100
+    ).count()
+    leaked = persisted_bytes() - base
+    assert leaked <= bound, f"ngram prefix(max_df) left {leaked} bytes persisted"
+
+
+def test_max_df_branch_matches_filtered_quadratic(spark):
+    """max_df semantics survive the round-9 lazy-verify rewrite: the
+    prefix result with a hot cut equals the quadratic form run on the
+    pre-filtered corpus (hot shingles stripped from every doc)."""
+    rng = random.Random(5)
+    vocab = [f"t{i}" for i in range(25)]
+    docs = []
+    for i in range(25):
+        n = rng.randint(8, 20)
+        # every doc shares a boilerplate tail -> hot shingles
+        body = " ".join(rng.choice(vocab) for _ in range(n))
+        docs.append((i, body + " common boiler plate tail"))
+    for j in range(4):
+        src = docs[j][1].split()
+        src[rng.randrange(len(src) - 4)] = rng.choice(vocab)
+        docs.append((200 + j, " ".join(src)))
+    got = _pairs(
+        ngram_jaccard_pairs_prefix, docs, spark, shingle_n=3, t_num=4, t_den=5, max_df=6
+    )
+    # oracle: strip shingles with df > 6 by hand, then quadratic Jaccard
+    from collections import Counter
+
+    def shingles(text):
+        toks = text.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    df_count = Counter(s for _, t in docs for s in shingles(t))
+    want = set()
+    sets = {i: {s for s in shingles(t) if df_count[s] <= 6} for i, t in docs}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = sets[ids[x]], sets[ids[y]]
+            if not a or not b:
+                continue
+            j = len(a & b) / len(a | b)
+            if j >= 0.8:
+                want.add((ids[x], ids[y], round(j, 6)))
+    assert got == want
