@@ -408,6 +408,205 @@ def extract_title_summary(html: str) -> dict[str, str]:
     }
 
 
+# ---------------------------------------------------------------------------
+# X7: portrait-image URL cascade
+# ---------------------------------------------------------------------------
+
+_IMG_INVALID_PATTERNS = ("logo-baike.svg", "baike-react/common", "icon", "/img/")
+_IMG_VALID_PATTERNS = ("bkimg.cdn.bcebos.com/pic/", "/pic/")
+
+
+def is_valid_image_url(url: str) -> bool:
+    """X7's URL gate (``leader/update_leader_img_url.py:25-66``),
+    EFFECTIVE semantics: reject on any invalid substring, accept on a
+    ``/pic/`` pattern, otherwise reject. The reference's trailing
+    length/extension checks are dead code — every branch after the
+    valid-pattern loop falls through to ``return False`` (the final
+    statement at line 66 is an unconditional False), so only the
+    pattern paths ever decide. Reproduced as-executed, not as-commented."""
+    if not url:
+        return False
+    if any(p in url for p in _IMG_INVALID_PATTERNS):
+        return False
+    return any(p in url for p in _IMG_VALID_PATTERNS)
+
+
+class _ImageCascadeParser(HTMLParser):
+    """Collects every <img> with the container context the cascade
+    tiers key on: which abstractAlbum_* / summary-pic /
+    data-module-type=image / lemma-picture div instances enclose it,
+    and whether those lemma-picture instances start after the
+    lemmaWgt-lemmaTitle-title div. Containers are matched on
+    class TOKENS (bs4's class_ semantics)."""
+
+    _KINDS = ("aa", "sp", "im", "lp")
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.imgs: list[dict] = []  # {src, alt, order, aa/sp/im/lp: set[int]}
+        self.title = ""
+        self.title_div_order: int | None = None  # lemmaWgt-lemmaTitle-title
+        self.lp_starts: dict[int, int] = {}  # lemma-picture instance -> order
+        self._order = 0
+        self._counts = dict.fromkeys(self._KINDS, 0)
+        self._stack: list[tuple[str, dict[str, int]]] = []  # (tag, kind->inst)
+        self._in_title = False
+
+    @staticmethod
+    def _div_kinds(attrs: dict) -> list[str]:
+        toks = (attrs.get("class") or "").split()
+        kinds = []
+        if any(t.startswith("abstractAlbum_") for t in toks):
+            kinds.append("aa")
+        if "summary-pic" in toks:
+            kinds.append("sp")
+        if attrs.get("data-module-type") == "image":
+            kinds.append("im")
+        if "lemma-picture" in toks:
+            kinds.append("lp")
+        return kinds
+
+    def handle_starttag(self, tag, attrs):
+        self._order += 1
+        attrs = dict(attrs)
+        if tag == "img":
+            rec = {
+                "src": attrs.get("src", ""),
+                "alt": attrs.get("alt", ""),
+                "order": self._order,
+            }
+            for kind in self._KINDS:
+                rec[kind] = {m[kind] for _, m in self._stack if kind in m}
+            self.imgs.append(rec)
+            return  # void element: never on the stack
+        if tag == "title":
+            self._in_title = True
+        marks: dict[str, int] = {}
+        if tag == "div":
+            toks = (attrs.get("class") or "").split()
+            if "lemmaWgt-lemmaTitle-title" in toks and self.title_div_order is None:
+                self.title_div_order = self._order
+            for kind in self._div_kinds(attrs):
+                inst = self._counts[kind]
+                self._counts[kind] += 1
+                marks[kind] = inst
+                if kind == "lp":
+                    self.lp_starts[inst] = self._order
+        if tag in _VOID_TAGS:
+            return
+        self._stack.append((tag, marks))
+
+    def handle_endtag(self, tag):
+        if tag in _VOID_TAGS:
+            return
+        if tag == "title":
+            self._in_title = False
+        for i in range(len(self._stack) - 1, -1, -1):
+            if self._stack[i][0] == tag:
+                del self._stack[i:]
+                break
+
+    def handle_data(self, data):
+        if self._in_title:
+            self.title += data
+
+
+def select_portrait_url(html: str) -> dict:
+    """X7: the six-method portrait-selection cascade
+    (``leader/update_leader_img_url.py:130-218``), faithfully ordered:
+
+    1. first img of the FIRST ``abstractAlbum_*`` div (that one img
+       only — an invalid src falls through to method 2, it does not
+       try the div's later imgs);
+    2. scanning forward from the ``lemmaWgt-lemmaTitle-title`` div,
+       the first img of EACH subsequent ``lemma-picture`` div until
+       one passes the gate;
+    3. first img of the first ``summary-pic`` div;
+    4. first img of the first ``div[data-module-type=image]``;
+    5. if the <title> carries the ``_百度百科`` suffix, the first img
+       whose alt or src contains the page name;
+    6. the first img anywhere with a gate-passing src.
+
+    Returns ``{"url": str | None, "method": int | None}`` — method is
+    the 1-based tier that produced the URL (None when nothing passed),
+    surfaced so tests and the oracle can pin the cascade ORDER, not
+    just the final string."""
+    p = _ImageCascadeParser()
+    try:
+        p.feed(html or "")
+        p.close()
+    except Exception:
+        return {"url": None, "method": None}
+    imgs = p.imgs
+
+    def first_img_of(kind: str, inst: int):
+        cands = [i for i in imgs if inst in i[kind]]
+        return min(cands, key=lambda i: i["order"]) if cands else None
+
+    # 1: first abstractAlbum div's first img only
+    img = first_img_of("aa", 0)
+    if img and img["src"] and is_valid_image_url(img["src"]):
+        return {"url": img["src"], "method": 1}
+    # 2: lemma-picture divs strictly after the lemma-title div, in
+    # document order; first img of each, first valid wins
+    if p.title_div_order is not None:
+        insts = sorted(
+            (o, i) for i, o in p.lp_starts.items() if o > p.title_div_order
+        )
+        for _, inst in insts:
+            img = first_img_of("lp", inst)
+            if img and img["src"] and is_valid_image_url(img["src"]):
+                return {"url": img["src"], "method": 2}
+    # 3 / 4: first summary-pic / image-module div's first img only
+    for kind, method in (("sp", 3), ("im", 4)):
+        img = first_img_of(kind, 0)
+        if img and img["src"] and is_valid_image_url(img["src"]):
+            return {"url": img["src"], "method": method}
+    # 5: name-matched img (name from the suffixed <title> only)
+    title = p.title.strip()
+    if "_百度百科" in title:
+        name = title.split("_百度百科")[0].strip()
+        if name:
+            for img in sorted(imgs, key=lambda i: i["order"]):
+                if (
+                    (name in img["alt"] or name in img["src"])
+                    and img["src"]
+                    and is_valid_image_url(img["src"])
+                ):
+                    return {"url": img["src"], "method": 5}
+    # 6: first valid img anywhere
+    for img in sorted(imgs, key=lambda i: i["order"]):
+        if img["src"] and is_valid_image_url(img["src"]):
+            return {"url": img["src"], "method": 6}
+    return {"url": None, "method": None}
+
+
+def portrait_url_table(df: DataFrame, *, id_col: str, html_col: str) -> DataFrame:
+    """X7 as mapInPandas: (id, html) → (id, portrait_url, method).
+    Arrow-batched like every X surface; blobs never shuffle — the
+    select prunes to exactly the two input columns."""
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("portrait_url", T.StringType()),
+            T.StructField("method", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            picked = pdf[html_col].map(select_portrait_url)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "portrait_url": picked.map(lambda d: d["url"]),
+                    "method": picked.map(lambda d: d["method"]).astype("Int32"),
+                }
+            )
+
+    return df.select(id_col, html_col).mapInPandas(run, out_schema)
+
+
 def person_links_udtf():
     """X3 as a native Python UDTF (Spark 4): one (id, html) row in, N
     (name, url, uuid) link rows out — the lateral-join form of

@@ -756,3 +756,98 @@ def career_structuring_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     valid, _ = validate_events_reject(exploded)
     return valid
+
+
+# ---------------------------------------------------------------------------
+# X7 portrait-URL DOM cascade, driver-checked: deterministic page
+# synthesis plants an image at exactly one cascade tier per doc_id
+# residue class — including decoys an earlier tier must REJECT (an
+# invalid abstractAlbum img, a pre-title lemma-picture, a valid
+# anonymous img ahead of the name-matched one) — so the value hash pins
+# the cascade ORDER, not just string plumbing. The oracle rebuilds the
+# winning URL and 1-based method from the residues without parsing.
+# ---------------------------------------------------------------------------
+
+_PORTRAIT_ORACLE = """
+SELECT doc_id,
+       CASE doc_id % 8
+         WHEN 0 THEN 'http://ex.com/pic/aa' || CAST(doc_id AS VARCHAR) || '.jpg'
+         WHEN 1 THEN 'http://ex.com/pic/lp' || CAST(doc_id AS VARCHAR) || '.jpg'
+         WHEN 2 THEN 'http://ex.com/pic/sp' || CAST(doc_id AS VARCHAR) || '.jpg'
+         WHEN 3 THEN 'http://ex.com/pic/im' || CAST(doc_id AS VARCHAR) || '.jpg'
+         WHEN 4 THEN 'http://ex.com/pic/nm' || CAST(doc_id AS VARCHAR) || '.jpg'
+         WHEN 5 THEN 'http://ex.com/pic/any' || CAST(doc_id AS VARCHAR) || '.jpg'
+       END AS portrait_url,
+       CASE doc_id % 8
+         WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3
+         WHEN 3 THEN 4 WHEN 4 THEN 5 WHEN 5 THEN 6
+       END AS method
+FROM documents
+"""
+
+
+def _synth_portrait_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    pic = lambda tag: F.concat(  # noqa: E731
+        F.lit(f"http://ex.com/pic/{tag}"), ds, F.lit(".jpg")
+    )
+    bad = F.concat(F.lit("http://ex.com/img/icon"), ds, F.lit(".png"))
+    img = lambda src: F.concat(F.lit("<img src='"), src, F.lit("'>"))  # noqa: E731
+    title_div = F.lit("<div class='lemmaWgt-lemmaTitle-title'><h1>P</h1></div>")
+    body = (
+        # tier 1: valid img in the first abstractAlbum_* div
+        F.when(d % 8 == 0, F.concat(
+            F.lit("<div class='abstractAlbum_q'>"), img(pic("aa")), F.lit("</div>")
+        ))
+        # tier 2: invalid abstractAlbum img (tier-1 decoy), a PRE-title
+        # lemma-picture that must be skipped, then the post-title winner
+        .when(d % 8 == 1, F.concat(
+            F.lit("<div class='abstractAlbum_q'>"), img(bad), F.lit("</div>"),
+            F.lit("<div class='lemma-picture'>"), img(pic("pre")), F.lit("</div>"),
+            title_div,
+            F.lit("<div class='lemma-picture'>"), img(pic("lp")), F.lit("</div>"),
+        ))
+        # tier 3: pre-title lemma-picture decoy + summary-pic winner
+        .when(d % 8 == 2, F.concat(
+            F.lit("<div class='lemma-picture'>"), img(pic("pre")), F.lit("</div>"),
+            title_div,
+            F.lit("<div class='summary-pic'>"), img(pic("sp")), F.lit("</div>"),
+        ))
+        # tier 4: image module
+        .when(d % 8 == 3, F.concat(
+            F.lit("<div data-module-type='image'>"), img(pic("im")), F.lit("</div>"),
+        ))
+        # tier 5: valid anonymous img FIRST (tier-6 decoy), then the
+        # name-matched img that must win at tier 5
+        .when(d % 8 == 4, F.concat(
+            F.lit("<p>"), img(pic("first")), F.lit("</p><p><img alt='Person"),
+            ds, F.lit("' src='"), pic("nm"), F.lit("'></p>"),
+        ))
+        # tier 6: one generic valid img
+        .when(d % 8 == 5, F.concat(F.lit("<p>"), img(pic("any")), F.lit("</p>")))
+        # only-invalid and no-image pages -> NULL
+        .when(d % 8 == 6, img(bad))
+        .otherwise(F.lit("<p>no images</p>"))
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Person"), ds,
+        F.lit("_百度百科</title></head><body>"), body, F.lit("</body></html>"),
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
+@query("portrait_url_cascade", _PORTRAIT_ORACLE, tags=("X7", "P8", "W6"))
+def portrait_url_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 six-method portrait-image selection
+    (``leader/update_leader_img_url.py:130-218``) over synthesized
+    pages: real DOM-event parse + cascade via Arrow-batched
+    mapInPandas (``extract/html.py:select_portrait_url``), emitting the
+    winning URL and its 1-based method. Decoy images force each tier
+    to actually reject before the winner's tier fires, so the cascade
+    order sits under the value hash."""
+    from leader_graph_spark.extract.html import portrait_url_table
+
+    pages = _synth_portrait_pages(spark, sf_dir)
+    return portrait_url_table(pages, id_col="doc_id", html_col="html")

@@ -226,3 +226,127 @@ def test_parser_fuzz_never_crashes():
         assert isinstance(page, dict)
         for key in ("title", "summary", "description"):
             assert key in page
+
+
+# ---------------------------------------------------------------------------
+# X7: portrait-image URL cascade (leader/update_leader_img_url.py:130-218)
+# ---------------------------------------------------------------------------
+
+VALID = "http://ex.com/pic/p{}.jpg"
+BAD = "http://ex.com/img/icon{}.png"
+
+
+def _pick(html):
+    from leader_graph_spark.extract.html import select_portrait_url
+
+    return select_portrait_url(html)
+
+
+def test_portrait_tier1_abstract_album():
+    html = (
+        "<html><body>"
+        f"<div class='layout abstractAlbum_x12'><img src='{VALID.format(1)}'></div>"
+        f"<div class='summary-pic'><img src='{VALID.format(3)}'></div>"
+        "</body></html>"
+    )
+    assert _pick(html) == {"url": VALID.format(1), "method": 1}
+
+
+def test_portrait_tier1_checks_only_first_img_then_falls_through():
+    # first abstractAlbum img invalid -> does NOT try its second img,
+    # falls to summary-pic (reference finds one img, gates, no loop)
+    html = (
+        "<html><body>"
+        f"<div class='abstractAlbum_a'><img src='{BAD.format(1)}'>"
+        f"<img src='{VALID.format(9)}'></div>"
+        f"<div class='summary-pic'><img src='{VALID.format(3)}'></div>"
+        "</body></html>"
+    )
+    assert _pick(html) == {"url": VALID.format(3), "method": 3}
+
+
+def test_portrait_tier2_lemma_picture_after_title_only():
+    # lemma-picture BEFORE the title div must be skipped; one after wins
+    html = (
+        "<html><body>"
+        f"<div class='lemma-picture'><img src='{VALID.format(8)}'></div>"
+        "<div class='lemmaWgt-lemmaTitle-title'><h1>X</h1></div>"
+        f"<div class='lemma-picture'><img src='{BAD.format(2)}'></div>"
+        f"<div class='lemma-picture'><img src='{VALID.format(2)}'></div>"
+        "</body></html>"
+    )
+    # first post-title lemma-picture img is invalid -> scan continues to
+    # the NEXT lemma-picture div (find_all_next loop semantics)
+    assert _pick(html) == {"url": VALID.format(2), "method": 2}
+
+
+def test_portrait_tier4_image_module():
+    html = (
+        "<html><body>"
+        f"<div data-module-type='image'><img src='{VALID.format(4)}'></div>"
+        f"<p><img src='{VALID.format(6)}'></p>"
+        "</body></html>"
+    )
+    assert _pick(html) == {"url": VALID.format(4), "method": 4}
+
+
+def test_portrait_tier5_name_match_beats_first_valid():
+    # a valid anonymous img comes FIRST; the name-matched one后 wins at
+    # tier 5 because tier 5 runs before tier 6
+    html = (
+        "<html><head><title>张三_百度百科</title></head><body>"
+        f"<p><img src='{VALID.format(7)}'></p>"
+        f"<p><img alt='张三' src='{VALID.format(5)}'></p>"
+        "</body></html>"
+    )
+    assert _pick(html) == {"url": VALID.format(5), "method": 5}
+
+
+def test_portrait_tier5_requires_suffixed_title():
+    # no _百度百科 suffix -> no name -> tier 5 skipped, tier 6 takes first
+    html = (
+        "<html><head><title>张三</title></head><body>"
+        f"<p><img src='{VALID.format(7)}'></p>"
+        f"<p><img alt='张三' src='{VALID.format(5)}'></p>"
+        "</body></html>"
+    )
+    assert _pick(html) == {"url": VALID.format(7), "method": 6}
+
+
+def test_portrait_tier6_and_none():
+    html = f"<html><body><p><img src='{VALID.format(6)}'></p></body></html>"
+    assert _pick(html) == {"url": VALID.format(6), "method": 6}
+    assert _pick(f"<html><body><img src='{BAD.format(6)}'></body></html>") == {
+        "url": None,
+        "method": None,
+    }
+    assert _pick("<html><body>no images</body></html>") == {"url": None, "method": None}
+    assert _pick("") == {"url": None, "method": None}
+
+
+def test_portrait_url_gate_effective_semantics():
+    from leader_graph_spark.extract.html import is_valid_image_url
+
+    assert is_valid_image_url("https://bkimg.cdn.bcebos.com/pic/abc123")
+    assert is_valid_image_url("http://host/pic/x.jpg")
+    # invalid patterns reject even with /pic/
+    assert not is_valid_image_url("http://host/pic/logo-baike.svg")
+    assert not is_valid_image_url("http://host/img/pic/x.jpg")
+    assert not is_valid_image_url("http://host/icons/pic/x.jpg")  # 'icon'
+    # dead-code parity: a long .jpg URL WITHOUT /pic/ is rejected (the
+    # reference's extension branch unconditionally returns False)
+    assert not is_valid_image_url("http://host/photos/a-very-long-name-here.jpg")
+
+
+def test_portrait_table_spark(spark):
+    from leader_graph_spark.extract.html import portrait_url_table
+
+    rows = [
+        (1, f"<div class='abstractAlbum_z'><img src='{VALID.format(1)}'></div>"),
+        (2, "<p>none</p>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {r.doc_id: (r.portrait_url, r.method) for r in portrait_url_table(
+        df, id_col="doc_id", html_col="html"
+    ).collect()}
+    assert got == {1: (VALID.format(1), 1), 2: (None, None)}
