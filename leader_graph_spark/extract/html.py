@@ -56,13 +56,16 @@ class _PageParser(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.title = ""
         self.description = ""
+        self.update_time = ""
         self.sections: list[tuple[str, str]] = []
         self.pre_heading_text: list[str] = []
         self.dt_dd: list[tuple[str, str]] = []
         self.links: list[tuple[str, str, str]] = []  # (heading, text, href)
+        self.tables: list[tuple[str, str]] = []  # (enclosing heading, flat text)
         self._stack: list[str] = []
         self._cur_heading = ""
         self._text_buf: list[str] = []
+        self._blocks: list[str] = []  # cleaned paragraph/table blocks
         self._heading_buf: list[str] = []
         self._cur_dt = ""
         self._in_link = False
@@ -70,11 +73,26 @@ class _PageParser(HTMLParser):
         self._link_buf: list[str] = []
         self._dt_buf: list[str] | None = None
         self._dd_buf: list[str] | None = None
+        # Table flattening state (extract_content_from_remark.py:537-628):
+        # one flat text per top-level table — optional caption row, then
+        # one "cell | cell | cell" line per tr.
+        self._table_depth = 0
+        self._tbl_rows: list[str] = []
+        self._row_cells: list[str] | None = None
+        self._cell_buf: list[str] | None = None
+        self._cell_links: list[str] = []
+        self._in_caption = False
+        self._cap_buf: list[str] = []
 
     def handle_starttag(self, tag, attrs):
         attrs = dict(attrs)
-        if tag == "meta" and attrs.get("name") == "description":
-            self.description = attrs.get("content", "")
+        if tag == "meta":
+            if attrs.get("name") == "description":
+                self.description = attrs.get("content", "")
+            # update_time from <meta itemprop="dateUpdate" content=...>
+            # (extract_content_from_remark.py:120-129)
+            if attrs.get("itemprop") == "dateUpdate":
+                self.update_time = (attrs.get("content") or "").strip()
         if tag == "a":
             self._in_link = True
             self._cur_href = attrs.get("href", "")
@@ -83,6 +101,21 @@ class _PageParser(HTMLParser):
             self._dt_buf = []
         elif tag == "dd":
             self._dd_buf = []
+        elif tag == "table":
+            if self._table_depth == 0:
+                self._tbl_rows = []
+                self._row_cells = None
+                self._cell_buf = None
+            self._table_depth += 1
+        elif self._table_depth:
+            if tag == "caption":
+                self._in_caption = True
+                self._cap_buf = []
+            elif tag == "tr":
+                self._row_cells = []
+            elif tag in ("td", "th"):
+                self._cell_buf = []
+                self._cell_links = []
         if tag in _VOID_TAGS:
             return
         self._stack.append(tag)
@@ -102,24 +135,65 @@ class _PageParser(HTMLParser):
                 self.dt_dd.append((self._cur_dt, clean_text(" ".join(self._dd_buf or []))))
                 self._cur_dt = ""
             self._dd_buf = None
+        elif tag in ("td", "th") and self._cell_buf is not None:
+            cell = clean_text(" ".join(self._cell_buf))
+            # link-suffix rule (extract_content_from_remark.py:612-617):
+            # a cell link's text is appended as " [text]" only when the
+            # collected cell content doesn't already contain it
+            for lt in self._cell_links:
+                if lt and lt not in cell:
+                    cell += f" [{lt}]"
+            if self._row_cells is not None:
+                self._row_cells.append(cell)
+            self._cell_buf = None
+        elif tag == "tr" and self._row_cells is not None:
+            if any(c.strip() for c in self._row_cells):
+                self._tbl_rows.append(" | ".join(self._row_cells))
+            self._row_cells = None
+        elif tag == "caption" and self._in_caption:
+            cap = clean_text(" ".join(self._cap_buf))
+            if cap:
+                self._tbl_rows.append(f"表格标题: {cap}")
+            self._in_caption = False
+        elif tag == "table" and self._table_depth:
+            self._table_depth -= 1
+            if self._table_depth == 0:
+                flat = "\n".join(self._tbl_rows)
+                if flat:
+                    self.tables.append((self._cur_heading, flat))
+                    # inside a section the table is its own content
+                    # block; pre-heading tables are NOT summary text
+                    # (the reference's summary comes from a dedicated
+                    # div, never from a table)
+                    if self._cur_heading:
+                        self._flush_text_block()
+                        self._blocks.append(flat)
         if tag in _HEADING_TAGS:
             self._flush_section()
             self._cur_heading = clean_text(" ".join(self._heading_buf))
             self._heading_buf = []
         elif tag == "a" and self._in_link:
-            self.links.append(
-                (self._cur_heading, clean_text(" ".join(self._link_buf)), self._cur_href)
-            )
+            link_text = clean_text(" ".join(self._link_buf))
+            self.links.append((self._cur_heading, link_text, self._cur_href))
+            if self._cell_buf is not None:
+                self._cell_links.append(link_text)
             self._in_link = False
             self._cur_href = ""
 
-    def _flush_section(self):
+    def _flush_text_block(self):
         text = clean_text(" ".join(self._text_buf))
-        if self._cur_heading:
-            self.sections.append((self._cur_heading, text))
-        elif text:
-            self.pre_heading_text.append(text)
         self._text_buf = []
+        if text:
+            self._blocks.append(text)
+
+    def _flush_section(self):
+        self._flush_text_block()
+        content = "\n\n".join(self._blocks)
+        self._blocks = []
+        if self._cur_heading:
+            self.sections.append((self._cur_heading, content))
+        elif content:
+            self.pre_heading_text.append(content)
 
     def handle_data(self, data):
         if not data.strip():
@@ -127,35 +201,80 @@ class _PageParser(HTMLParser):
         ctx = self._stack[-1] if self._stack else ""
         if ctx == "title":
             self.title += data
-        elif ctx in _HEADING_TAGS:
+            return
+        if ctx in _HEADING_TAGS:
             self._heading_buf.append(data)
-        else:
-            if self._in_link:
-                self._link_buf.append(data)
-            if self._dt_buf is not None:
-                self._dt_buf.append(data)
-            elif self._dd_buf is not None:
-                self._dd_buf.append(data)
-            self._text_buf.append(data)
+            return
+        if self._in_link:
+            self._link_buf.append(data)
+        if self._in_caption:
+            self._cap_buf.append(data)
+            return
+        if self._cell_buf is not None:
+            self._cell_buf.append(data)
+            return
+        if self._table_depth:
+            return  # stray text between table cells
+        if self._dt_buf is not None:
+            self._dt_buf.append(data)
+        elif self._dd_buf is not None:
+            self._dd_buf.append(data)
+        self._text_buf.append(data)
 
     def close(self):
         super().close()
         self._flush_section()
 
 
+_EMPTY_PAGE = {
+    "title": "",
+    "description": "",
+    "summary": "",
+    "update_time": "",
+    "sections": [],
+}
+
+
 def parse_page(html: str) -> dict:
-    """X1: page → {title, description, summary, sections[{heading, content}]}.
+    """X1: page → {title, description, summary, update_time,
+    sections[{heading, content}]}.
 
     Summary = text before the first heading (the lemmaSummary analog);
     title falls back through <title> → first h1 (the reference's
-    title/h1/lemma-title cascade)."""
+    title/h1/lemma-title cascade); update_time from the
+    ``<meta itemprop="dateUpdate">`` content
+    (extract_content_from_remark.py:120-129). Embedded tables flatten
+    to an optional ``表格标题: …`` row plus one ``a | b | c`` line per
+    tr, a standalone content block within their section
+    (extract_content_from_remark.py:537-628).
+
+    Sectioning fallback chain (extract_content_from_remark.py:630-684)
+    when NO heading-based section exists: (1) each table becomes a
+    section headed by its enclosing heading or ``表格内容``; (2)
+    otherwise the pre-heading paragraph blocks longer than 5 chars
+    become one ``正文内容`` section. The reference's strategy of
+    pairing a table with a preceding ``data-tag=header`` h2 collapses
+    into the heading-based path here: any h2 IS a section heading to
+    this parser, and a table following it lands in that section's
+    content."""
     p = _PageParser()
     try:
         p.feed(html or "")
         p.close()
     except Exception:
-        return {"title": "", "description": "", "summary": "", "sections": []}
+        return dict(_EMPTY_PAGE)
     sections = [{"heading": h, "content": c} for h, c in p.sections]
+    if not sections:
+        if p.tables:
+            sections = [
+                {"heading": h or "表格内容", "content": flat}
+                for h, flat in p.tables
+                if flat
+            ]
+        else:
+            paras = [b for b in p.pre_heading_text if len(b) > 5]
+            if paras:
+                sections = [{"heading": "正文内容", "content": "\n\n".join(paras)}]
     # F10 title-suffix strip (extract_content_from_remark.py:136-139).
     title = clean_text(p.title).split("_百度百科")[0]
     if not title and sections:
@@ -164,6 +283,7 @@ def parse_page(html: str) -> dict:
         "title": title,
         "description": clean_text(p.description),
         "summary": " ".join(p.pre_heading_text),
+        "update_time": p.update_time,
         "sections": sections,
     }
 
@@ -244,6 +364,7 @@ PAGE_SCHEMA = T.StructType(
         T.StructField("title", T.StringType()),
         T.StructField("description", T.StringType()),
         T.StructField("summary", T.StringType()),
+        T.StructField("update_time", T.StringType()),
         T.StructField(
             "sections",
             T.ArrayType(
@@ -275,6 +396,7 @@ def parse_pages(df: DataFrame, *, id_col: str, html_col: str) -> DataFrame:
                     "title": parsed.map(lambda d: d["title"]),
                     "description": parsed.map(lambda d: d["description"]),
                     "summary": parsed.map(lambda d: d["summary"]),
+                    "update_time": parsed.map(lambda d: d["update_time"]),
                     "sections": parsed.map(
                         lambda d: [(s["heading"], s["content"]) for s in d["sections"]]
                     ),

@@ -87,6 +87,10 @@ def _verified_names() -> set[str]:
 _STALE_GREEN_BEFORE: dict[str, int] = {
     "local_supplier_volume": 3,
     "corpus_mixture_report": 4,
+    # round 9 extended X1: update_time column + embedded-table content
+    # blocks joined the output contract, so pre-r9 greens verified the
+    # slimmer surface.
+    "extracted_sections_explode": 9,
 }
 
 

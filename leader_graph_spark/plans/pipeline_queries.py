@@ -149,16 +149,22 @@ WITH base AS (
   SELECT doc_id,
          'Doc ' || CAST(doc_id AS VARCHAR) AS title,
          'About doc ' || CAST(doc_id AS VARCHAR) AS description,
-         CASE WHEN doc_id % 5 = 0 THEN '' ELSE 'Intro for doc ' || CAST(doc_id AS VARCHAR) || '.' END AS summary
+         CASE WHEN doc_id % 5 = 0 THEN '' ELSE 'Intro for doc ' || CAST(doc_id AS VARCHAR) || '.' END AS summary,
+         '2024-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || '-15 08:30' AS update_time
   FROM documents
 )
-SELECT doc_id, title, description, summary,
+SELECT doc_id, title, description, summary, update_time,
        CAST(0 AS INT) AS sec_pos,
        'Overview ' || CAST(doc_id AS VARCHAR) AS heading,
-       'Alpha content ' || CAST(doc_id AS VARCHAR) AS content
+       'Alpha content ' || CAST(doc_id AS VARCHAR) ||
+       CASE WHEN doc_id % 3 = 0
+            THEN chr(10) || chr(10) || '表格标题: T' || CAST(doc_id AS VARCHAR) ||
+                 chr(10) || 'Year | Val' ||
+                 chr(10) || CAST(doc_id % 100 AS VARCHAR) || ' | x'
+            ELSE '' END AS content
 FROM base
 UNION ALL
-SELECT doc_id, title, description, summary,
+SELECT doc_id, title, description, summary, update_time,
        CAST(1 AS INT) AS sec_pos,
        'Career' AS heading,
        'Worked at Org' || CAST(doc_id % 10 AS VARCHAR) || ' since 199' || CAST(doc_id % 10 AS VARCHAR) AS content
@@ -178,7 +184,9 @@ def _synth_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         d,
         F.lit("_百度百科</title><meta name=\"description\" content=\"About doc "),
         d,
-        F.lit("\"/></head><body>"),
+        F.lit("\"/><meta itemprop=\"dateUpdate\" content=\" 2024-0"),
+        (F.col("doc_id") % 9 + 1).cast("string"),
+        F.lit("-15 08:30 \"/></head><body>"),
         F.when(
             F.col("doc_id") % 5 == 0, F.lit("")
         ).otherwise(F.concat(F.lit("<p>Intro for doc "), d, F.lit(".</p>"))),
@@ -187,6 +195,18 @@ def _synth_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("</h1><p>Alpha   content "),
         d,
         F.lit(" [3]</p>"),
+        # every third doc embeds a table the parser must flatten into
+        # its own content block: caption row + "cell | cell" lines
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("<table><caption>T"),
+                d,
+                F.lit("</caption><tr><th>Year</th><th>Val [2]</th></tr><tr><td>"),
+                (F.col("doc_id") % 100).cast("string"),
+                F.lit("</td><td>x</td></tr></table>"),
+            ),
+        ).otherwise(F.lit("")),
         F.when(
             F.col("doc_id") % 2 == 0,
             F.concat(
@@ -220,12 +240,14 @@ def extracted_sections_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "title",
         "description",
         "summary",
+        "update_time",
         F.posexplode("sections").alias("sec_pos", "sec"),
     ).select(
         "doc_id",
         "title",
         "description",
         "summary",
+        "update_time",
         F.col("sec_pos").cast("int").alias("sec_pos"),
         F.col("sec.heading").alias("heading"),
         F.col("sec.content").alias("content"),
@@ -851,3 +873,64 @@ def portrait_url_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pages = _synth_portrait_pages(spark, sf_dir)
     return portrait_url_table(pages, id_col="doc_id", html_col="html")
+
+
+# ---------------------------------------------------------------------------
+# X1 sectioning fallback chain, driver-checked: headingless pages per
+# residue class — bare table → 表格内容 table section; paragraph text →
+# 正文内容 catch-all; under-length text → zero sections (explode drops
+# the doc). The oracle rebuilds the fallback outputs from the residues.
+# ---------------------------------------------------------------------------
+
+_FALLBACK_ORACLE = """
+SELECT doc_id,
+       '表格内容' AS heading,
+       'K' || CAST(doc_id % 10 AS VARCHAR) || ' | V' || CAST(doc_id % 7 AS VARCHAR) AS content
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT doc_id,
+       '正文内容' AS heading,
+       'Paragraph body for doc ' || CAST(doc_id AS VARCHAR) AS content
+FROM documents WHERE doc_id % 3 = 1
+"""
+
+
+def _synth_headingless_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    body = (
+        # r=0: no headings, one bare table -> fallback table section
+        F.when(d % 3 == 0, F.concat(
+            F.lit("<p>tiny</p><table><tr><td>K"), (d % 10).cast("string"),
+            F.lit("</td><td>V"), (d % 7).cast("string"), F.lit("</td></tr></table>"),
+        ))
+        # r=1: paragraphs only -> 正文内容 catch-all
+        .when(d % 3 == 1, F.concat(
+            F.lit("<p>Paragraph body for doc "), ds, F.lit("</p>"),
+        ))
+        # r=2: under-length text only -> no sections at all
+        .otherwise(F.lit("<p>tiny</p>"))
+    )
+    html = F.concat(F.lit("<html><body>"), body, F.lit("</body></html>"))
+    return docs.select("doc_id", html.alias("html"))
+
+
+@query("sectioning_fallback_report", _FALLBACK_ORACLE, tags=("X1-fallback",))
+def sectioning_fallback_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1's fallback sectioning chain
+    (``html_extractor/extract_content_from_remark.py:630-684``) over
+    synthesized headingless pages: real parse via mapInPandas, one row
+    per fallback section. Pins all three outcomes — table pages yield
+    a ``表格内容`` section with the flattened ``a | b`` row (and the
+    page's short text stays OUT of it), paragraph pages yield the
+    ``正文内容`` catch-all, and under-length pages yield nothing."""
+    from leader_graph_spark.extract.html import parse_pages
+
+    pages = _synth_headingless_pages(spark, sf_dir)
+    parsed = parse_pages(pages, id_col="doc_id", html_col="html")
+    return parsed.select("doc_id", F.explode("sections").alias("sec")).select(
+        "doc_id",
+        F.col("sec.heading").alias("heading"),
+        F.col("sec.content").alias("content"),
+    )

@@ -91,7 +91,10 @@ def test_parse_pages_spark_surface(spark):
     df = spark.createDataFrame([(1, FIXTURE_HTML), (2, "<p>no headings</p>")], "id int, html string")
     out = {r.id: r for r in parse_pages(df, id_col="id", html_col="html").collect()}
     assert len(out[1].sections) == 3
-    assert out[2].sections == [] and out[2].summary == "no headings"
+    # headingless page: the round-9 sectioning fallback yields the
+    # 正文内容 catch-all section; summary keeps the pre-heading text
+    assert [tuple(s) for s in out[2].sections] == [("正文内容", "no headings")]
+    assert out[2].summary == "no headings"
 
 
 def test_extract_links_table_udtf_shape(spark):
@@ -350,3 +353,82 @@ def test_portrait_table_spark(spark):
         df, id_col="doc_id", html_col="html"
     ).collect()}
     assert got == {1: (VALID.format(1), 1), 2: (None, None)}
+
+
+# ---------------------------------------------------------------------------
+# X1 fidelity surface (round 9): update_time, table flattening, the
+# sectioning fallback chain (extract_content_from_remark.py:85-703)
+# ---------------------------------------------------------------------------
+
+
+def test_update_time_from_meta_dateupdate():
+    from leader_graph_spark.extract.html import parse_page
+
+    page = parse_page(
+        "<html><head><meta itemprop='dateUpdate' content=' 2024-05-01 10:20 '>"
+        "</head><body><h1>T</h1><p>x</p></body></html>"
+    )
+    assert page["update_time"] == "2024-05-01 10:20"
+    assert parse_page("<p>n</p>")["update_time"] == ""
+
+
+def test_table_flattens_to_pipe_rows_inside_section():
+    from leader_graph_spark.extract.html import parse_page
+
+    html = (
+        "<html><body><h2>数据</h2><p>before</p>"
+        "<table><caption>统计 表</caption>"
+        "<tr><th>年份</th><th>值 [1]</th></tr>"
+        "<tr><td>2001</td><td>a b</td></tr>"
+        "<tr><td> </td><td></td></tr>"  # all-blank row dropped
+        "</table><p>after</p></body></html>"
+    )
+    secs = parse_page(html)["sections"]
+    assert len(secs) == 1
+    assert secs[0]["content"] == (
+        "before\n\n表格标题: 统计 表\n年份 | 值\n2001 | a b\n\nafter"
+    )
+
+
+def test_table_cell_link_bracket_rule():
+    from leader_graph_spark.extract.html import parse_page
+
+    # link text already in the cell text -> no bracket; the bracket
+    # only fires when cell content misses it (empty-cell link edge)
+    html = (
+        "<h2>H</h2><table><tr>"
+        "<td>see <a href='/item/x'>XLink</a></td>"
+        "</tr></table>"
+    )
+    secs = parse_page(html)["sections"]
+    assert secs[0]["content"] == "see XLink"
+
+
+def test_fallback_table_section_when_no_headings():
+    from leader_graph_spark.extract.html import parse_page
+
+    page = parse_page(
+        "<html><body><p>tiny</p>"
+        "<table><tr><td>k</td><td>v</td></tr></table></body></html>"
+    )
+    assert [ (s["heading"], s["content"]) for s in page["sections"] ] == [
+        ("表格内容", "k | v")
+    ]
+    # pre-heading tables never leak into the summary
+    assert page["summary"] == "tiny"
+
+
+def test_fallback_paragraphs_section_when_no_tables():
+    from leader_graph_spark.extract.html import parse_page
+
+    page = parse_page("<html><body><p>a real paragraph here</p><p>tiny</p></body></html>")
+    assert page["sections"] == [
+        {"heading": "正文内容", "content": "a real paragraph here tiny"}
+    ]
+
+
+def test_fallback_nothing_when_under_length():
+    from leader_graph_spark.extract.html import parse_page
+
+    page = parse_page("<html><body><p>tiny</p></body></html>")
+    assert page["sections"] == []
