@@ -46,13 +46,15 @@ def decode_available() -> bool:
 
 
 def _decode_image_real(payload: bytes) -> dict:
-    """Real decode: PIL when importable; PNG payloads decode through
-    the hermetic stdlib codec (``pngcodec.py`` — round-5; PNG is zlib
-    + filters, no third-party code needed) with a TRUE mean pixel and
-    a real 64-bit average-hash. JPEG/WEBP without PIL stay behind the
-    narrow NotImplementedError seam (DCT/VP8 are not something a
-    hermetic reimplementation should attempt)."""
-    from leader_graph_spark.operators import pngcodec
+    """Real decode: PNG through the hermetic stdlib codec
+    (``pngcodec.py`` — round-5), baseline JPEG through the hermetic
+    T.81 codec (``jpegcodec.py`` — round-9) — both with a TRUE mean
+    pixel and a real pixel-derived 64-bit average-hash. PIL, when
+    importable (the ``[multimodal]`` extra), takes the non-PNG formats
+    first (it also covers progressive JPEG and WEBP). Only formats no
+    hermetic or installed codec can read stay behind the narrow
+    NotImplementedError seam."""
+    from leader_graph_spark.operators import jpegcodec, pngcodec
 
     if payload[:8] == pngcodec.PNG_MAGIC:
         w, h, ch, px = pngcodec.decode_png(payload)
@@ -74,9 +76,18 @@ def _decode_image_real(payload: bytes) -> dict:
             "n_bytes": len(payload),
         }
     except ImportError:
-        raise NotImplementedError(
-            "non-PNG image decode requires PIL/opencv, not present in this container"
-        ) from None
+        pass
+    if payload[:2] == jpegcodec.JPEG_MAGIC:
+        w, h, ch, px = jpegcodec.decode_jpeg(payload)
+        return {
+            "mean_pixel": sum(px) / len(px) / 255.0,
+            "phash": pngcodec.average_hash(px, w, h, ch),
+            "n_bytes": len(payload),
+        }
+    raise NotImplementedError(
+        "image format without a hermetic codec requires PIL/opencv "
+        "(pip install leader-graph-spark[multimodal])"
+    )
 
 
 def _decode_image_fake(payload: bytes) -> dict:
@@ -120,13 +131,19 @@ def extract_image_features(
     """Decode/feature-extract over mapInPandas. Uses the real decoder
     when available, else the deterministic fake (clearly marked)."""
     def decode(payload: bytes) -> dict:
-        # per-PAYLOAD routing (round-5): PNG decodes for real through
-        # the stdlib codec regardless of PIL; other formats decode for
-        # real only under PIL, else the clearly-marked deterministic
-        # fake keeps the plumbing testable.
+        # per-PAYLOAD routing: PNG (round-5) and baseline JPEG
+        # (round-9) decode for real through the hermetic codecs
+        # regardless of PIL; remaining formats decode for real only
+        # under PIL, else the clearly-marked deterministic fake keeps
+        # the plumbing testable.
+        from leader_graph_spark.operators.jpegcodec import JPEG_MAGIC
         from leader_graph_spark.operators.pngcodec import PNG_MAGIC
 
-        if payload[:8] == PNG_MAGIC or decode_available():
+        if (
+            payload[:8] == PNG_MAGIC
+            or payload[:2] == JPEG_MAGIC
+            or decode_available()
+        ):
             return _decode_image_real(payload)
         return _decode_image_fake(payload)
 
@@ -217,6 +234,21 @@ def resize_images(
                         (target_w, target_h), Image.NEAREST
                     ).save(out, format=fmt)
                     resized = out.getvalue()
+                elif raw[:2] == b"\xff\xd8":
+                    # REAL JPEG path without PIL (round-9): hermetic
+                    # baseline T.81 decode → nearest resample →
+                    # hermetic re-encode.
+                    from leader_graph_spark.operators import jpegcodec
+
+                    w, h, ch, px = jpegcodec.decode_jpeg(raw)
+                    resized = jpegcodec.encode_jpeg(
+                        target_w,
+                        target_h,
+                        pngcodec.resize_nearest(px, w, h, ch, target_w, target_h),
+                        channels=ch,
+                        quality=90,
+                    )
+                    orig_w, orig_h = w, h
                 else:
                     # deterministic stand-in: digest-seeded bytes scaled
                     # to ~3 bytes/pixel of the TARGET size so downstream

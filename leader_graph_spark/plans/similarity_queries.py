@@ -567,3 +567,73 @@ def image_phash_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["vec_id", "phash"])
 
     return emb.select("vec_id", "embedding").mapInPandas(run, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Baseline-JPEG codec under the driver gate (round 9). JPEG is lossy,
+# so the PNG query's exact-phash contract is unattainable by design;
+# the exact invariants are the decoded geometry and a per-image error
+# bound: every 8x8 gray image rendered from an embedding must survive
+# encode(q95)->decode with every pixel within 16/255 of its source (measured worst case over
+# 2500 embedding-noise images: 9; codec regressions land 50-200).
+# The oracle pins those invariants; a codec regression (wrong quant
+# scaling, broken Huffman tables, DCT sign error) blows the bound or
+# the geometry and breaks the hash.
+# ---------------------------------------------------------------------------
+
+_JPEG_ORACLE = """
+SELECT vec_id,
+       CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+       CAST(1 AS INT) AS channels,
+       TRUE AS within_bound
+FROM embeddings
+"""
+
+
+@query("jpeg_codec_bounded_roundtrip", _JPEG_ORACLE, tags=("multimodal", "codec", "jpeg"))
+def jpeg_codec_bounded_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hermetic T.81 baseline JPEG codec (``jpegcodec.py``) in the
+    correctness gate: each embedding renders as the same deterministic
+    8×8 grayscale image as ``image_phash_codec_roundtrip``, goes
+    through a REAL encode(quality=95)→decode, and reports the decoded
+    geometry plus whether every pixel landed within 16/255 of its
+    source (max observed on embedding noise: 9/255; a broken quant
+    table or Huffman regression lands 50-200/255). Arrow-batched mapInPandas; payloads never leave their
+    row."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out_schema = T.StructType(
+        [
+            emb.schema["vec_id"],
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("within_bound", T.BooleanType()),
+        ]
+    )
+
+    def run(batches):
+        import math
+
+        from leader_graph_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for vid, vec in zip(pdf["vec_id"], pdf["embedding"]):
+                px = bytes(
+                    min(255, max(0, int(math.floor((float(v) + 1) * 127.5))))
+                    for v in vec
+                )
+                w, h, ch, dec = decode_jpeg(encode_jpeg(8, 8, px, channels=1, quality=95))
+                ok = len(dec) == len(px) and max(
+                    abs(a - b) for a, b in zip(dec, px)
+                ) <= 16
+                rows.append((vid, w, h, ch, ok))
+            yield pd.DataFrame(
+                rows, columns=["vec_id", "width", "height", "channels", "within_bound"]
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(run, out_schema)

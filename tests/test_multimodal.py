@@ -158,29 +158,26 @@ def test_png_decoder_rejects_malformed_payloads():
 
 
 def test_real_jpeg_decode_and_resize(spark):
-    """Real-JPEG lane under the [multimodal] extra (pip install
-    leader-graph-spark[multimodal]): a PIL-encoded JPEG fixture flows
-    through extract_image_features (real decode: true mean pixel, real
-    pixel-derived phash) and resize_images (real PIL nearest resample,
-    re-encoded JPEG out). Skips with reason when PIL is absent — PNG
-    coverage is unconditional via the hermetic stdlib codec above."""
-    PIL = pytest.importorskip("PIL", reason="Pillow not installed — "
-                              "pip install leader-graph-spark[multimodal]")
-    import io
+    """Real-JPEG lane, hermetic since round 9: a baseline JPEG encoded
+    by the vendored T.81 codec (jpegcodec.py) flows through
+    extract_image_features (real decode: true mean pixel, real
+    pixel-derived phash) and resize_images (real nearest resample,
+    re-encoded JPEG out). When Pillow IS installed (the [multimodal]
+    extra), the same fixture is additionally cross-checked against
+    PIL's independent decoder."""
+    import numpy as np
 
-    from PIL import Image
-
+    from leader_graph_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
     from leader_graph_spark.operators.multimodal import (
         extract_image_features,
         resize_images,
     )
 
     # 8x6 gradient JPEG, quality 95 (deterministic encode)
-    img = Image.new("RGB", (8, 6))
-    img.putdata([(x * 30, y * 40, 128) for y in range(6) for x in range(8)])
-    buf = io.BytesIO()
-    img.save(buf, format="JPEG", quality=95)
-    payload = buf.getvalue()
+    rgb = bytes(
+        b for y in range(6) for x in range(8) for b in ((x * 30) % 256, (y * 40) % 256, 128)
+    )
+    payload = encode_jpeg(8, 6, rgb, channels=3, quality=95)
     assert payload[:2] == b"\xff\xd8"  # a real JPEG, not a stand-in
 
     df = spark.createDataFrame(
@@ -188,14 +185,84 @@ def test_real_jpeg_decode_and_resize(spark):
         "id long, payload binary, meta struct<format:string,width:int,height:int>",
     )
     feats = extract_image_features(df, id_col="id").collect()[0]
-    # real decode: mean pixel of the actual JPEG (not the md5 fake,
-    # whose mean is digest[0]/255 — independent of pixel content)
-    ref = Image.open(io.BytesIO(payload)).convert("RGB").tobytes()
-    assert feats.mean_pixel == pytest.approx(sum(ref) / len(ref) / 255.0)
+    # real decode: mean pixel of the actual JPEG content (not the md5
+    # fake, whose mean is digest[0]/255 — independent of pixel content);
+    # q95 on a smooth gradient stays within ~2/255 of the source mean
+    src_mean = sum(rgb) / len(rgb) / 255.0
+    assert abs(feats.mean_pixel - src_mean) < 2 / 255
     assert feats.n_bytes == len(payload)
 
     out = resize_images(df, id_col="id", target_w=4, target_h=4).collect()[0]
-    rimg = Image.open(io.BytesIO(bytes(out.payload)))
-    assert rimg.format == "JPEG" and rimg.size == (4, 4)
+    rw, rh, rch, rpx = decode_jpeg(bytes(out.payload))
+    assert (rw, rh, rch) == (4, 4, 3)
     assert out.meta["width"] == 4 and out.meta["height"] == 4
     assert out.meta["orig_width"] == 8 and out.meta["orig_height"] == 6
+
+    try:  # independent-decoder cross-check when the extra is installed
+        import io
+
+        from PIL import Image
+    except ImportError:
+        return
+    ref = np.frombuffer(
+        Image.open(io.BytesIO(payload)).convert("RGB").tobytes(), dtype=np.uint8
+    ).astype(int)
+    ours = np.frombuffer(decode_jpeg(payload)[3], dtype=np.uint8).astype(int)
+    assert np.abs(ref - ours).max() <= 2  # rounding differences only
+
+
+def test_jpegcodec_roundtrip_and_errors():
+    """The hermetic T.81 codec itself: smooth images round-trip
+    near-losslessly at q95, odd sizes pad/crop exactly, grayscale
+    works, and malformed streams raise instead of garbling."""
+    import numpy as np
+    import pytest as _pytest
+
+    from leader_graph_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+    w, h = 37, 23  # non-multiple-of-8 exercises padding + crop
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    smooth = np.stack([(xx * 3) % 256, (yy * 5) % 256, ((xx + yy) * 2) % 256], -1).astype(np.uint8)
+    enc = encode_jpeg(w, h, smooth.tobytes(), channels=3, quality=95)
+    W, H, ch, px = decode_jpeg(enc)
+    assert (W, H, ch) == (w, h, 3)
+    got = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3).astype(int)
+    err = np.abs(smooth.astype(int) - got)
+    assert err.max() <= 4 and err.mean() < 1.0
+
+    gray = ((xx * 7) % 256).astype(np.uint8)
+    encg = encode_jpeg(w, h, gray.tobytes(), channels=1, quality=92)
+    Wg, Hg, chg, pxg = decode_jpeg(encg)
+    assert (Wg, Hg, chg) == (w, h, 1)
+    assert np.abs(
+        gray.astype(int) - np.frombuffer(pxg, dtype=np.uint8).reshape(h, w).astype(int)
+    ).max() <= 2
+
+    # lower quality -> smaller file (quant scaling is live)
+    assert len(encode_jpeg(w, h, smooth.tobytes(), channels=3, quality=30)) < len(enc)
+
+    with _pytest.raises(ValueError, match="bad signature"):
+        decode_jpeg(b"\x89PNG not a jpeg")
+    with _pytest.raises(ValueError):
+        decode_jpeg(enc[:40])  # truncated before the scan
+    with _pytest.raises(ValueError):
+        decode_jpeg(enc[:-30])  # truncated inside the entropy stream
+    # progressive is explicitly rejected, not misdecoded: flip SOF0->SOF2
+    prog = bytearray(enc)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    with _pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(prog))
+
+
+def test_jpegcodec_dct_matrix_is_orthonormal():
+    """The shared DCT matrix must be an exact orthonormal transform —
+    encoder and decoder both depend on M.T @ (M @ X @ M.T) @ M == X."""
+    import numpy as np
+
+    from leader_graph_spark.operators.jpegcodec import _DCT_M
+
+    assert np.allclose(_DCT_M @ _DCT_M.T, np.eye(8), atol=1e-12)
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(8, 8))
+    assert np.allclose(_DCT_M.T @ (_DCT_M @ x @ _DCT_M.T) @ _DCT_M, x, atol=1e-9)
