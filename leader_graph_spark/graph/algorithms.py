@@ -14,6 +14,29 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+CKPT_SER_CONF = "spark.leader_graph_spark.checkpoint.serialized"
+
+
+def _ckpt_level(spark):
+    """Checkpoint storage level: MEMORY_AND_DISK (engine default —
+    deserialized rows, zero re-read cost) unless
+    ``spark.leader_graph_spark.checkpoint.serialized=true`` selects
+    MEMORY_AND_DISK_SER. The serialized form shrinks the on-heap
+    footprint of the big per-round edge states several-fold — the
+    round-9 spill battery measured k-core at the x30 replica dying at
+    a 6g heap under the default level (storage + execution could not
+    coexist) and completing under SER — at the price of per-round
+    deserialization on healthy heaps. Memory-pressure insurance, not
+    a default: flip it when heap per slot is scarce."""
+    from pyspark.storagelevel import StorageLevel
+
+    if (spark.conf.get(CKPT_SER_CONF, "false") or "").lower() == "true":
+        # PySpark's MEMORY_AND_DISK constant is the JVM's serialized
+        # variant (deserialized=False) — exactly the compact form.
+        return StorageLevel.MEMORY_AND_DISK
+    return None  # engine default (JVM MEMORY_AND_DISK, deserialized)
+
+
 def _checkpoint_observed(df: DataFrame, **aggs) -> tuple[DataFrame, dict]:
     """Eagerly ``localCheckpoint`` with observation metrics riding the
     SAME job. Iterative loops need a per-round convergence probe; run
@@ -25,7 +48,13 @@ def _checkpoint_observed(df: DataFrame, **aggs) -> tuple[DataFrame, dict]:
     round job count halved; the bench ledger's ``jobs`` column pins
     it)."""
     obs = Observation()
-    out = df.observe(obs, *[expr.alias(name) for name, expr in aggs.items()]).localCheckpoint()
+    observed = df.observe(obs, *[expr.alias(name) for name, expr in aggs.items()])
+    level = _ckpt_level(df.sparkSession)
+    out = (
+        observed.localCheckpoint(eager=True, storageLevel=level)
+        if level is not None
+        else observed.localCheckpoint()
+    )
     return out, obs.get
 
 

@@ -43,17 +43,25 @@ X30 = "/tmp/sf3.0"
 
 
 def fingerprint(df) -> tuple[int, int]:
+    # bit_xor, not sum: order-insensitive AND overflow-free under ANSI
+    # mode (summing millions of 64-bit hashes overflows long)
     from pyspark.sql import functions as F
 
-    agg = df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h"),
+    agg = df.select(
+        F.xxhash64(*[F.col(c) for c in df.columns]).alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h)").alias("x")
     ).collect()[0]
-    return int(agg["n"]), int(agg["h"] or 0)
+    return int(agg["n"]), int(agg["x"] or 0)
 
 
 def run_battery(mem: str, runs: int, out_path: str) -> None:
-    from leader_graph_spark.metrics import measure_query
+    """One measured execution per (query, heap): the fingerprint
+    aggregation IS the measured action, so a single x30 run yields
+    wall + ledger + result hash. Wall therefore carries the (tiny)
+    final-agg overhead uniformly across heaps — the battery compares
+    HEAPS, not queries, and bytes/spill are the primary metric."""
+    from leader_graph_spark.metrics import measure_action
     from leader_graph_spark.plans import REGISTRY
     from leader_graph_spark.session import get_spark
 
@@ -65,41 +73,35 @@ def run_battery(mem: str, runs: int, out_path: str) -> None:
         REGISTRY[n].bench_spark(spark, "/root/testdata/sf0.001").write.format(
             "noop"
         ).mode("overwrite").save()
-    best = {n: float("inf") for n in QUERIES}
-    failed: dict[str, str] = {}
-    for _ in range(runs):
-        for n in QUERIES:
-            if n in failed:
-                continue
-            t0 = time.time()
-            try:
-                REGISTRY[n].bench_spark(spark, X30).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-            except Exception as ex:  # OOM at this heap = the cliff, recorded
-                failed[n] = f"{type(ex).__name__}: {str(ex)[:200]}"
-                continue
-            best[n] = min(best[n], time.time() - t0)
     out = {"mem": mem, "queries": {}}
     for n in QUERIES:
-        if n in failed:
-            out["queries"][n] = {"error": failed[n]}
-            print(n, mem, "FAILED", failed[n], flush=True)
+        try:
+            led = measure_action(
+                spark,
+                lambda n=n: fingerprint(REGISTRY[n].bench_spark(spark, X30)),
+            )
+        except Exception as ex:  # OOM at this heap = the cliff, recorded
+            out["queries"][n] = {"error": f"{type(ex).__name__}: {str(ex)[:200]}"}
+            print(n, mem, "FAILED", out["queries"][n]["error"], flush=True)
+            # a hard OOM stops the whole local SparkContext; recover so
+            # the remaining lanes still get measured at this heap
+            if spark.sparkContext._jsc.sc().isStopped():
+                spark = get_spark(f"spill_battery_{mem}_recovered")
             continue
-        led = measure_query(
-            spark, lambda n=n: REGISTRY[n].bench_spark(spark, X30)
-        ).as_dict()
-        fp_n, fp_h = fingerprint(REGISTRY[n].bench_spark(spark, X30))
+        fp_n, fp_h = led.result
+        d = led.as_dict()
         out["queries"][n] = {
-            "sec": round(best[n], 3),
-            "shuffle_mb": round(led["shuffle_read_mb"] + led["shuffle_write_mb"], 1),
-            "spill_mb": round(led["mem_spill_mb"] + led["disk_spill_mb"], 1),
-            "disk_spill_mb": round(led["disk_spill_mb"], 1),
-            "jobs": led["jobs"],
+            "sec": round(d["wall_sec"], 3),
+            "shuffle_mb": round(d["shuffle_read_mb"] + d["shuffle_write_mb"], 1),
+            "spill_mb": round(d["mem_spill_mb"] + d["disk_spill_mb"], 1),
+            "disk_spill_mb": round(d["disk_spill_mb"], 1),
+            "jobs": d["jobs"],
             "rows": fp_n,
             "hash": fp_h,
         }
         print(n, mem, json.dumps(out["queries"][n]), flush=True)
+        with open(out_path, "w") as f:  # partial progress survives a timeout
+            json.dump(out, f, indent=1)
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
 

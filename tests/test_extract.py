@@ -432,3 +432,27 @@ def test_fallback_nothing_when_under_length():
 
     page = parse_page("<html><body><p>tiny</p></body></html>")
     assert page["sections"] == []
+
+
+def test_portrait_cascade_fuzz_never_crashes():
+    """The image-cascade parser must survive malformed tag soup and
+    always return the result dict (url may be anything valid-or-None,
+    but never an exception)."""
+    import random
+
+    from leader_graph_spark.extract.html import select_portrait_url
+
+    rng = random.Random(11)
+    frags = [
+        "<div class='abstractAlbum_", "x'>", "</div>",
+        "<div class='lemma-picture'>", "<div class='lemmaWgt-lemmaTitle-title'>",
+        "<img src='http://e/pic/a.jpg'>", "<img>", "<img src=''>",
+        "<table><tr><td>", "</td></tr></table>", "<title>N_百度百科</title>",
+        "<div data-module-type='image'>", "<<>>", "&#x41;", "\x00", "中文",
+        "<div class='summary-pic'>", "</table>", "</div></div></div>",
+    ]
+    for _ in range(300):
+        soup = "".join(rng.choice(frags) for _ in range(rng.randint(0, 25)))
+        out = select_portrait_url(soup)
+        assert set(out) == {"url", "method"}
+        assert (out["url"] is None) == (out["method"] is None)

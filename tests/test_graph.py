@@ -731,3 +731,41 @@ def test_loop_exec_conf_restores_on_exception(spark):
     except RuntimeError:
         pass
     assert spark.conf.get("spark.sql.adaptive.enabled") == before
+
+
+def test_serialized_checkpoint_knob(spark):
+    """spark.leader_graph_spark.checkpoint.serialized=true must (a) be
+    honored by _ckpt_level and (b) leave every algorithm's output
+    unchanged — the level is a storage-format decision, never a
+    semantic one. The round-9 spill battery measured the payoff: the
+    x30 k-core run dies at a 6g heap under deserialized checkpoint
+    blocks (execution memory starvation) and completes in ~49s
+    serialized."""
+    from pyspark.storagelevel import StorageLevel
+
+    from leader_graph_spark.graph.algorithms import (
+        CKPT_SER_CONF,
+        _ckpt_level,
+        connected_components,
+        kcore_subgraph,
+    )
+
+    vertices = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (5, 6), (6, 7), (5, 7)], "src long, dst long"
+    )
+    try:
+        spark.conf.set(CKPT_SER_CONF, "false")
+        assert _ckpt_level(spark) is None
+        cc_def = {(r.id, r.component) for r in connected_components(vertices, edges).collect()}
+        kc_def = {(r.id, r.degree) for r in kcore_subgraph(edges, k=2, rounds=4).collect()}
+
+        spark.conf.set(CKPT_SER_CONF, "true")
+        lvl = _ckpt_level(spark)
+        assert lvl == StorageLevel.MEMORY_AND_DISK  # pyspark's SER variant
+        cc_ser = {(r.id, r.component) for r in connected_components(vertices, edges).collect()}
+        kc_ser = {(r.id, r.degree) for r in kcore_subgraph(edges, k=2, rounds=4).collect()}
+        assert cc_ser == cc_def
+        assert kc_ser == kc_def and kc_ser  # the triangle 5-6-7 survives
+    finally:
+        spark.conf.set(CKPT_SER_CONF, "false")
