@@ -253,7 +253,15 @@ def minhash_near_duplicates(
     which re-parsed every document and shuffled 52 rows/doc. The array
     form assumes a document's shingle set fits in a row (true for
     normal documents; book-length outliers would switch back to the
-    row form)."""
+    row form).
+
+    Scale note (round-9 stage attribution, partition_sweep_r09.json):
+    the band-bucket self-join runs broadcast below
+    ``spark.sql.autoBroadcastJoinThreshold`` and flips to sort-merge
+    (one extra bucket exchange, written once and read twice) when the
+    bucket stream outgrows it — a step function, linear in content on
+    both sides. At cluster scale the SMJ regime is simply correct; an
+    ever-growing bucket stream cannot stay broadcast."""
     fanned = fan_out(df)
     sh_all = shingle_rows(
         fanned, id_col=id_col, text_col=text_col, n=shingle_n, distinct=False
