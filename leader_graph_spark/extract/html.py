@@ -288,37 +288,145 @@ def parse_page(html: str) -> dict:
     }
 
 
+class _InfoboxParser(HTMLParser):
+    """Collects, in document order, every element the three infobox
+    extraction rules key on — its start position, which rule kinds
+    apply (``info-title`` / ``info-content`` / ``basicInfo-item`` class
+    tokens, ``dt`` / ``dd`` tags) and its full descendant text (the
+    bs4 ``get_text()`` analog). A linear event scan reproduces bs4's
+    ``find_next`` exactly: document order over start tags, descendants
+    included."""
+
+    _CLASS_KINDS = (("info-title", "it"), ("info-content", "ic"), ("basicInfo-item", "bi"))
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.elems: list[dict] = []  # {"order", "kinds", "buf"}
+        self._open: list[tuple[str, dict | None]] = []
+        self._order = 0
+
+    def handle_starttag(self, tag, attrs):
+        self._order += 1
+        attrs = dict(attrs)
+        toks = (attrs.get("class") or "").split()
+        kinds = {k for cls, k in self._CLASS_KINDS if cls in toks}
+        if tag == "dt":
+            kinds.add("dt")
+        elif tag == "dd":
+            kinds.add("dd")
+        rec = None
+        if kinds:
+            rec = {"order": self._order, "kinds": kinds, "buf": []}
+            self.elems.append(rec)
+        if tag in _VOID_TAGS:
+            return
+        self._open.append((tag, rec))
+
+    def handle_endtag(self, tag):
+        if tag in _VOID_TAGS:
+            return
+        for i in range(len(self._open) - 1, -1, -1):
+            if self._open[i][0] == tag:
+                del self._open[i:]
+                break
+
+    def handle_data(self, data):
+        for _, rec in self._open:
+            if rec is not None:
+                rec["buf"].append(data)
+
+
+# (label_kind, content_kind) per rule, tried in this order per field
+# (extract_table_from_remark.py:279-300).
+_INFOBOX_RULES = (("it", "ic"), ("dt", "dd"), ("bi", "bi"))
+
+
 def extract_infobox(html: str, field_mapping: dict[str, list[str]]) -> dict[str, str | None]:
     """X2: config-driven infobox extraction — each target field maps to
-    label synonyms; the first dt/dd pair whose label matches wins
-    (first-hit-wins per field,
-    ``html_extractor/extract_table_from_remark.py:359-362``)."""
-    p = _PageParser()
+    label synonyms and is tried against THREE selector rules in order,
+    first non-empty content wins
+    (``html_extractor/extract_table_from_remark.py:279-300,359-427``):
+
+    1. class ``info-title`` → next class ``info-content``;
+    2. tag ``dt`` → next tag ``dd``;
+    3. class ``basicInfo-item`` → NEXT class ``basicInfo-item``
+       (the desktop Baike layout: name/value cells share the class).
+
+    Label matching strips ALL whitespace from the element text and
+    checks synonym containment (:396-400); "next" is bs4 ``find_next``
+    semantics — the first element of the content kind starting after
+    the label element in document order (:407-421). An empty content
+    falls through to the next matching label element within the same
+    rule (:424-427); a rule that yields nothing falls through to the
+    next rule. Rule order beats document order: a dt/dd hit earlier in
+    the page loses to an info-title hit later in it."""
+    p = _InfoboxParser()
     try:
         p.feed(html or "")
         p.close()
     except Exception:
         return {f: None for f in field_mapping}
+    elems = p.elems
+    # space-join data chunks (the repo's long-pinned cell behavior;
+    # clean_text collapses runs, label matching strips all whitespace)
+    texts = [" ".join(e["buf"]) for e in elems]
     out: dict[str, str | None] = {f: None for f in field_mapping}
-    for label, value in p.dt_dd:
-        norm = _WS_RE.sub("", label)
-        for field, synonyms in field_mapping.items():
-            if out[field] is None and any(s in norm for s in synonyms):
-                out[field] = value
+    for field, synonyms in field_mapping.items():
+        syns = [_WS_RE.sub("", s) for s in synonyms]
+        for label_kind, content_kind in _INFOBOX_RULES:
+            found = None
+            for i, e in enumerate(elems):
+                if label_kind not in e["kinds"]:
+                    continue
+                label = _WS_RE.sub("", texts[i])
+                if syns and not any(s in label for s in syns):
+                    continue
+                nxt = next(
+                    (j for j in range(i + 1, len(elems)) if content_kind in elems[j]["kinds"]),
+                    None,
+                )
+                if nxt is None:
+                    continue
+                content = clean_text(texts[nxt])
+                if content:
+                    found = content
+                    break
+            if found:
+                out[field] = found
+                break
     return out
 
 
-_NAME_BLACKLIST = ("简介", "主要职责", "机构设置", "Test", "Invalid")
+# The reference's full non-person keyword list, verbatim config data
+# (leader/update_c_org_leader_info.py:15-32) — a domain vocabulary of
+# org/title/region/ethnicity phrases that cannot be re-expressed.
+_NAME_BLACKLIST = (
+    "本人编辑", "四人帮", "秘书长", "上海市", "双重领导", "纪律检查", "行政监察",
+    "北京市", "山西省", "浙江省", "制度建设", "合署办公", "组织架构", "民主党派",
+    "人民团体", "少数民族", "台湾同胞", "港澳同胞", "侨胞", "纪检监察", "浦东新区",
+    "党组书记", "直属机关", "办事机构", "机构改革", "市直机关", "反恐专员",
+    "北京海关", "民办高校", "提案", "稿件", "起草", "讲话稿", "会议纪要", "承办",
+    "纪检组长", "职数", "事业单位", "厅长", "蒙古族", "行政编制", "副厅级",
+    "正处级", "民族宗教", "主任", "督查室", "副处级", "省长助理", "国防动员",
+    "党组成员", "主席", "长沙市", "世纪", "国防", "元帅", "中南地区", "北京",
+    "高中", "苏联", "中共中央", "江西", "广东", "无线电", "总工程师", "衡阳",
+    "书记", "公安", "春节", "坑口", "重铀酸铵", "二机部", "党委书记", "吉林省",
+    "巡视员", "正厅级", "国务院", "司令员", "中央委员", "藏族", "满族", "苗族",
+    "维吾尔族", "回族", "监事会", "监察官", "滨海新区", "地源热泵",
+)
 
 
 def is_valid_person_name(name: str) -> bool:
-    """P6 person-name heuristic (``leader/update_c_org_leader_info.py:15-32``):
-    short-or-dotted AND no blacklist keyword."""
+    """P6 person-name heuristic, as-executed
+    (``leader/update_c_org_leader_info.py:52-73``): empty → invalid;
+    LONGER than 4 chars → valid iff it contains a middle dot (minority
+    names like 阿·不都 — the blacklist is BYPASSED on this branch);
+    4 chars or shorter → valid iff it contains no blacklist keyword."""
     if not name:
         return False
-    if any(b in name for b in _NAME_BLACKLIST):
-        return False
-    return len(name) <= 4 or ("·" in name or "•" in name)
+    if len(name) > 4:
+        return "·" in name or "•" in name
+    return not any(b in name for b in _NAME_BLACKLIST)
 
 
 def extract_person_links(
@@ -528,6 +636,121 @@ def extract_title_summary(html: str) -> dict[str, str]:
         "title": page["title"],
         "summary": page["summary"] or page["description"],
     }
+
+
+class _ClassCaptureParser(HTMLParser):
+    """Captures the full descendant text of elements matched by
+    (tag, class-spec) tiers. A spec containing a space matches the
+    EXACT class attribute string (bs4 ``class_='a b'`` semantics);
+    a single token matches any class token (bs4 single-string / CSS
+    ``.cls`` semantics)."""
+
+    def __init__(self, specs: tuple[tuple[str, str], ...]) -> None:
+        super().__init__(convert_charrefs=True)
+        self._specs = specs
+        self.hits: list[tuple[int, int, list[str]]] = []  # (spec idx, order, buf)
+        self._open: list[tuple[str, list[list[str]]]] = []
+        self._order = 0
+
+    def handle_starttag(self, tag, attrs):
+        self._order += 1
+        attrs = dict(attrs)
+        cls = attrs.get("class") or ""
+        toks = cls.split()
+        bufs: list[list[str]] = []
+        for idx, (want_tag, spec) in enumerate(self._specs):
+            if tag != want_tag:
+                continue
+            if (" " in spec and cls == spec) or (" " not in spec and spec in toks):
+                buf: list[str] = []
+                self.hits.append((idx, self._order, buf))
+                bufs.append(buf)
+        if tag in _VOID_TAGS:
+            return
+        self._open.append((tag, bufs))
+
+    def handle_endtag(self, tag):
+        if tag in _VOID_TAGS:
+            return
+        for i in range(len(self._open) - 1, -1, -1):
+            if self._open[i][0] == tag:
+                del self._open[i:]
+                break
+
+    def handle_data(self, data):
+        for _, bufs in self._open:
+            for buf in bufs:
+                buf.append(data)
+
+
+# X6 person-description cascade tiers (parser/baike_parser.py:89-110):
+# mobile li first, then the desktop hashed-class div, then the three
+# alternate desktop selectors. Tier 0 is an exact-attribute match
+# (bs4 class_ with a space); the rest are token matches.
+_PERSON_DESC_TIERS: tuple[tuple[str, str], ...] = (
+    ("li", "extra-list-item extra-lemma-desc"),
+    ("div", "lemmaDescText_WLOIg"),
+    ("div", "lemma-desc"),
+    ("div", "basic-info"),
+    ("div", "lemmaWgt-subjectNav"),
+)
+
+
+def extract_person_desc(html: str) -> str:
+    """X6's person-title/description cascade, as-executed
+    (``parser/baike_parser.py:74-112``): tiers in order, first element
+    (document order) with non-empty stripped text wins. The mobile
+    ``extra-list-item extra-lemma-desc`` li beats every desktop
+    selector. Tiers 0-1 return ``.strip()`` text verbatim; the
+    alternate selectors (tiers 2-4) additionally collapse internal
+    whitespace (:104-110)."""
+    p = _ClassCaptureParser(_PERSON_DESC_TIERS)
+    try:
+        p.feed(html or "")
+        p.close()
+    except Exception:
+        return ""
+    for tier in range(len(_PERSON_DESC_TIERS)):
+        for idx, _, buf in sorted(
+            (h for h in p.hits if h[0] == tier), key=lambda h: h[1]
+        ):
+            text = "".join(buf).strip()
+            if not text:
+                continue
+            if tier >= 2:
+                text = _WS_RE.sub(" ", text).strip()
+            return text
+    return ""
+
+
+def title_summary_desc_table(df: DataFrame, *, id_col: str, html_col: str) -> DataFrame:
+    """X6 as mapInPandas: (id, html) → (id, title, summary,
+    description, person_desc) in ONE Python pass per row — the W6
+    coalesce over summary/description stays Spark-side in callers."""
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("title", T.StringType()),
+            T.StructField("summary", T.StringType()),
+            T.StructField("description", T.StringType()),
+            T.StructField("person_desc", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = pdf[html_col].map(parse_page)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "title": parsed.map(lambda d: d["title"]),
+                    "summary": parsed.map(lambda d: d["summary"]),
+                    "description": parsed.map(lambda d: d["description"]),
+                    "person_desc": pdf[html_col].map(extract_person_desc),
+                }
+            )
+
+    return df.select(id_col, html_col).mapInPandas(run, out_schema)
 
 
 # ---------------------------------------------------------------------------

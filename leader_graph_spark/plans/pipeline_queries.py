@@ -255,23 +255,37 @@ def extracted_sections_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# X2/X5 rule-driven infobox extraction, driver-checked: deterministic
-# dt/dd infobox synthesis → real extract_infobox (mapInPandas) → one
-# column per configured field. The synthesis exercises the full rule
-# surface: label-synonym matching (籍贯 vs 出生地 both map to
-# native_place), first-hit-wins per field (a second birth-date pair
-# that must be ignored), whitespace-normalized label matching (毕业
-# 院校 with an embedded space), and absent fields → NULL.
+# X2/X5 rule-driven infobox extraction, driver-checked: four page
+# layouts keyed on doc_id % 4 exercise the reference's full THREE-rule
+# cascade (extract_table_from_remark.py:279-300) — layout 0 info-title/
+# info-content (plus first-hit-wins and whitespace-normalized labels),
+# layout 1 dt/dd (plus synonym alternation and an absent field), layout
+# 2 desktop basicInfo-item divs (plus an empty-content fallthrough),
+# layout 3 MIXED: rule priority must beat document order (an earlier
+# dt/dd hit loses to a later info-title hit; an earlier basicInfo hit
+# loses to a later dt/dd hit) plus a rule-3-only field.
 # ---------------------------------------------------------------------------
 
 _INFOBOX_ORACLE = """
 SELECT doc_id,
-       'Eth' || CAST(doc_id % 7 AS VARCHAR) AS ethnicity,
-       CASE WHEN doc_id % 2 = 0 THEN 'Place' || CAST(doc_id % 13 AS VARCHAR) END AS native_place,
-       CASE WHEN doc_id % 3 = 0 THEN 'D1_' || CAST(doc_id % 10 AS VARCHAR)
-            WHEN doc_id % 3 = 1 THEN 'D2_' || CAST(doc_id % 10 AS VARCHAR) END AS birth_date,
-       CASE WHEN doc_id % 5 <> 0 THEN 'Uni' || CAST(doc_id % 11 AS VARCHAR) END AS alma_mater,
-       CAST(NULL AS VARCHAR) AS political_status
+       CASE doc_id % 4 WHEN 0 THEN 'Eth0_' || CAST(doc_id % 7 AS VARCHAR)
+                       WHEN 1 THEN 'Eth1_' || CAST(doc_id % 7 AS VARCHAR)
+                       WHEN 2 THEN 'Eth2_' || CAST(doc_id % 7 AS VARCHAR)
+                       ELSE 'EthI_' || CAST(doc_id % 7 AS VARCHAR) END AS ethnicity,
+       CASE doc_id % 4 WHEN 0 THEN 'Pl0_' || CAST(doc_id % 13 AS VARCHAR)
+                       WHEN 1 THEN 'Pl1_' || CAST(doc_id % 13 AS VARCHAR)
+                       WHEN 2 THEN 'Pl2_' || CAST(doc_id % 13 AS VARCHAR) END AS native_place,
+       CASE doc_id % 4 WHEN 0 THEN 'BD0_' || CAST(doc_id % 10 AS VARCHAR)
+                       WHEN 1 THEN 'BD1_' || CAST(doc_id % 10 AS VARCHAR)
+                       WHEN 2 THEN 'BD2_' || CAST(doc_id % 10 AS VARCHAR)
+                       ELSE 'BD3_' || CAST(doc_id % 10 AS VARCHAR) END AS birth_date,
+       CASE doc_id % 4 WHEN 0 THEN 'Un0_' || CAST(doc_id % 11 AS VARCHAR)
+                       WHEN 1 THEN CASE WHEN doc_id % 5 <> 0
+                                        THEN 'Un1_' || CAST(doc_id % 11 AS VARCHAR) END
+                       WHEN 2 THEN 'Un2_' || CAST(doc_id % 11 AS VARCHAR)
+                       ELSE 'UnD_' || CAST(doc_id % 11 AS VARCHAR) END AS alma_mater,
+       CASE doc_id % 4 WHEN 0 THEN 'PS0_' || CAST(doc_id % 3 AS VARCHAR)
+                       WHEN 2 THEN 'PS2_' || CAST(doc_id % 3 AS VARCHAR) END AS political_status
 FROM documents
 """
 
@@ -279,43 +293,104 @@ FROM documents
 def _synth_infobox_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     d = F.col("doc_id")
-    pair = lambda label, value: F.concat(  # noqa: E731
-        F.lit(f"<dt>{label}</dt><dd>"), value, F.lit("</dd>")
-    )
-    html = F.concat(
-        F.lit("<html><body><dl>"),
-        pair("民族", F.concat(F.lit("Eth"), (d % 7).cast("string"))),
-        F.when(d % 4 == 0, pair("籍贯", F.concat(F.lit("Place"), (d % 13).cast("string"))))
-        .when(d % 4 == 2, pair("出生地", F.concat(F.lit("Place"), (d % 13).cast("string"))))
-        .otherwise(F.lit("")),
-        F.when(
-            d % 3 == 0,
-            F.concat(
-                pair("出生日期", F.concat(F.lit("D1_"), (d % 10).cast("string"))),
-                # second matching pair — first-hit-wins must ignore it
-                pair("出生年月", F.concat(F.lit("D2_"), (d % 10).cast("string"))),
-            ),
+    eth = (d % 7).cast("string")
+    pl = (d % 13).cast("string")
+    bd = (d % 10).cast("string")
+    un = (d % 11).cast("string")
+    ps = (d % 3).cast("string")
+
+    def info(label, val):
+        return F.concat(
+            F.lit(f'<div class="info-title">{label}</div><div class="info-content">'),
+            val,
+            F.lit("</div>"),
         )
-        .when(d % 3 == 1, pair("出生年月", F.concat(F.lit("D2_"), (d % 10).cast("string"))))
-        .otherwise(F.lit("")),
-        F.when(
-            d % 5 != 0,
-            pair("毕业 院校", F.concat(F.lit("Uni"), (d % 11).cast("string"))),
-        ).otherwise(F.lit("")),
-        F.lit("</dl></body></html>"),
+
+    def dtdd(label, val):
+        return F.concat(F.lit(f"<dt>{label}</dt><dd>"), val, F.lit("</dd>"))
+
+    def basic(label, val):
+        return F.concat(
+            F.lit(
+                f'<div class="basicInfo-item name">{label}</div>'
+                '<div class="basicInfo-item value">'
+            ),
+            val,
+            F.lit("</div>"),
+        )
+
+    layout0 = F.concat(
+        info("民族", F.concat(F.lit("Eth0_"), eth)),
+        info("出生地", F.concat(F.lit("Pl0_"), pl)),
+        info("出生日期", F.concat(F.lit("BD0_"), bd)),
+        # second matching label — first-hit-wins must ignore it
+        info("出生年月", F.concat(F.lit("BDX_"), bd)),
+        # embedded space: label matching must whitespace-normalize
+        info("毕业 院校", F.concat(F.lit("Un0_"), un)),
+        info("政治面貌", F.concat(F.lit("PS0_"), ps)),
     )
+    layout1 = F.concat(
+        F.lit("<dl>"),
+        dtdd("民族", F.concat(F.lit("Eth1_"), eth)),
+        # synonym alternation: 籍贯 and 出生地 both map to native_place
+        F.when(d % 2 == 0, dtdd("籍贯", F.concat(F.lit("Pl1_"), pl))).otherwise(
+            dtdd("出生地", F.concat(F.lit("Pl1_"), pl))
+        ),
+        dtdd("出生日期", F.concat(F.lit("BD1_"), bd)),
+        F.when(d % 5 != 0, dtdd("毕业院校", F.concat(F.lit("Un1_"), un))).otherwise(F.lit("")),
+        F.lit("</dl>"),
+    )
+    layout2 = F.concat(
+        basic("民族", F.concat(F.lit("Eth2_"), eth)),
+        basic("籍贯", F.concat(F.lit("Pl2_"), pl)),
+        basic("出生日期", F.concat(F.lit("BD2_"), bd)),
+        basic("毕业院校", F.concat(F.lit("Un2_"), un)),
+        # empty content: the rule must fall through to the NEXT
+        # matching label element (extract_table_from_remark.py:424-427)
+        F.lit(
+            '<div class="basicInfo-item name">政治面貌</div>'
+            '<div class="basicInfo-item value"></div>'
+        ),
+        basic("政治面貌", F.concat(F.lit("PS2_"), ps)),
+    )
+    layout3 = F.concat(
+        # dt/dd hit FIRST in document order — must lose to the
+        # info-title hit below (rule 1 outranks rule 2)
+        F.lit("<dl>"),
+        dtdd("民族", F.concat(F.lit("EthD_"), eth)),
+        F.lit("</dl>"),
+        info("民族", F.concat(F.lit("EthI_"), eth)),
+        # basicInfo hit FIRST — must lose to the dt/dd hit below
+        # (rule 2 outranks rule 3)
+        basic("毕业院校", F.concat(F.lit("UnB_"), un)),
+        F.lit("<dl>"),
+        dtdd("毕业院校", F.concat(F.lit("UnD_"), un)),
+        F.lit("</dl>"),
+        # rule-3-only path: no info-title, no dt carries this label
+        basic("出生日期", F.concat(F.lit("BD3_"), bd)),
+    )
+    body = (
+        F.when(d % 4 == 0, layout0)
+        .when(d % 4 == 1, layout1)
+        .when(d % 4 == 2, layout2)
+        .otherwise(layout3)
+    )
+    html = F.concat(F.lit("<html><body>"), body, F.lit("</body></html>"))
     return docs.select("doc_id", html.alias("html"))
 
 
 @query("infobox_person_details", _INFOBOX_ORACLE, tags=("X2", "X5", "F14"))
 def infobox_person_details(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2/X5 config-driven infobox extraction over synthesized dt/dd
-    pages (``html_extractor/extract_table_from_remark.py:268-439``,
+    """X2/X5 config-driven infobox extraction over four synthesized
+    page layouts (``html_extractor/extract_table_from_remark.py:268-439``,
     ``parser/baike_parser.py:261-407``): real HTML parse via
     Arrow-batched mapInPandas, one output column per configured field.
-    Synonym lists, per-field first-hit-wins and whitespace-normalized
-    label matching are all under the value hash — the oracle rebuilds
-    every expected field from the synthesis residues without parsing."""
+    The full three-rule cascade (info-title→info-content, dt→dd,
+    basicInfo-item→next basicInfo-item), per-field rule priority over
+    document order, first-hit-wins within a rule, empty-content
+    fallthrough, synonym alternation and whitespace-normalized label
+    matching are all under the value hash — the oracle rebuilds every
+    expected field from the synthesis residues without parsing."""
     from leader_graph_spark.extract.html import PERSON_DETAIL_MAPPING, extract_infobox_table
 
     pages = _synth_infobox_pages(spark, sf_dir)
@@ -348,6 +423,16 @@ SELECT doc_id, 'A·BCDE',
        'https://other.org/item/T' || CAST(doc_id AS VARCHAR),
        md5('https://other.org/item/T' || CAST(doc_id AS VARCHAR))
 FROM base WHERE doc_id % 3 = 0
+UNION ALL
+SELECT doc_id, '张伟',
+       'https://example.org/item/W' || CAST(doc_id AS VARCHAR),
+       md5('https://example.org/item/W' || CAST(doc_id AS VARCHAR))
+FROM base
+UNION ALL
+SELECT doc_id, '阿·主任江',
+       'https://example.org/item/X' || CAST(doc_id AS VARCHAR),
+       md5('https://example.org/item/X' || CAST(doc_id AS VARCHAR))
+FROM base
 """
 
 
@@ -367,6 +452,16 @@ def _synth_link_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('<a href="/item/Q'), s, F.lit('?from=x">Wang（主任）</a>'),
         F.lit('<a href="/item/R'), s, F.lit('">Invalid Person</a>'),
         F.lit('<a href="/other/S'), s, F.lit('">Zhao</a>'),
+        # reference-realistic blacklist hits: a 2-char 职务 phrase and a
+        # 3-char 民族 term, both ≤4 chars so the keyword branch decides
+        # (update_c_org_leader_info.py:68-71) — must be dropped
+        F.lit('<a href="/item/U'), s, F.lit('">厅长</a>'),
+        F.lit('<a href="/item/V'), s, F.lit('">蒙古族</a>'),
+        # a plain valid 2-char name — must be kept
+        F.lit('<a href="/item/W'), s, F.lit('">张伟</a>'),
+        # dotted 5-char name CONTAINING a keyword: the >4-char branch
+        # returns valid on the dot alone, blacklist bypassed (:63-66)
+        F.lit('<a href="/item/X'), s, F.lit('">阿·主任江</a>'),
         F.when(
             d % 3 == 0,
             F.concat(F.lit('<a href="https://other.org/item/T'), s, F.lit('">A·BCDE</a>')),
@@ -458,7 +553,12 @@ SELECT doc_id,
             ELSE 'Doc ' || CAST(doc_id AS VARCHAR) END AS title,
        CASE WHEN doc_id % 3 = 1 THEN 'Intro for doc ' || CAST(doc_id AS VARCHAR) || '.'
             WHEN doc_id % 3 = 0 THEN 'About doc ' || CAST(doc_id AS VARCHAR)
-            ELSE '' END AS summary
+            ELSE '' END AS summary,
+       CASE WHEN doc_id % 5 = 0 THEN 'DescM ' || CAST(doc_id AS VARCHAR)
+            WHEN doc_id % 5 = 1 THEN 'DescD ' || CAST(doc_id AS VARCHAR)
+            WHEN doc_id % 5 = 2 THEN 'Desc L ' || CAST(doc_id AS VARCHAR)
+            WHEN doc_id % 5 = 3 THEN 'DescB ' || CAST(doc_id AS VARCHAR)
+            ELSE '' END AS person_desc
 FROM documents
 """
 
@@ -485,30 +585,63 @@ def _synth_fallback_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         s,
         F.lit("</h1><p>Body "),
         s,
-        F.lit("</p></body></html>"),
+        F.lit("</p>"),
+        # person-desc cascade material (after the heading so it cannot
+        # pollute the pre-heading summary): d%5==0 plants BOTH the
+        # mobile li and the desktop div — mobile must win; 1 desktop
+        # only; 2 the lemma-desc alternate (with internal whitespace
+        # the tier must collapse); 3 the basic-info alternate; 4 none.
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit('<li class="extra-list-item extra-lemma-desc">DescM '),
+                s,
+                F.lit('</li><div class="lemmaDescText_WLOIg">DescD '),
+                s,
+                F.lit("</div>"),
+            ),
+        )
+        .when(
+            d % 5 == 1,
+            F.concat(F.lit('<div class="lemmaDescText_WLOIg">DescD '), s, F.lit("</div>")),
+        )
+        .when(
+            d % 5 == 2,
+            F.concat(F.lit('<div class="lemma-desc">Desc  L '), s, F.lit("</div>")),
+        )
+        .when(
+            d % 5 == 3,
+            F.concat(F.lit('<div class="basic-info">DescB '), s, F.lit("</div>")),
+        )
+        .otherwise(F.lit("")),
+        F.lit("</body></html>"),
     )
     return docs.select("doc_id", html.alias("html"))
 
 
 @query("title_summary_fallbacks", _TITLE_SUMMARY_ORACLE, tags=("X6", "F10", "W6"))
 def title_summary_fallbacks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X6 title/summary extraction with the fallback cascade under the
-    value hash (``parser/baike_parser.py:74-113,210-259``): title =
-    suffix-stripped <title> falling back to the first heading; summary =
-    pre-heading text falling back to the meta description (the W6
-    first-valid-wins shape as a coalesce over extraction stages). The
-    oracle rebuilds both columns from which pieces each synthesized
-    page omits."""
-    from leader_graph_spark.extract.html import parse_pages
+    """X6 title/summary/person-desc extraction with every fallback
+    cascade under the value hash (``parser/baike_parser.py:74-113,
+    210-259``): title = suffix-stripped <title> falling back to the
+    first heading; summary = pre-heading text falling back to the meta
+    description (the W6 first-valid-wins shape as a coalesce over
+    extraction stages); person_desc = the five-tier cascade with the
+    MOBILE ``extra-list-item extra-lemma-desc`` li outranking the
+    desktop ``lemmaDescText_WLOIg`` div and the three alternate
+    selectors (:89-110). The oracle rebuilds all columns from which
+    pieces each synthesized page omits."""
+    from leader_graph_spark.extract.html import title_summary_desc_table
 
     pages = _synth_fallback_pages(spark, sf_dir)
-    parsed = parse_pages(pages, id_col="doc_id", html_col="html")
+    parsed = title_summary_desc_table(pages, id_col="doc_id", html_col="html")
     return parsed.select(
         "doc_id",
         "title",
         F.when(F.length("summary") > 0, F.col("summary"))
         .otherwise(F.col("description"))
         .alias("summary"),
+        "person_desc",
     )
 
 

@@ -424,13 +424,23 @@ def frequent_terms_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 # drives the full cascade AND the validity heuristic)
 # ---------------------------------------------------------------------------
 
-_CLEAN_VALIDATE_ORACLE = """
+# The validity predicate's keyword alternation carries the reference's
+# FULL ~88-entry non-person vocabulary (update_c_org_leader_info.py:15-32,
+# mirrored as config data in extract/html.py) plus the synthetic English
+# markers; no entry contains a regex metacharacter, so the joined
+# alternation is regex-safe verbatim on both engines.
+from leader_graph_spark.extract.html import _NAME_BLACKLIST as _P6_KEYWORDS  # noqa: E402
+
+_BLACKLIST_ALT = "|".join(("Test", "Dummy", "Invalid", "00000000") + _P6_KEYWORDS)
+
+_CLEAN_VALIDATE_ORACLE = f"""
 WITH noised AS (
   SELECT doc_id,
          '<p>' || substr(text, 1, 60) || '</p>[1] tail[12-15] ' || chr(8203) || '[编辑] x' AS noisy,
          substr(text, 1, 20)
            || CASE WHEN doc_id % 7 = 0 THEN ' (deputy director, acting)' ELSE '' END
-           || CASE WHEN doc_id % 13 = 0 THEN ' Test' ELSE '' END AS name_like
+           || CASE WHEN doc_id % 13 = 0 THEN ' Test' ELSE '' END
+           || CASE WHEN doc_id % 11 = 0 THEN '党组书记' ELSE '' END AS name_like
   FROM documents
 )
 SELECT doc_id,
@@ -442,7 +452,7 @@ SELECT doc_id,
            '[\u200b\u200c\u200d\ufeff\u00a0]', '', 'g'),
          '\\s+', ' ', 'g')) AS cleaned,
        (length(replace(regexp_replace(name_like, '（[^）]*）|\\([^)]*\\)', '', 'g'), ' ', '')) <= 18
-        AND NOT regexp_matches(name_like, '(Test|Dummy|Invalid|00000000)')) AS is_valid_name
+        AND NOT regexp_matches(name_like, '({_BLACKLIST_ALT})')) AS is_valid_name
 FROM noised
 """
 
@@ -460,7 +470,9 @@ def clean_and_validate_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``leader/update_c_org_leader_info.py:15-73``), both over
     deterministically noised document text so every regex stage and both
     predicate branches are value-checked (ids %7 get a paren suffix,
-    ids %13 a blacklist token)."""
+    ids %13 an English blacklist token, ids %11 a keyword from the
+    reference's full 88-entry Chinese vocabulary — the alternation
+    carries ALL of them)."""
     from leader_graph_spark.functions.scalar import clean_text
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
@@ -475,13 +487,14 @@ def clean_and_validate_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("")
         ),
         F.when(F.col("doc_id") % 13 == 0, F.lit(" Test")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("党组书记")).otherwise(F.lit("")),
     )
     stripped = F.replace(
         F.regexp_replace(name_like, r"（[^）]*）|\([^)]*\)", ""),
         F.lit(" "),
         F.lit(""),
     )
-    blacklist = name_like.rlike("(Test|Dummy|Invalid|00000000)")
+    blacklist = name_like.rlike(f"({_BLACKLIST_ALT})")
     return docs.select(
         "doc_id",
         clean_text(noisy).alias("cleaned"),

@@ -456,3 +456,90 @@ def test_portrait_cascade_fuzz_never_crashes():
         out = select_portrait_url(soup)
         assert set(out) == {"url", "method"}
         assert (out["url"] is None) == (out["method"] is None)
+
+
+# ---------------------------------------------------------------------------
+# Round 10: X2 three-rule cascade, P6 as-executed blacklist, X6 person-desc
+# ---------------------------------------------------------------------------
+
+
+def test_infobox_rule1_info_title_content():
+    html = (
+        '<div class="info-title">民族</div><div class="info-content">汉族[1]</div>'
+        '<div class="info-title">毕业 院校</div><div class="info-content">北京大学</div>'
+    )
+    out = extract_infobox(html, {"ethnicity": ["民族"], "alma_mater": ["毕业院校"]})
+    assert out == {"ethnicity": "汉族", "alma_mater": "北京大学"}
+
+
+def test_infobox_rule3_basicinfo_pairs():
+    html = (
+        '<div class="basicInfo-item name">民族</div>'
+        '<div class="basicInfo-item value">回族</div>'
+        '<div class="basicInfo-item name">籍贯</div>'
+        '<div class="basicInfo-item value">湖南长沙</div>'
+    )
+    out = extract_infobox(html, {"ethnicity": ["民族"], "native_place": ["籍贯", "出生地"]})
+    assert out == {"ethnicity": "回族", "native_place": "湖南长沙"}
+
+
+def test_infobox_rule_priority_beats_document_order():
+    # dt/dd appears FIRST in the document but info-title (rule 1) must win;
+    # basicInfo appears FIRST but dt/dd (rule 2) must win.
+    html = (
+        "<dl><dt>民族</dt><dd>FromDtDd</dd></dl>"
+        '<div class="info-title">民族</div><div class="info-content">FromInfo</div>'
+        '<div class="basicInfo-item name">毕业院校</div>'
+        '<div class="basicInfo-item value">FromBasic</div>'
+        "<dl><dt>毕业院校</dt><dd>FromDt2</dd></dl>"
+    )
+    out = extract_infobox(html, {"ethnicity": ["民族"], "alma_mater": ["毕业院校"]})
+    assert out == {"ethnicity": "FromInfo", "alma_mater": "FromDt2"}
+
+
+def test_infobox_empty_content_falls_through_within_rule():
+    html = (
+        '<div class="basicInfo-item name">政治面貌</div>'
+        '<div class="basicInfo-item value"></div>'
+        '<div class="basicInfo-item name">政治面貌</div>'
+        '<div class="basicInfo-item value">中共党员</div>'
+    )
+    out = extract_infobox(html, {"political_status": ["政治面貌"]})
+    assert out == {"political_status": "中共党员"}
+
+
+def test_name_validity_as_executed_semantics():
+    from leader_graph_spark.extract.html import is_valid_person_name
+
+    assert is_valid_person_name("张伟")
+    assert is_valid_person_name("欧阳娜娜")  # exactly 4 chars, no keyword
+    assert not is_valid_person_name("")
+    # >4 chars: dot decides, blacklist bypassed (ref :63-66)
+    assert is_valid_person_name("阿·主任江")
+    assert is_valid_person_name("买买提·吐尔逊")
+    assert not is_valid_person_name("InvalidPerson")
+    # ≤4 chars: full keyword vocabulary decides (ref :68-71)
+    assert not is_valid_person_name("厅长")
+    assert not is_valid_person_name("蒙古族")
+    assert not is_valid_person_name("主任")
+    assert not is_valid_person_name("侨胞")
+
+
+def test_person_desc_cascade_tiers():
+    from leader_graph_spark.extract.html import extract_person_desc
+
+    mobile = '<li class="extra-list-item extra-lemma-desc">某省省长</li>'
+    desktop = '<div class="lemmaDescText_WLOIg">某市市长</div>'
+    alt = '<div class="lemma-desc">某  县  县长</div>'
+    # mobile beats desktop regardless of document order
+    assert extract_person_desc(desktop + mobile) == "某省省长"
+    assert extract_person_desc(desktop) == "某市市长"
+    # alternate selectors collapse internal whitespace
+    assert extract_person_desc(alt) == "某 县 县长"
+    assert extract_person_desc('<div class="basic-info">b i</div>') == "b i"
+    assert extract_person_desc("<p>nothing</p>") == ""
+    # exact-attribute semantics for the two-class mobile spec: a li
+    # carrying extra classes must NOT match (bs4 class_='a b' behavior)
+    assert extract_person_desc(
+        '<li class="extra-list-item extra-lemma-desc more">x</li>' + desktop
+    ) == "某市市长"
