@@ -59,6 +59,7 @@ class _PageParser(HTMLParser):
         self.update_time = ""
         self.sections: list[tuple[str, str]] = []
         self.pre_heading_text: list[str] = []
+        self.pre_heading_blocks: list[str] = []  # individual para blocks
         self.dt_dd: list[tuple[str, str]] = []
         self.links: list[tuple[str, str, str]] = []  # (heading, text, href)
         self.tables: list[tuple[str, str]] = []  # (enclosing heading, flat text)
@@ -86,6 +87,13 @@ class _PageParser(HTMLParser):
 
     def handle_starttag(self, tag, attrs):
         attrs = dict(attrs)
+        if tag == "p":
+            # paragraph boundary: each <p> is its own text block, so
+            # blocks join with \n\n exactly as the reference joins
+            # per-paragraph cleaned texts
+            # (extract_content_from_remark.py:420,680-684); flushing on
+            # the START tag also closes an unclosed previous <p>
+            self._flush_text_block()
         if tag == "meta":
             if attrs.get("name") == "description":
                 self.description = attrs.get("content", "")
@@ -121,6 +129,8 @@ class _PageParser(HTMLParser):
         self._stack.append(tag)
 
     def handle_endtag(self, tag):
+        if tag == "p":
+            self._flush_text_block()
         if tag in _VOID_TAGS or tag not in self._stack:
             return
         while self._stack and self._stack[-1] != tag:
@@ -189,6 +199,8 @@ class _PageParser(HTMLParser):
     def _flush_section(self):
         self._flush_text_block()
         content = "\n\n".join(self._blocks)
+        if not self._cur_heading:
+            self.pre_heading_blocks.extend(self._blocks)
         self._blocks = []
         if self._cur_heading:
             self.sections.append((self._cur_heading, content))
@@ -272,7 +284,11 @@ def parse_page(html: str) -> dict:
                 if flat
             ]
         else:
-            paras = [b for b in p.pre_heading_text if len(b) > 5]
+            # per-PARAGRAPH length filter, as the reference applies it
+            # (extract_content_from_remark.py:676-684): each block is
+            # filtered on its own, so a short fragment drops even when
+            # longer text exists elsewhere on the page
+            paras = [b for b in p.pre_heading_blocks if len(b) > 5]
             if paras:
                 sections = [{"heading": "正文内容", "content": "\n\n".join(paras)}]
     # F10 title-suffix strip (extract_content_from_remark.py:136-139).

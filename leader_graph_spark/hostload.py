@@ -37,12 +37,14 @@ def _loadavg1() -> float:
 
 def _cpu_jiffies() -> tuple[int, int]:
     """(busy, total) jiffies from the aggregate cpu line; idle+iowait
-    count as not-busy."""
+    count as not-busy. guest/guest_nice (fields 9/10) are already
+    folded into user/nice by the kernel, so summing them again would
+    double-count VM time — exclude them from total."""
     with open("/proc/stat") as f:
         parts = f.readline().split()[1:]
     vals = [int(v) for v in parts]
     idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
-    total = sum(vals)
+    total = sum(vals[:8])
     return total - idle, total
 
 
@@ -120,10 +122,25 @@ class HostWindow:
         # Children reaped DURING the window (e.g. short-lived workers)
         # vanish from the end sweep; their cycles land in the parent's
         # os.times() children counters — add that delta so dead tree
-        # members attribute to ours, not foreign.
+        # members attribute to ours, not foreign. The reap counter
+        # carries each child's FULL lifetime CPU, so subtract the
+        # pre-window portion (its start-sweep jiffies) for tree pids
+        # that disappeared in-window; without this, a long-lived child
+        # reaped mid-window inflates ours and clamps foreign to 0.
+        # Remaining (documented) bias: a grandchild reaped by a
+        # still-live intermediate parent reaches our counters only when
+        # that parent itself exits, so its cycles show as foreign until
+        # then — foreign_frac over-reports, never under-reports, which
+        # is the safe direction for a contention signal.
         t = os.times()
         hz = os.sysconf("SC_CLK_TCK")
-        ours += int((t.children_user + t.children_system - self._reaped0) * hz)
+        pre_window_dead = sum(
+            self._sweep0[pid][1]
+            for pid in tree
+            if pid in self._sweep0 and pid not in sweep1
+        )
+        reaped_delta = int((t.children_user + t.children_system - self._reaped0) * hz)
+        ours += max(0, reaped_delta - pre_window_dead)
         self.ours_frac = ours / dtotal
         self.foreign_frac = max(0.0, self.busy_frac - self.ours_frac)
         noisy.sort(reverse=True)

@@ -390,11 +390,19 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     restart_interval = 0
 
     def seglen() -> int:
+        if pos + 2 > len(payload):
+            raise ValueError("jpeg: truncated segment length")
         return struct.unpack(">H", payload[pos : pos + 2])[0]
 
+    # Header parsing is fully bounds-checked: any truncation or
+    # malformed segment raises the codec's clean ValueError, never
+    # IndexError/struct.error (round-10 truncation-sweep hardening).
+    scan_start = None
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("jpeg: marker expected")
+        if pos + 1 >= len(payload):
+            raise ValueError("jpeg: truncated in headers")
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -403,61 +411,75 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             continue
         ln = seglen()
         body = payload[pos + 2 : pos + ln]
-        if marker == 0xDB:  # DQT
-            i = 0
-            while i < len(body):
-                prec_id = body[i]
-                tid, prec = prec_id & 0x0F, prec_id >> 4
-                n = 64 * (2 if prec else 1)
-                raw = body[i + 1 : i + 1 + n]
-                vals = (
-                    np.frombuffer(raw, dtype=">u2").astype(np.int32)
-                    if prec
-                    else np.frombuffer(raw, dtype=np.uint8).astype(np.int32)
-                )
-                tab = np.zeros(64, dtype=np.int32)
-                tab[ZIGZAG] = vals
-                qtables[tid] = tab
-                i += 1 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline
-            _, height, width, ncomp = struct.unpack(">BHHB", body[:6])
-            comps = []
-            for ci in range(ncomp):
-                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            if ncomp not in (1, 3):
-                raise ValueError(f"jpeg: {ncomp} components unsupported")
-            for c in comps:
-                if c["h"] not in (1, 2) or c["v"] not in (1, 2):
-                    raise ValueError("jpeg: sampling factors above 2 unsupported")
-        elif marker == 0xC2:
-            raise ValueError("jpeg: progressive (SOF2) unsupported; baseline only")
-        elif marker in (0xC3, *range(0xC5, 0xC8), *range(0xC9, 0xCC), *range(0xCD, 0xD0)):
-            raise ValueError(f"jpeg: SOF marker 0x{marker:02x} unsupported")
-        elif marker == 0xC4:  # DHT
-            i = 0
-            while i < len(body):
-                tc_th = body[i]
-                bits = list(body[i + 1 : i + 17])
-                nvals = sum(bits)
-                vals = list(body[i + 17 : i + 17 + nvals])
-                dec = _HuffDecoder(bits, vals)
-                if tc_th >> 4 == 0:
-                    huff_dc[tc_th & 0x0F] = dec
-                else:
-                    huff_ac[tc_th & 0x0F] = dec
-                i += 17 + nvals
-        elif marker == 0xDD:  # DRI
-            restart_interval = struct.unpack(">H", body[:2])[0]
-        elif marker == 0xDA:  # SOS
-            ns = body[0]
-            scan_sel = {}
-            for si in range(ns):
-                cs, tdta = body[1 + 2 * si : 3 + 2 * si]
-                scan_sel[cs] = (tdta >> 4, tdta & 0x0F)
-            pos += ln
+        try:
+            if marker == 0xDB:  # DQT
+                i = 0
+                while i < len(body):
+                    prec_id = body[i]
+                    tid, prec = prec_id & 0x0F, prec_id >> 4
+                    n = 64 * (2 if prec else 1)
+                    raw = body[i + 1 : i + 1 + n]
+                    if len(raw) < n:
+                        raise ValueError("jpeg: truncated DQT")
+                    vals = (
+                        np.frombuffer(raw, dtype=">u2").astype(np.int32)
+                        if prec
+                        else np.frombuffer(raw, dtype=np.uint8).astype(np.int32)
+                    )
+                    tab = np.zeros(64, dtype=np.int32)
+                    tab[ZIGZAG] = vals
+                    qtables[tid] = tab
+                    i += 1 + n
+            elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline
+                _, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+                comps = []
+                for ci in range(ncomp):
+                    cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                    comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+                if ncomp not in (1, 3):
+                    raise ValueError(f"jpeg: {ncomp} components unsupported")
+                for c in comps:
+                    if c["h"] not in (1, 2) or c["v"] not in (1, 2):
+                        raise ValueError("jpeg: sampling factors above 2 unsupported")
+            elif marker == 0xC2:
+                raise ValueError("jpeg: progressive (SOF2) unsupported; baseline only")
+            elif marker in (0xC3, *range(0xC5, 0xC8), *range(0xC9, 0xCC), *range(0xCD, 0xD0)):
+                raise ValueError(f"jpeg: SOF marker 0x{marker:02x} unsupported")
+            elif marker == 0xC4:  # DHT
+                i = 0
+                while i < len(body):
+                    tc_th = body[i]
+                    bits = list(body[i + 1 : i + 17])
+                    if len(bits) < 16:
+                        raise ValueError("jpeg: truncated DHT")
+                    nvals = sum(bits)
+                    vals = list(body[i + 17 : i + 17 + nvals])
+                    if len(vals) < nvals:
+                        raise ValueError("jpeg: truncated DHT")
+                    dec = _HuffDecoder(bits, vals)
+                    if tc_th >> 4 == 0:
+                        huff_dc[tc_th & 0x0F] = dec
+                    else:
+                        huff_ac[tc_th & 0x0F] = dec
+                    i += 17 + nvals
+            elif marker == 0xDD:  # DRI
+                restart_interval = struct.unpack(">H", body[:2])[0]
+            elif marker == 0xDA:  # SOS
+                ns = body[0]
+                scan_sel = {}
+                for si in range(ns):
+                    cs, tdta = body[1 + 2 * si : 3 + 2 * si]
+                    scan_sel[cs] = (tdta >> 4, tdta & 0x0F)
+                scan_start = pos + ln
+        except (IndexError, struct.error) as exc:
+            # short body / truncated field inside a header segment:
+            # surface the codec's clean error contract
+            raise ValueError(
+                f"jpeg: truncated or malformed segment 0x{marker:02x}"
+            ) from exc
+        if scan_start is not None:
             return _decode_scan(
-                payload, pos, width, height, comps, scan_sel,
+                payload, scan_start, width, height, comps, scan_sel,
                 qtables, huff_dc, huff_ac, restart_interval,
             )
         pos += ln
@@ -486,11 +508,25 @@ def _decode_scan(
                     # the marker byte pair was seen by the reader; the
                     # pending RSTn resets DC prediction
                     if br.pending_marker is None:
-                        # consume the RST marker directly from the stream
-                        while data[br.pos] == 0xFF and data[br.pos + 1] == 0xFF:
-                            br.pos += 1
-                        if data[br.pos] == 0xFF and 0xD0 <= data[br.pos + 1] <= 0xD7:
-                            br.pos += 2
+                        # consume the RST marker directly from the
+                        # stream, bounds-checked: truncation exactly at
+                        # a restart boundary must raise the codec's
+                        # clean ValueError, never IndexError. Skips
+                        # 0xFF fill bytes and (non-conformant) stuffed
+                        # FF 00 padding before the marker.
+                        p = br.pos
+                        while (
+                            p + 1 < len(data)
+                            and data[p] == 0xFF
+                            and data[p + 1] in (0xFF, 0x00)
+                        ):
+                            p += 2 if data[p + 1] == 0x00 else 1
+                        if p + 1 >= len(data):
+                            raise ValueError("jpeg: truncated at restart marker")
+                        if data[p] == 0xFF and 0xD0 <= data[p + 1] <= 0xD7:
+                            br.pos = p + 2
+                        else:
+                            br.pos = p
                     br.pending_marker = None
                     pred = [0] * len(comps)
                 mcu_count += 1

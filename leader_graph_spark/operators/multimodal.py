@@ -144,7 +144,15 @@ def extract_image_features(
             or payload[:2] == JPEG_MAGIC
             or decode_available()
         ):
-            return _decode_image_real(payload)
+            try:
+                return _decode_image_real(payload)
+            except ValueError:
+                # corrupt/truncated/progressive payload the hermetic
+                # codec rejects (e.g. a JPEG-magic blob with no SOS):
+                # fall back to the clearly-marked deterministic fake
+                # instead of failing the Spark task — the pre-round-9
+                # routing contract for undecodable external data
+                return _decode_image_fake(payload)
         return _decode_image_fake(payload)
 
     out_schema = T.StructType([df.schema[id_col]] + list(FEATURE_SCHEMA.fields))
@@ -206,49 +214,64 @@ def resize_images(
 
             for rid, payload, meta in zip(pdf[id_col], pdf[payload_col], pdf[meta_col]):
                 raw = bytes(payload)
-                if raw[:8] == pngcodec.PNG_MAGIC:
-                    # REAL resize path (round-5): stdlib PNG decode →
-                    # nearest-neighbor resample → re-encode. Actual
-                    # source dimensions override the metadata claim.
-                    w, h, ch, px = pngcodec.decode_png(raw)
-                    resized = pngcodec.encode_png(
-                        target_w,
-                        target_h,
-                        pngcodec.resize_nearest(px, w, h, ch, target_w, target_h),
-                        channels=ch,
-                    )
-                    orig_w, orig_h = w, h
-                elif decode_available():
-                    # REAL non-PNG path (JPEG/WEBP…) under the
-                    # [multimodal] extra: PIL decode → nearest resample
-                    # (deterministic) → re-encode in the source format.
-                    import io
+                real = None
+                try:
+                    if raw[:8] == pngcodec.PNG_MAGIC:
+                        # REAL resize path (round-5): stdlib PNG decode →
+                        # nearest-neighbor resample → re-encode. Actual
+                        # source dimensions override the metadata claim.
+                        w, h, ch, px = pngcodec.decode_png(raw)
+                        real = (
+                            pngcodec.encode_png(
+                                target_w,
+                                target_h,
+                                pngcodec.resize_nearest(px, w, h, ch, target_w, target_h),
+                                channels=ch,
+                            ),
+                            w,
+                            h,
+                        )
+                    elif decode_available():
+                        # REAL non-PNG path (JPEG/WEBP…) under the
+                        # [multimodal] extra: PIL decode → nearest resample
+                        # (deterministic) → re-encode in the source format.
+                        import io
 
-                    from PIL import Image
+                        from PIL import Image
 
-                    img = Image.open(io.BytesIO(raw))
-                    fmt = img.format or "JPEG"
-                    orig_w, orig_h = img.size
-                    out = io.BytesIO()
-                    img.convert("RGB").resize(
-                        (target_w, target_h), Image.NEAREST
-                    ).save(out, format=fmt)
-                    resized = out.getvalue()
-                elif raw[:2] == b"\xff\xd8":
-                    # REAL JPEG path without PIL (round-9): hermetic
-                    # baseline T.81 decode → nearest resample →
-                    # hermetic re-encode.
-                    from leader_graph_spark.operators import jpegcodec
+                        img = Image.open(io.BytesIO(raw))
+                        fmt = img.format or "JPEG"
+                        ow, oh = img.size
+                        out = io.BytesIO()
+                        img.convert("RGB").resize(
+                            (target_w, target_h), Image.NEAREST
+                        ).save(out, format=fmt)
+                        real = (out.getvalue(), ow, oh)
+                    elif raw[:2] == b"\xff\xd8":
+                        # REAL JPEG path without PIL (round-9): hermetic
+                        # baseline T.81 decode → nearest resample →
+                        # hermetic re-encode.
+                        from leader_graph_spark.operators import jpegcodec
 
-                    w, h, ch, px = jpegcodec.decode_jpeg(raw)
-                    resized = jpegcodec.encode_jpeg(
-                        target_w,
-                        target_h,
-                        pngcodec.resize_nearest(px, w, h, ch, target_w, target_h),
-                        channels=ch,
-                        quality=90,
-                    )
-                    orig_w, orig_h = w, h
+                        w, h, ch, px = jpegcodec.decode_jpeg(raw)
+                        real = (
+                            jpegcodec.encode_jpeg(
+                                target_w,
+                                target_h,
+                                pngcodec.resize_nearest(px, w, h, ch, target_w, target_h),
+                                channels=ch,
+                                quality=90,
+                            ),
+                            w,
+                            h,
+                        )
+                except ValueError:
+                    # corrupt/truncated payload the codec rejects:
+                    # fall to the deterministic stand-in rather than
+                    # failing the Spark task
+                    real = None
+                if real is not None:
+                    resized, orig_w, orig_h = real
                 else:
                     # deterministic stand-in: digest-seeded bytes scaled
                     # to ~3 bytes/pixel of the TARGET size so downstream

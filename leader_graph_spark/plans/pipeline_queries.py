@@ -1038,9 +1038,12 @@ def _synth_headingless_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("<p>tiny</p><table><tr><td>K"), (d % 10).cast("string"),
             F.lit("</td><td>V"), (d % 7).cast("string"), F.lit("</td></tr></table>"),
         ))
-        # r=1: paragraphs only -> 正文内容 catch-all
+        # r=1: paragraphs only -> 正文内容 catch-all; the leading short
+        # paragraph must drop under the PER-paragraph >5-char filter
+        # (extract_content_from_remark.py:676-684) even though longer
+        # text follows — the oracle carries only the long paragraph
         .when(d % 3 == 1, F.concat(
-            F.lit("<p>Paragraph body for doc "), ds, F.lit("</p>"),
+            F.lit("<p>tiny</p><p>Paragraph body for doc "), ds, F.lit("</p>"),
         ))
         # r=2: under-length text only -> no sections at all
         .otherwise(F.lit("<p>tiny</p>"))

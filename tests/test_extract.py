@@ -421,9 +421,17 @@ def test_fallback_table_section_when_no_headings():
 def test_fallback_paragraphs_section_when_no_tables():
     from leader_graph_spark.extract.html import parse_page
 
+    # the >5-char filter applies PER paragraph (reference
+    # extract_content_from_remark.py:676-684): 'tiny' drops even though
+    # a longer paragraph exists on the page
     page = parse_page("<html><body><p>a real paragraph here</p><p>tiny</p></body></html>")
     assert page["sections"] == [
-        {"heading": "正文内容", "content": "a real paragraph here tiny"}
+        {"heading": "正文内容", "content": "a real paragraph here"}
+    ]
+    # two surviving paragraphs join with \n\n, the reference's joiner
+    page = parse_page("<html><body><p>first real para</p><p>second real para</p></body></html>")
+    assert page["sections"] == [
+        {"heading": "正文内容", "content": "first real para\n\nsecond real para"}
     ]
 
 

@@ -266,3 +266,55 @@ def test_jpegcodec_dct_matrix_is_orthonormal():
     rng = np.random.default_rng(3)
     x = rng.normal(size=(8, 8))
     assert np.allclose(_DCT_M.T @ (_DCT_M @ x @ _DCT_M.T) @ _DCT_M, x, atol=1e-9)
+
+
+def test_jpegcodec_dri_truncation_never_indexerrors():
+    """Round-10 ADVICE fix: a stream truncated at (or anywhere near) a
+    restart boundary must raise the codec's clean ValueError, never
+    IndexError. Splice a DRI segment (interval=1) into a valid stream
+    so the restart-consume path runs, then try EVERY truncation
+    point — each must decode or raise ValueError."""
+    import numpy as np
+
+    from leader_graph_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+    xx = np.tile(np.arange(16, dtype=np.uint8) * 11, (8, 1))
+    enc = encode_jpeg(16, 8, xx.tobytes(), channels=1, quality=90)
+    sos = enc.find(b"\xff\xda")
+    stream = enc[:sos] + b"\xff\xdd\x00\x04\x00\x01" + enc[sos:]
+    for cut in range(len(stream) + 1):
+        try:
+            decode_jpeg(stream[:cut])
+        except ValueError:
+            pass
+
+
+def test_corrupt_jpeg_payload_falls_back_to_fake(spark):
+    """Round-10 ADVICE fix: a JPEG-magic payload the hermetic codec
+    rejects (no SOS) must yield deterministic fake features, not fail
+    the Spark task."""
+    import hashlib
+
+    from leader_graph_spark.operators.multimodal import extract_image_features
+
+    bad = b"\xff\xd8\xff\xe0 corrupt, no scan"
+    df = spark.createDataFrame([(1, bad)], "id long, payload binary")
+    rows = extract_image_features(df, id_col="id").collect()
+    assert len(rows) == 1
+    digest = hashlib.md5(bad).digest()
+    assert rows[0].phash == digest.hex()[:16]
+    assert rows[0].n_bytes == len(bad)
+
+
+def test_corrupt_jpeg_payload_resize_falls_back_to_standin(spark):
+    from leader_graph_spark.operators.multimodal import resize_images
+
+    bad = b"\xff\xd8\xff\xe0 corrupt, no scan"
+    df = spark.createDataFrame(
+        [(1, bad, ("jpeg", 64, 48))],
+        "id long, payload binary, meta struct<format:string,width:int,height:int>",
+    )
+    rows = resize_images(df, id_col="id", target_w=16, target_h=16).collect()
+    assert len(rows) == 1
+    assert len(rows[0].payload) == 16 * 16 * 3  # stand-in sized to target
+    assert rows[0].meta.orig_width == 64  # metadata claim preserved
