@@ -15,6 +15,11 @@ from pyspark.sql import types as T
 
 
 CKPT_SER_CONF = "spark.leader_graph_spark.checkpoint.serialized"
+# Auto-engage threshold: when a materialized loop-state checkpoint's
+# storage footprint exceeds this fraction of the unified pool's
+# current storage capacity, subsequent checkpoints in the session
+# switch to the serialized level. <=0 disables the auto decision.
+CKPT_AUTO_CONF = "spark.leader_graph_spark.checkpoint.autoSerializeFraction"
 
 
 def _ckpt_level(spark):
@@ -26,8 +31,11 @@ def _ckpt_level(spark):
     round-9 spill battery measured k-core at the x30 replica dying at
     a 6g heap under the default level (storage + execution could not
     coexist) and completing under SER — at the price of per-round
-    deserialization on healthy heaps. Memory-pressure insurance, not
-    a default: flip it when heap per slot is scarce."""
+    deserialization on healthy heaps (~37% steady-state, measured).
+    Memory-pressure insurance, not a default; since round 10 the flip
+    is AUTOMATIC: :func:`_maybe_auto_serialize` measures each
+    materialized state against the live storage budget and sets this
+    conf when the state crowds execution out."""
     from pyspark.storagelevel import StorageLevel
 
     if (spark.conf.get(CKPT_SER_CONF, "false") or "").lower() == "true":
@@ -35,6 +43,70 @@ def _ckpt_level(spark):
         # variant (deserialized=False) — exactly the compact form.
         return StorageLevel.MEMORY_AND_DISK
     return None  # engine default (JVM MEMORY_AND_DISK, deserialized)
+
+
+def _maybe_auto_serialize(spark, ckpt: DataFrame) -> None:
+    """Auto-engage the serialized-checkpoint escape hatch (round 10,
+    VERDICT r9 Next #5). The r9 spill battery diagnosed the 6g k-core
+    death as STORAGE starving EXECUTION: a deserialized loop-state
+    checkpoint several times its serialized size occupies the unified
+    pool, and the next round's shuffle cannot acquire execution memory
+    (UNABLE_TO_ACQUIRE_MEMORY inside localCheckpoint). The measured
+    escape hatch (``CKPT_SER_CONF=true``: dead 6g lane → 48.6 s) was
+    manual; this derives it.
+
+    Decision, made AFTER each default-level checkpoint materializes
+    (the footprint is then a fact, not an estimate): if the state's
+    stored bytes (memory + any already-evicted disk portion) exceed
+    ``CKPT_AUTO_CONF`` (default 0.5) × the unified pool's CURRENT
+    max on-heap storage capacity, set ``CKPT_SER_CONF=true`` so every
+    subsequent loop checkpoint in this session lands serialized. Loop
+    states are round-over-round similar in size (usually shrinking),
+    so flipping from the next round on relieves the pressure where it
+    matters while healthy heaps — whose states sit far below half the
+    pool — never pay the ~37% serialization tax. The flip is sticky
+    for the session (states that size keep coming in the same
+    workload); reset the conf or use ``spark.newSession()`` to shed
+    it. Telemetry-grade: any introspection failure silently keeps the
+    default level."""
+    try:
+        frac = float(spark.conf.get(CKPT_AUTO_CONF, "0.5") or 0.0)
+    except ValueError:
+        return
+    if frac <= 0:
+        return
+    try:
+        plan = ckpt._jdf.queryExecution().analyzed()
+        if not plan.getClass().getName().endswith(".LogicalRDD"):
+            return
+        rid = plan.rdd().id()
+        footprint = None
+        for info in spark.sparkContext._jsc.sc().getRDDStorageInfo():
+            if info.id() == rid:
+                footprint = info.memSize() + info.diskSize()
+                break
+        if not footprint:
+            return
+        max_storage = (
+            spark._jvm.org.apache.spark.SparkEnv.get()
+            .memoryManager()
+            .maxOnHeapStorageMemory()
+        )
+        if max_storage > 0 and footprint > frac * max_storage:
+            spark.conf.set(CKPT_SER_CONF, "true")
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "loop-state checkpoint footprint %.1f MB exceeds %.0f%% of the "
+                "%.1f MB storage budget: switching session checkpoints to the "
+                "serialized level (%s=true)",
+                footprint / 1e6,
+                frac * 100,
+                max_storage / 1e6,
+                CKPT_SER_CONF,
+            )
+    except Exception:
+        return
 
 
 def _checkpoint_observed(df: DataFrame, **aggs) -> tuple[DataFrame, dict]:
@@ -55,6 +127,11 @@ def _checkpoint_observed(df: DataFrame, **aggs) -> tuple[DataFrame, dict]:
         if level is not None
         else observed.localCheckpoint()
     )
+    if level is None:
+        # default-level state just materialized: measure it against the
+        # storage budget and auto-engage the serialized level for the
+        # rest of the session if it crowds execution out
+        _maybe_auto_serialize(df.sparkSession, out)
     return out, obs.get
 
 

@@ -772,7 +772,7 @@ LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour
 """
 
 
-@query("hourly_gap_filled_series", _GAP_FILL_ORACLE, tags=("timeseries-resample", "W1"))
+@query("hourly_gap_filled_series", _GAP_FILL_ORACLE, bench=True, tags=("timeseries-resample", "W1"))
 def hourly_gap_filled_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Irregular events → regular hourly series per user: per-user
     hour scaffold (sequence+explode over the user's own span — no

@@ -304,7 +304,7 @@ SELECT id_1, id_2, hamming FROM cands WHERE hamming <= 3
 """
 
 
-@query("simhash_near_dup_pairs", _SIMHASH_PAIRS_ORACLE, tags=("dedup-simhash-pairs",))
+@query("simhash_near_dup_pairs", _SIMHASH_PAIRS_ORACLE, bench=True, tags=("dedup-simhash-pairs",))
 def simhash_near_dup_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: nibble-banded bucket join (4 bands of 4
     bits) + exact Hamming ≤ 3 verification. Pigeonhole makes the

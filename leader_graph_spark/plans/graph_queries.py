@@ -140,7 +140,7 @@ FROM customer a JOIN customer b
 """
 
 
-@query("current_colleague_customers", _COLLEAGUES_NOW_ORACLE, tags=("J5", "W4"))
+@query("current_colleague_customers", _COLLEAGUES_NOW_ORACLE, bench=True, tags=("J5", "W4"))
 def current_colleague_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Current-colleague derived edges (``src/mysql2neo4j.py:373-396``):
     pairs through the shared current org, both positions carried,

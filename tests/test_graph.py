@@ -769,3 +769,40 @@ def test_serialized_checkpoint_knob(spark):
         assert kc_ser == kc_def and kc_ser  # the triangle 5-6-7 survives
     finally:
         spark.conf.set(CKPT_SER_CONF, "false")
+
+
+def test_auto_serialized_checkpoint_flips_under_pressure(spark):
+    """Round-10 VERDICT #5: when a materialized loop-state checkpoint
+    exceeds the configured fraction of the storage budget, subsequent
+    session checkpoints auto-switch to the serialized level. A
+    microscopic fraction makes ANY state trip the trigger; results
+    must be unchanged."""
+    from leader_graph_spark.graph.algorithms import CKPT_AUTO_CONF, CKPT_SER_CONF
+
+    sess = spark.newSession()  # isolate the sticky conf flip
+    sess.conf.set(CKPT_AUTO_CONF, "1e-9")
+    try:
+        vertices = sess.createDataFrame([(v,) for v in "abcdefg"], "id string")
+        edges = sess.createDataFrame(
+            [("a", "b"), ("b", "c"), ("d", "e"), ("f", "g")], "src string, dst string"
+        )
+        out = {r.id: r.component for r in connected_components(vertices, edges).collect()}
+        assert out["a"] == out["b"] == out["c"]
+        assert out["d"] == out["e"] != out["a"]
+        assert (sess.conf.get(CKPT_SER_CONF, "false") or "").lower() == "true"
+    finally:
+        sess.conf.unset(CKPT_AUTO_CONF)
+        sess.conf.unset(CKPT_SER_CONF)
+
+
+def test_auto_serialized_checkpoint_stays_off_on_healthy_heap(spark):
+    """Default fraction (0.5): a tiny loop state must NOT flip the
+    session to serialized checkpoints — the ~37% healthy-heap tax
+    stays out of the default path."""
+    from leader_graph_spark.graph.algorithms import CKPT_SER_CONF
+
+    sess = spark.newSession()
+    vertices = sess.createDataFrame([(v,) for v in "abcd"], "id string")
+    edges = sess.createDataFrame([("a", "b"), ("c", "d")], "src string, dst string")
+    assert connected_components(vertices, edges).count() == 4
+    assert (sess.conf.get(CKPT_SER_CONF, "false") or "").lower() == "false"
