@@ -551,3 +551,20 @@ def test_person_desc_cascade_tiers():
     assert extract_person_desc(
         '<li class="extra-list-item extra-lemma-desc more">x</li>' + desktop
     ) == "某市市长"
+
+
+def test_infobox_real_baike_desktop_shape():
+    # real desktop Baike markup: dt/dd pairs that ALSO carry
+    # basicInfo-item classes — rule 2 (dt→dd) fires first and must
+    # agree with what rule 3 would extract; nested <sup> citation
+    # markers clean away
+    html = (
+        '<dl class="basicInfo-block basicInfo-left">'
+        '<dt class="basicInfo-item name">民 族</dt>'
+        '<dd class="basicInfo-item value">汉族<sup>[1]</sup></dd>'
+        '<dt class="basicInfo-item name">毕业院校</dt>'
+        '<dd class="basicInfo-item value"><a href="/item/清华大学">清华大学</a></dd>'
+        "</dl>"
+    )
+    out = extract_infobox(html, {"ethnicity": ["民族"], "alma_mater": ["毕业院校"]})
+    assert out == {"ethnicity": "汉族", "alma_mater": "清华大学"}
