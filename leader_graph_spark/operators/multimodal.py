@@ -350,3 +350,62 @@ def sample_video_frames(
             yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "ts_ms", "frame_phash"])
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+AUDIO_WINDOW_FIELDS = [
+    T.StructField("window_idx", T.IntegerType()),
+    T.StructField("sum_sq", T.LongType()),
+    T.StructField("peak", T.IntegerType()),
+    T.StructField("zero_crossings", T.IntegerType()),
+]
+
+
+def audio_window_stats(
+    df: DataFrame,
+    *,
+    id_col: str,
+    payload_col: str = "payload",
+    window_samples: int = 64,
+) -> DataFrame:
+    """Windowed PCM statistics for audio blobs — the energy/activity
+    features a training pipeline gates speech data on (silence
+    trimming, clipping detection, voice-activity heuristics). The blob
+    is modeled as offset-binary 16-bit big-endian PCM; real audio
+    codecs (wav/mp3 via soundfile/ffmpeg) slot in at the same decode
+    seam as the image path. Per non-overlapping window of
+    ``window_samples`` samples: sum of squares (energy, exact int64),
+    absolute peak, and the zero-crossing count (adjacent-sample sign
+    products < 0, within the window only). All-integer outputs so the
+    SQL oracle can reproduce them byte-exactly — no float tolerance.
+
+    flatMap-shaped ``mapInPandas``: map-side, one numpy pass per clip,
+    and only the narrow window rows continue downstream — audio bytes
+    never reshuffle (the same 100 TB rule as image/video)."""
+    import numpy as np
+
+    out_schema = T.StructType([df.schema[id_col]] + AUDIO_WINDOW_FIELDS)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                usable = len(raw) // 2 * 2
+                s = np.frombuffer(raw[:usable], dtype=">u2").astype(np.int64) - 32768
+                for w0 in range(0, len(s), window_samples):
+                    win = s[w0 : w0 + window_samples]
+                    rows.append(
+                        (
+                            rid,
+                            w0 // window_samples,
+                            int((win * win).sum()),
+                            int(np.abs(win).max()),
+                            int((win[1:] * win[:-1] < 0).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "window_idx", "sum_sq", "peak", "zero_crossings"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)

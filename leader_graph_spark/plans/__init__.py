@@ -91,6 +91,18 @@ _STALE_GREEN_BEFORE: dict[str, int] = {
     # blocks joined the output contract, so pre-r9 greens verified the
     # slimmer surface.
     "extracted_sections_explode": 9,
+    # round 10 closed the extraction-fidelity tail, changing these
+    # queries' contracts: infobox now exercises the full three-rule
+    # cascade over four page layouts; title_summary gained the
+    # person_desc cascade column; person_links plants the widened
+    # 88-keyword blacklist fixtures (as-executed branch semantics);
+    # clean_and_validate's alternation carries the full vocabulary;
+    # the sectioning fallback applies the per-paragraph length filter.
+    "infobox_person_details": 10,
+    "title_summary_fallbacks": 10,
+    "person_links_harvest": 10,
+    "clean_and_validate_text": 10,
+    "sectioning_fallback_report": 10,
 }
 
 

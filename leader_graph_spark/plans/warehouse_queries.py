@@ -377,6 +377,118 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(mm, id_col="doc_id")
 
 
+# Video-frame sampling (round 10): clips synthesized as sequences of
+# 32-byte frames — each frame the md5 hex of (doc_id, frame index) so
+# the SQL twin rebuilds every selected frame's fingerprint exactly.
+# Clip length doc_id%7+1 frames vs n_frames=4 exercises both the
+# short-clip (every frame) and the uniform-stride subsample paths.
+_VIDEO_FRAMES_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(doc_id % 7 + 1 AS INT) AS total,
+         CAST(LEAST(4, doc_id % 7 + 1) AS INT) AS k
+  FROM documents
+),
+sel AS (
+  -- k is at most n_frames=4, so a static 0..3 series filtered by k
+  -- (this DuckDB build rejects column-parameterized generate_series)
+  SELECT DISTINCT b.doc_id, CAST(gs.i * b.total // b.k AS INT) AS frame_idx
+  FROM base b, generate_series(0, 3) AS gs(i)
+  WHERE gs.i < b.k
+)
+SELECT doc_id,
+       frame_idx,
+       CAST(frame_idx * 1000 // 25 AS BIGINT) AS ts_ms,
+       substr(md5(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(frame_idx AS VARCHAR))), 1, 16)
+         AS frame_phash
+FROM sel
+"""
+
+
+def _synth_video_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    frames = F.transform(
+        F.sequence(F.lit(0), (d % 7).cast("int")),
+        lambda i: F.md5(F.concat(d.cast("string"), F.lit("-"), i.cast("string"))),
+    )
+    return docs.select(
+        "doc_id", F.encode(F.concat_ws("", frames), "utf-8").alias("payload")
+    )
+
+
+@query("video_frame_sampling", _VIDEO_FRAMES_ORACLE, tags=("multimodal", "video", "mapInPandas"))
+def video_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform-stride frame sampling over video blobs
+    (``operators/multimodal.py:sample_video_frames``): one clip row
+    fans out to ≤4 frame rows (index, frame-rate timestamp, per-frame
+    fingerprint) via flatMap-shaped mapInPandas; the blob is dropped at
+    the sampler so only narrow frame rows continue downstream. The
+    stride arithmetic ((i·total)//k with first-frame inclusion), the
+    short-clip path, byte-exact frame slicing through Arrow and the
+    md5 fingerprints all sit under the value hash against the SQL
+    twin."""
+    from leader_graph_spark.operators.multimodal import sample_video_frames
+
+    clips = _synth_video_payloads(spark, sf_dir)
+    return sample_video_frames(clips, id_col="doc_id")
+
+
+# Audio windowed-PCM stats (round 10): clips synthesized as 256
+# offset-binary 16-bit big-endian samples from a doc_id-keyed integer
+# formula, built JVM-side as a hex string and unhex'd to binary. The
+# oracle never touches bytes — it recomputes the samples from the same
+# formula — so the byte-level encode (lpad/hex/unhex), the numpy
+# big-endian decode, and the window arithmetic all sit under the hash.
+_AUDIO_WINDOWS_ORACLE = """
+WITH s AS (
+  SELECT d.doc_id, gs.i AS j,
+         ((d.doc_id * 31 + gs.i * 17) % 65536) - 32768 AS v
+  FROM documents d, generate_series(0, 255) AS gs(i)
+),
+w AS (
+  SELECT doc_id, j // 64 AS window_idx, j, v,
+         lag(v) OVER (PARTITION BY doc_id ORDER BY j) AS pv
+  FROM s
+)
+SELECT doc_id,
+       CAST(window_idx AS INT) AS window_idx,
+       CAST(sum(v * v) AS BIGINT) AS sum_sq,
+       CAST(max(abs(v)) AS INT) AS peak,
+       CAST(count(*) FILTER (WHERE j % 64 > 0 AND v * pv < 0) AS INT) AS zero_crossings
+FROM w
+GROUP BY doc_id, window_idx
+"""
+
+
+def _synth_audio_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    hexstr = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(255)),
+            lambda j: F.lpad(F.hex((d * 31 + j * 17) % 65536), 4, "0"),
+        ),
+    )
+    return docs.select("doc_id", F.unhex(hexstr).alias("payload"))
+
+
+@query("audio_window_energy", _AUDIO_WINDOWS_ORACLE, tags=("multimodal", "audio", "mapInPandas"))
+def audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed PCM energy/activity stats over audio blobs
+    (``operators/multimodal.py:audio_window_stats``): each clip fans
+    out to one row per 64-sample window carrying exact-integer energy
+    (sum of squares), absolute peak, and the within-window
+    zero-crossing count — the features speech pipelines gate on
+    (silence trim, clipping detection). flatMap-shaped mapInPandas;
+    audio bytes are dropped at the operator and never reshuffle."""
+    from leader_graph_spark.operators.multimodal import audio_window_stats
+
+    clips = _synth_audio_payloads(spark, sf_dir)
+    return audio_window_stats(clips, id_col="doc_id")
+
+
 # ---------------------------------------------------------------------------
 # SQL-API surface: same Catalyst plans from SQL text
 # ---------------------------------------------------------------------------

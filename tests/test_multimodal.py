@@ -318,3 +318,24 @@ def test_corrupt_jpeg_payload_resize_falls_back_to_standin(spark):
     assert len(rows) == 1
     assert len(rows[0].payload) == 16 * 16 * 3  # stand-in sized to target
     assert rows[0].meta.orig_width == 64  # metadata claim preserved
+
+
+def test_audio_window_stats_partial_window_and_values(spark):
+    import numpy as np
+
+    from leader_graph_spark.operators.multimodal import audio_window_stats
+
+    # 5 samples (window=4): one full window + a partial 1-sample window;
+    # offset-binary big-endian: value v stored as v+32768
+    vals = [100, -200, 300, -400, 500]
+    raw = b"".join(int(v + 32768).to_bytes(2, "big") for v in vals)
+    df = spark.createDataFrame([(1, raw)], "id long, payload binary")
+    rows = {r.window_idx: r for r in
+            audio_window_stats(df, id_col="id", window_samples=4).collect()}
+    assert set(rows) == {0, 1}
+    w = np.array(vals[:4], dtype=np.int64)
+    assert rows[0].sum_sq == int((w * w).sum())
+    assert rows[0].peak == 400
+    assert rows[0].zero_crossings == 3  # every adjacent pair flips sign
+    assert rows[1].sum_sq == 500 * 500 and rows[1].peak == 500
+    assert rows[1].zero_crossings == 0  # crossings never span windows
