@@ -86,7 +86,7 @@ def run(mem: str, out_path: str) -> None:
         json.dump(out, f, indent=1)
 
 
-def merge(paths: list[str], out_path: str) -> None:
+def merge(paths: list[str], out_path: str, note: str | None = None) -> None:
     runs = sorted((json.load(open(p)) for p in paths), key=lambda d: d["mem"])
     out = {
         "replica": X30,
@@ -99,6 +99,8 @@ def merge(paths: list[str], out_path: str) -> None:
             "default_6g": "died (UNABLE_TO_ACQUIRE_MEMORY in localCheckpoint)",
         },
     }
+    if note:
+        out["note"] = note
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
@@ -109,8 +111,9 @@ if __name__ == "__main__":
     p.add_argument("--mem")
     p.add_argument("--merge", nargs="*")
     p.add_argument("--json-out", required=True)
+    p.add_argument("--note", help="free-text context recorded in the merged artifact")
     a = p.parse_args()
     if a.merge:
-        merge(a.merge, a.json_out)
+        merge(a.merge, a.json_out, a.note)
     else:
         run(a.mem, a.json_out)
