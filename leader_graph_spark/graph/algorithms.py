@@ -45,7 +45,7 @@ def _ckpt_level(spark):
     return None  # engine default (JVM MEMORY_AND_DISK, deserialized)
 
 
-def _maybe_auto_serialize(spark, ckpt: DataFrame) -> None:
+def _maybe_auto_serialize(spark, ckpt: DataFrame) -> DataFrame | None:
     """Auto-engage the serialized-checkpoint escape hatch (round 10,
     VERDICT r9 Next #5). The r9 spill battery diagnosed the 6g k-core
     death as STORAGE starving EXECUTION: a deserialized loop-state
@@ -60,25 +60,35 @@ def _maybe_auto_serialize(spark, ckpt: DataFrame) -> None:
     stored bytes (memory + any already-evicted disk portion) exceed
     ``CKPT_AUTO_CONF`` (default 0.5) × the unified pool's CURRENT
     max on-heap storage capacity, set ``CKPT_SER_CONF=true`` so every
-    subsequent loop checkpoint in this session lands serialized. Loop
-    states are round-over-round similar in size (usually shrinking),
-    so flipping from the next round on relieves the pressure where it
-    matters while healthy heaps — whose states sit far below half the
-    pool — never pay the ~37% serialization tax. The flip is sticky
-    for the session (states that size keep coming in the same
-    workload); reset the conf or use ``spark.newSession()`` to shed
-    it. Telemetry-grade: any introspection failure silently keeps the
-    default level."""
+    subsequent loop checkpoint in this session lands serialized — AND
+    convert the oversized state itself: re-checkpoint it at the
+    serialized level (a plain scan-and-persist of the resident blocks,
+    no shuffle, so it survives heaps where the next round's
+    aggregation would not) and release the deserialized original,
+    returning the replacement. Flipping only the conf is not enough:
+    the round-10 quiet-box A/B caught the 6g lane dying in the NEXT
+    round's ``localCheckpoint`` with the first oversized deserialized
+    state still resident — the flip had fired, but the pressure it
+    diagnosed was still on the heap. Loop states are round-over-round
+    similar in size (usually shrinking), so with the trigger state
+    converted and every later checkpoint serialized from birth, the
+    deserialized regime never recurs; healthy heaps — whose states sit
+    far below half the pool — never pay the ~37% serialization tax.
+    The flip is sticky for the session (states that size keep coming
+    in the same workload); reset the conf or use ``spark.newSession()``
+    to shed it. Telemetry-grade: any introspection failure silently
+    keeps the default level and returns ``None`` (caller keeps the
+    original state)."""
     try:
         frac = float(spark.conf.get(CKPT_AUTO_CONF, "0.5") or 0.0)
     except ValueError:
-        return
+        return None
     if frac <= 0:
-        return
+        return None
     try:
         plan = ckpt._jdf.queryExecution().analyzed()
         if not plan.getClass().getName().endswith(".LogicalRDD"):
-            return
+            return None
         rid = plan.rdd().id()
         footprint = None
         for info in spark.sparkContext._jsc.sc().getRDDStorageInfo():
@@ -86,7 +96,7 @@ def _maybe_auto_serialize(spark, ckpt: DataFrame) -> None:
                 footprint = info.memSize() + info.diskSize()
                 break
         if not footprint:
-            return
+            return None
         max_storage = (
             spark._jvm.org.apache.spark.SparkEnv.get()
             .memoryManager()
@@ -99,14 +109,34 @@ def _maybe_auto_serialize(spark, ckpt: DataFrame) -> None:
             logging.getLogger(__name__).warning(
                 "loop-state checkpoint footprint %.1f MB exceeds %.0f%% of the "
                 "%.1f MB storage budget: switching session checkpoints to the "
-                "serialized level (%s=true)",
+                "serialized level (%s=true) and converting the resident state",
                 footprint / 1e6,
                 frac * 100,
                 max_storage / 1e6,
                 CKPT_SER_CONF,
             )
+            # Convert the trigger state NOW: serialized copy first
+            # (reads the resident deserialized blocks once), release
+            # the original only after the copy has materialized —
+            # localCheckpoints are unrecoverable once unpersisted.
+            ser = ckpt.localCheckpoint(eager=True, storageLevel=_ckpt_level(spark))
+            _release(ckpt)
+            return ser
     except Exception:
-        return
+        return None
+    return None
+
+
+_MEMORY_STARVATION_MARKS = (
+    "UNABLE_TO_ACQUIRE_MEMORY",
+    "SparkOutOfMemoryError",
+    "OutOfMemoryError",
+)
+
+
+def _is_memory_starvation(exc: Exception) -> bool:
+    msg = str(exc)
+    return any(m in msg for m in _MEMORY_STARVATION_MARKS)
 
 
 def _checkpoint_observed(df: DataFrame, **aggs) -> tuple[DataFrame, dict]:
@@ -118,20 +148,54 @@ def _checkpoint_observed(df: DataFrame, **aggs) -> tuple[DataFrame, dict]:
     aggregates are computed inline by the checkpoint's own job, so the
     probe is free: one action per round, probe included (measured: CC
     round job count halved; the bench ledger's ``jobs`` column pins
-    it)."""
+    it).
+
+    Memory-starvation recovery (round 10): a default-level checkpoint
+    that DIES of execution starvation (``UNABLE_TO_ACQUIRE_MEMORY`` /
+    ``SparkOutOfMemoryError`` while materializing — the r9 6g failure
+    mode, which post-materialization measurement can never catch when
+    the FIRST oversized state is the one that dies) flips the session
+    to the serialized level and retries the round once. The retry is
+    sound because the failed checkpoint never truncated anything: the
+    input lineage still references the previous round's resident state
+    (or the base scan on round one). A ``System.gc()`` nudge lets the
+    ContextCleaner drop the failed attempt's partial blocks before the
+    retry."""
+    spark = df.sparkSession
     obs = Observation()
     observed = df.observe(obs, *[expr.alias(name) for name, expr in aggs.items()])
-    level = _ckpt_level(df.sparkSession)
-    out = (
-        observed.localCheckpoint(eager=True, storageLevel=level)
-        if level is not None
-        else observed.localCheckpoint()
-    )
-    if level is None:
-        # default-level state just materialized: measure it against the
-        # storage budget and auto-engage the serialized level for the
-        # rest of the session if it crowds execution out
-        _maybe_auto_serialize(df.sparkSession, out)
+    level = _ckpt_level(spark)
+    if level is not None:
+        return observed.localCheckpoint(eager=True, storageLevel=level), obs.get
+    try:
+        out = observed.localCheckpoint()
+    except Exception as exc:  # noqa: BLE001 — filtered to starvation below
+        if not _is_memory_starvation(exc):
+            raise
+        spark.conf.set(CKPT_SER_CONF, "true")
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "default-level loop checkpoint died of memory starvation; "
+            "retrying the round at the serialized level (%s=true): %s",
+            CKPT_SER_CONF,
+            str(exc)[:200],
+        )
+        try:
+            spark._jvm.System.gc()  # drop the failed attempt's partial blocks
+        except Exception:  # noqa: BLE001 — best-effort nudge only
+            pass
+        obs2 = Observation()
+        observed2 = df.observe(obs2, *[expr.alias(name) for name, expr in aggs.items()])
+        return (
+            observed2.localCheckpoint(eager=True, storageLevel=_ckpt_level(spark)),
+            obs2.get,
+        )
+    # default-level state materialized: measure it against the storage
+    # budget; if it crowds execution out, auto-engage the serialized
+    # level for the rest of the session AND swap in a serialized
+    # conversion of this very state
+    out = _maybe_auto_serialize(spark, out) or out
     return out, obs.get
 
 
