@@ -806,3 +806,64 @@ def test_auto_serialized_checkpoint_stays_off_on_healthy_heap(spark):
     edges = sess.createDataFrame([("a", "b"), ("c", "d")], "src string, dst string")
     assert connected_components(vertices, edges).count() == 4
     assert (sess.conf.get(CKPT_SER_CONF, "false") or "").lower() == "false"
+
+
+def test_starvation_death_retries_round_at_serialized_level(spark, monkeypatch):
+    """Round-10 hardening: a default-level loop checkpoint that DIES of
+    memory starvation (the r9 6g failure mode — the FIRST oversized
+    state can die while materializing, before any post-materialization
+    measurement runs) must flip the session to the serialized level and
+    retry the round once; non-starvation failures must propagate
+    untouched. Simulated by making the default-level localCheckpoint
+    path raise the engine's starvation marker."""
+    # patch the CONCRETE class (pyspark 4 splits the abstract
+    # pyspark.sql.dataframe.DataFrame from the classic implementation)
+    import pyspark.sql.classic.dataframe as df_mod
+
+    from leader_graph_spark.graph.algorithms import (
+        CKPT_SER_CONF,
+        _checkpoint_observed,
+    )
+    from pyspark.sql import functions as F
+
+    sess = spark.newSession()  # isolate the sticky conf flip
+    real_ckpt = df_mod.DataFrame.localCheckpoint
+    died = {"n": 0}
+
+    def dying_default(self, eager=True, storageLevel=None):
+        if storageLevel is None:  # only the default-level attempt dies
+            died["n"] += 1
+            raise RuntimeError(
+                "Job aborted: org.apache.spark.memory.SparkOutOfMemoryError: "
+                "[UNABLE_TO_ACQUIRE_MEMORY] Unable to acquire 65536 bytes"
+            )
+        return real_ckpt(self, eager=eager, storageLevel=storageLevel)
+
+    monkeypatch.setattr(df_mod.DataFrame, "localCheckpoint", dying_default)
+    try:
+        state = sess.range(100).select(F.col("id"), (F.col("id") % 7).alias("k"))
+        out, get = _checkpoint_observed(state, n=F.count(F.lit(1)))
+        assert died["n"] == 1  # the default attempt died exactly once
+        assert (sess.conf.get(CKPT_SER_CONF, "false") or "").lower() == "true"
+        assert out.count() == 100 and get["n"] == 100  # retry carried the probe
+    finally:
+        monkeypatch.setattr(df_mod.DataFrame, "localCheckpoint", real_ckpt)
+        sess.conf.unset(CKPT_SER_CONF)
+
+    # a non-starvation failure must NOT be retried or flipped
+    sess2 = spark.newSession()
+
+    def dying_other(self, eager=True, storageLevel=None):
+        if storageLevel is None:
+            raise RuntimeError("FileNotFoundException: shuffle file lost")
+        return real_ckpt(self, eager=eager, storageLevel=storageLevel)
+
+    monkeypatch.setattr(df_mod.DataFrame, "localCheckpoint", dying_other)
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="shuffle file lost"):
+            _checkpoint_observed(sess2.range(10), n=F.count(F.lit(1)))
+        assert (sess2.conf.get(CKPT_SER_CONF, "false") or "").lower() == "false"
+    finally:
+        monkeypatch.setattr(df_mod.DataFrame, "localCheckpoint", real_ckpt)
