@@ -27,6 +27,10 @@ BENCH_BUDGETS: dict[str, tuple[float, int]] = {
     "containment_near_dup_pairs": (5.3, 15),
     "corpus_release_manifest": (3.1, 21),
     "curated_pretrain_mix": (2.0, 25),
+    # round-10 bench-set widening: the three sf1-heaviest regimes join
+    # the per-round guard (VERDICT r9 Next #7); measured at sf0.001
+    # in round 10 (0.0 MB / 3 jobs — broadcast-only at smoke scale)
+    "current_colleague_customers": (0.5, 5),
     # round-8 min_propagation static scope: measured 15
     "dedup_canonical_docs": (1.1, 22),
     "dup_span_coverage": (2.5, 10),
@@ -34,6 +38,8 @@ BENCH_BUDGETS: dict[str, tuple[float, int]] = {
     "flagship_colleagues_bucketed": (0.1, 8),
     "flagship_colleagues_interval": (0.1, 8),
     "funnel_view_click_purchase": (0.2, 5),
+    # round-10 widening: measured 0.05 MB / 5 jobs at sf0.001
+    "hourly_gap_filled_series": (0.2, 7),
     "image_phash_codec_roundtrip": (0.01, 4),
     # probes fused into checkpoint jobs + driver-side quotient
     # union-find (round 7): 105 -> 62 and 17 -> 13 driver actions;
@@ -54,6 +60,8 @@ BENCH_BUDGETS: dict[str, tuple[float, int]] = {
     "pricing_summary": (0.05, 5),
     "schoolmates_shared_part": (0.3, 8),
     "shipping_priority_top10": (0.1, 10),
+    # round-10 widening: measured 0.35 MB / 5 jobs at sf0.001
+    "simhash_near_dup_pairs": (0.8, 7),
     "supplier_nation_reach": (0.05, 16),
     "user_state_scd2": (0.2, 6),
 }
