@@ -593,3 +593,116 @@ def curated_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deciled.where(F.col("score_decile") >= _MIX_KEEP_DECILE).select(
         "doc_id", "source", "dsir_score", "score_decile"
     )
+
+
+# ---------------------------------------------------------------------------
+# Probabilistic record linkage (Fellegi-Sunter) over a deterministic
+# dirty twin of the customer table. The twin perturbs each
+# quasi-identifier on its own residue lane so every verdict class and
+# every agreement combination occurs: k%13 breaks the BLOCKING phone
+# (those pairs are lost by design — blocking is a recall decision and
+# the oracle prices it), k%7 dirties the name, k%5 the segment, k%11
+# the nation. Integer milli-weights keep the score exact bigint.
+# ---------------------------------------------------------------------------
+
+_FS_WEIGHTS = {"name": (2800, -1200), "segment": (700, -900), "nation": (1100, -1500)}
+_FS_MATCH, _FS_POSSIBLE = 2500, 0
+
+_FS_SCORE_SQL = """CAST(CASE WHEN a.name = b.name THEN 2800 ELSE -1200 END
+          + CASE WHEN a.segment = b.segment THEN 700 ELSE -900 END
+          + CASE WHEN a.nation = b.nation THEN 1100 ELSE -1500 END AS BIGINT)"""
+
+_RECORD_LINKAGE_ORACLE = f"""
+WITH a AS (
+  SELECT c_custkey AS k, c_name AS name, c_mktsegment AS segment,
+         c_nationkey AS nation, md5(CAST(c_custkey AS VARCHAR)) AS phone
+  FROM customer
+),
+b AS (
+  SELECT c_custkey AS k,
+         CASE WHEN c_custkey % 7 = 0 THEN c_name || ' jr' ELSE c_name END AS name,
+         CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS segment,
+         CASE WHEN c_custkey % 11 = 0 THEN (c_nationkey + 7) % 25 ELSE c_nationkey END AS nation,
+         CASE WHEN c_custkey % 13 = 0 THEN md5(CAST(c_custkey AS VARCHAR) || 'moved')
+              ELSE md5(CAST(c_custkey AS VARCHAR)) END AS phone
+  FROM customer
+),
+scored AS (
+  SELECT a.k AS custkey,
+         a.name = b.name AS agree_name,
+         a.segment = b.segment AS agree_segment,
+         a.nation = b.nation AS agree_nation,
+         {_FS_SCORE_SQL} AS score_milli
+  FROM a JOIN b ON a.phone = b.phone
+)
+SELECT custkey, agree_name, agree_segment, agree_nation, score_milli,
+       CASE WHEN score_milli >= {_FS_MATCH} THEN 'match'
+            WHEN score_milli >= {_FS_POSSIBLE} THEN 'possible'
+            ELSE 'non_match' END AS verdict
+FROM scored
+"""
+
+
+def _fs_twin_sides(spark: SparkSession, sf_dir: str):
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    a = cust.select(
+        k.alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nation"),
+        F.md5(k.cast("string")).alias("phone"),
+    )
+    b = cust.select(
+        k.alias("k"),
+        F.when(k % 7 == 0, F.concat(F.col("c_name"), F.lit(" jr")))
+        .otherwise(F.col("c_name"))
+        .alias("name"),
+        F.when(k % 5 == 0, F.lit("UNKNOWN")).otherwise(F.col("c_mktsegment")).alias("segment"),
+        F.when(k % 11 == 0, (F.col("c_nationkey") + 7) % 25)
+        .otherwise(F.col("c_nationkey"))
+        .alias("nation"),
+        F.when(k % 13 == 0, F.md5(F.concat(k.cast("string"), F.lit("moved"))))
+        .otherwise(F.md5(k.cast("string")))
+        .alias("phone"),
+    )
+    return a, b
+
+
+@query(
+    "record_linkage_customer_twin",
+    _RECORD_LINKAGE_ORACLE,
+    tags=("linkage", "entity-resolution", "blocking-join"),
+)
+def record_linkage_customer_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage
+    (``operators/linkage.py:fellegi_sunter_link``) between the customer
+    table and its deterministic dirty twin: blocking equi-join on the
+    synthesized phone (1/13 of twins move phone and are unrecoverable
+    by THIS blocking pass — priced by the oracle), null-safe per-field
+    agreement on name/segment/nation, integer milli-weight scores, and
+    the three-way match / possible / non_match verdict. Every output
+    column — the agreement vector, the exact bigint score and the
+    verdict — sits under the value hash. Scale shape: one shuffle per
+    side on the high-cardinality blocking key, pair count bounded by
+    blocking (1:1 here), weights constant-folded, no UDF anywhere."""
+    from leader_graph_spark.operators.linkage import fellegi_sunter_link
+
+    a, b = _fs_twin_sides(spark, sf_dir)
+    linked = fellegi_sunter_link(
+        a,
+        b,
+        block_on="phone",
+        compare={f: (f, f) for f in _FS_WEIGHTS},
+        weights=_FS_WEIGHTS,
+        match_threshold=_FS_MATCH,
+        possible_threshold=_FS_POSSIBLE,
+    )
+    return linked.select(
+        F.col("k_l").alias("custkey"),
+        "agree_name",
+        "agree_segment",
+        "agree_nation",
+        "score_milli",
+        "verdict",
+    )
