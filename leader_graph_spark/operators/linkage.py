@@ -30,10 +30,32 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["fellegi_sunter_link"]
+__all__ = ["fellegi_sunter_link", "levenshtein_within"]
+
+
+def levenshtein_within(max_edits: int) -> Callable[[Column, Column], Column]:
+    """Approximate-agreement predicate for :func:`fellegi_sunter_link`:
+    fields agree when their Levenshtein distance is within
+    ``max_edits`` (typos, OCR noise, transliteration drift — the
+    real-world reason exact-equality linkage under-merges). Built on
+    the JVM ``levenshtein`` expression (exact integer edit distance;
+    DuckDB's ``levenshtein`` matches it 1:1, so banded agreement stays
+    oracle-exact). NULL handling mirrors ``eqNullSafe``: two NULLs
+    agree, NULL vs value disagrees."""
+    if max_edits < 0:
+        raise ValueError("max_edits must be >= 0")
+
+    def pred(lc: Column, rc: Column) -> Column:
+        both_null = lc.isNull() & rc.isNull()
+        neither = lc.isNotNull() & rc.isNotNull()
+        return both_null | (neither & (F.levenshtein(lc, rc) <= int(max_edits)))
+
+    return pred
 
 
 def fellegi_sunter_link(
@@ -41,7 +63,7 @@ def fellegi_sunter_link(
     right: DataFrame,
     *,
     block_on: str | list[str],
-    compare: dict[str, tuple[str, str]],
+    compare: dict[str, tuple],
     weights: dict[str, tuple[int, int]],
     match_threshold: int,
     possible_threshold: int,
@@ -55,10 +77,15 @@ def fellegi_sunter_link(
     block_on : column name (or list) present on BOTH sides; candidate
         pairs are the equi-join on these columns (null keys never
         match, as in SQL join semantics).
-    compare : field name -> (left column, right column). Agreement is
-        null-safe equality (``eqNullSafe``): two NULLs agree, NULL vs
+    compare : field name -> (left column, right column), optionally
+        extended with an agreement predicate: ``(lcol, rcol)`` uses
+        null-safe equality (``eqNullSafe``: two NULLs agree, NULL vs
         value disagrees — the standard missing-data convention when m/u
-        estimates already price in missingness.
+        estimates already price in missingness), while
+        ``(lcol, rcol, predicate)`` supplies a custom
+        ``Callable[[Column, Column], Column]`` — e.g.
+        :func:`levenshtein_within` for typo-tolerant agreement, a
+        numeric-band lambda for dates/amounts.
     weights : field name -> (agreement_milli, disagreement_milli),
         integer milli-units of the log-likelihood ratio. Keys must
         equal ``compare``'s.
@@ -87,8 +114,12 @@ def fellegi_sunter_link(
     score: Column = F.lit(0).cast("bigint")
     agree_cols: list[Column] = []
     for fname in sorted(compare):
-        lcol, rcol = compare[fname]
-        agree = pairs[lcol + ls].eqNullSafe(pairs[rcol + rs])
+        spec = compare[fname]
+        lcol, rcol = spec[0], spec[1]
+        if len(spec) > 2:
+            agree = spec[2](pairs[lcol + ls], pairs[rcol + rs])
+        else:
+            agree = pairs[lcol + ls].eqNullSafe(pairs[rcol + rs])
         agree_cols.append(agree.alias(f"agree_{fname}"))
         w_agree, w_disagree = weights[fname]
         score = score + F.when(agree, F.lit(int(w_agree))).otherwise(

@@ -706,3 +706,113 @@ def record_linkage_customer_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_milli",
         "verdict",
     )
+
+
+# ---------------------------------------------------------------------------
+# Typo-tolerant linkage: same dirty-twin construction, but the name
+# lane plants EDIT-DISTANCE noise instead of a clean suffix — k%7
+# substitutes one character (distance 1, inside the band), k%9 appends
+# one (distance 1), k%63 gets both (distance 2, OUTSIDE the band) —
+# so the levenshtein-banded agreement predicate is exercised on both
+# sides of its threshold. Spark's levenshtein and DuckDB's agree 1:1
+# on integer edit distance, so banded agreement stays hash-exact.
+# ---------------------------------------------------------------------------
+
+_FUZZY_LEV_MAX = 1
+
+_FUZZY_LINKAGE_ORACLE = f"""
+WITH a AS (
+  SELECT c_custkey AS k, c_name AS name, c_mktsegment AS segment,
+         md5(CAST(c_custkey AS VARCHAR)) AS phone
+  FROM customer
+),
+b0 AS (
+  SELECT c_custkey AS k,
+         CASE WHEN c_custkey % 7 = 0
+              THEN substr(c_name, 1, 3) || 'x' || substr(c_name, 5)
+              ELSE c_name END AS name,
+         CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS segment,
+         md5(CAST(c_custkey AS VARCHAR)) AS phone
+  FROM customer
+),
+b AS (
+  SELECT k,
+         CASE WHEN k % 9 = 0 THEN name || 'x' ELSE name END AS name,
+         segment, phone
+  FROM b0
+),
+scored AS (
+  SELECT a.k AS custkey,
+         levenshtein(a.name, b.name) <= {_FUZZY_LEV_MAX} AS agree_name,
+         a.segment = b.segment AS agree_segment,
+         CAST(CASE WHEN levenshtein(a.name, b.name) <= {_FUZZY_LEV_MAX}
+                   THEN 2400 ELSE -1300 END
+            + CASE WHEN a.segment = b.segment THEN 700 ELSE -900 END
+            AS BIGINT) AS score_milli
+  FROM a JOIN b ON a.phone = b.phone
+)
+SELECT custkey, agree_name, agree_segment, score_milli,
+       CASE WHEN score_milli >= 2400 THEN 'match'
+            WHEN score_milli >= 0 THEN 'possible'
+            ELSE 'non_match' END AS verdict
+FROM scored
+"""
+
+
+@query(
+    "record_linkage_fuzzy_names",
+    _FUZZY_LINKAGE_ORACLE,
+    tags=("linkage", "entity-resolution", "levenshtein"),
+)
+def record_linkage_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter linkage with APPROXIMATE field agreement
+    (``operators/linkage.py:levenshtein_within``): the twin's name lane
+    carries single-edit typos (one substituted char on k%7, one
+    appended on k%9 — and distance-2 noise on k%63 that must fall
+    outside the band), so the edit-distance predicate is value-checked
+    on both sides of its threshold alongside the exact-equality segment
+    field. The levenshtein expression is JVM-side on the Spark plan and
+    native in the DuckDB oracle — two independent implementations of
+    the same integer metric under one hash."""
+    from leader_graph_spark.operators.linkage import (
+        fellegi_sunter_link,
+        levenshtein_within,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    a = cust.select(
+        k.alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.md5(k.cast("string")).alias("phone"),
+    )
+    typo7 = F.when(
+        k % 7 == 0,
+        F.concat(F.substring("c_name", 1, 3), F.lit("x"), F.expr("substring(c_name, 5)")),
+    ).otherwise(F.col("c_name"))
+    b = cust.select(
+        k.alias("k"),
+        F.when(k % 9 == 0, F.concat(typo7, F.lit("x"))).otherwise(typo7).alias("name"),
+        F.when(k % 5 == 0, F.lit("UNKNOWN")).otherwise(F.col("c_mktsegment")).alias("segment"),
+        F.md5(k.cast("string")).alias("phone"),
+    )
+    linked = fellegi_sunter_link(
+        a,
+        b,
+        block_on="phone",
+        compare={
+            "name": ("name", "name", levenshtein_within(_FUZZY_LEV_MAX)),
+            "segment": ("segment", "segment"),
+        },
+        weights={"name": (2400, -1300), "segment": (700, -900)},
+        match_threshold=2400,
+        possible_threshold=0,
+    )
+    return linked.select(
+        F.col("k_l").alias("custkey"),
+        "agree_name",
+        "agree_segment",
+        "score_milli",
+        "verdict",
+    )

@@ -88,3 +88,32 @@ def test_fellegi_sunter_validates_inputs(spark):
             weights={"name": (1, -1)},
             match_threshold=0, possible_threshold=5,
         )
+
+
+def test_levenshtein_within_band_and_nulls(spark):
+    from leader_graph_spark.operators.linkage import levenshtein_within
+
+    a = spark.createDataFrame(
+        [(1, "alpha", "b1"), (2, "alpha", "b2"), (3, None, "b3"), (4, "alpha", "b4")],
+        "id int, name string, phone string",
+    )
+    b = spark.createDataFrame(
+        [(1, "alphb", "b1"),   # distance 1: inside the band
+         (2, "alpbx", "b2"),   # distance 2: outside
+         (3, None, "b3"),      # NULL vs NULL agrees
+         (4, None, "b4")],     # NULL vs value disagrees
+        "id int, name string, phone string",
+    )
+    out = {
+        r.id_l: r.agree_name
+        for r in fellegi_sunter_link(
+            a, b, block_on="phone",
+            compare={"name": ("name", "name", levenshtein_within(1))},
+            weights={"name": (1000, -1000)},
+            match_threshold=1000, possible_threshold=0,
+        ).collect()
+    }
+    assert out == {1: True, 2: False, 3: True, 4: False}
+
+    with pytest.raises(ValueError, match="max_edits"):
+        levenshtein_within(-1)
