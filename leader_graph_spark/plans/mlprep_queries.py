@@ -816,3 +816,201 @@ def record_linkage_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_milli",
         "verdict",
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end ENTITY RESOLUTION: linkage pairs -> connected components
+# -> golden-record election. Three sources — the clean customer table
+# and TWO independently-dirtied twins (side b reuses the
+# record_linkage lanes; side c dirties different residue classes:
+# k%3 name, k%4 segment, k%6 nation, k%17 phone) — are linked a<->b
+# and a<->c by Fellegi-Sunter blocking joins; pairs with a `match`
+# verdict become edges; components merge the cluster; one golden row
+# per entity elects each field by (frequency DESC, value ASC) — fully
+# deterministic, so the whole resolution sits under the value hash.
+# Clusters are STARS centered on the clean record by construction
+# (each twin row blocks only to its own original), so the SQL oracle
+# resolves components with a single min-propagation round, while the
+# Spark side runs the GENERAL iterative CC operator — two independent
+# strategies, one fixture where both are exact.
+# ---------------------------------------------------------------------------
+
+
+def _fs_score_sql(lhs: str, rhs: str) -> str:
+    return (
+        f"CAST(CASE WHEN {lhs}.name = {rhs}.name THEN 2800 ELSE -1200 END"
+        f" + CASE WHEN {lhs}.segment = {rhs}.segment THEN 700 ELSE -900 END"
+        f" + CASE WHEN {lhs}.nation = {rhs}.nation THEN 1100 ELSE -1500 END AS BIGINT)"
+    )
+
+
+_ER_SIDES_SQL = """
+a AS (
+  SELECT c_custkey AS k, c_name AS name, c_mktsegment AS segment,
+         c_nationkey AS nation, md5(CAST(c_custkey AS VARCHAR)) AS phone
+  FROM customer
+),
+b AS (
+  SELECT c_custkey AS k,
+         CASE WHEN c_custkey % 7 = 0 THEN c_name || ' jr' ELSE c_name END AS name,
+         CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS segment,
+         CASE WHEN c_custkey % 11 = 0 THEN (c_nationkey + 7) % 25 ELSE c_nationkey END AS nation,
+         CASE WHEN c_custkey % 13 = 0 THEN md5(CAST(c_custkey AS VARCHAR) || 'moved')
+              ELSE md5(CAST(c_custkey AS VARCHAR)) END AS phone
+  FROM customer
+),
+c AS (
+  SELECT c_custkey AS k,
+         CASE WHEN c_custkey % 3 = 0 THEN c_name || ' sr' ELSE c_name END AS name,
+         CASE WHEN c_custkey % 4 = 0 THEN 'N/A' ELSE c_mktsegment END AS segment,
+         CASE WHEN c_custkey % 6 = 0 THEN (c_nationkey + 3) % 25 ELSE c_nationkey END AS nation,
+         CASE WHEN c_custkey % 17 = 0 THEN md5(CAST(c_custkey AS VARCHAR) || 'relocated')
+              ELSE md5(CAST(c_custkey AS VARCHAR)) END AS phone
+  FROM customer
+)
+"""
+
+_ER_ORACLE = f"""
+WITH {_ER_SIDES_SQL.strip()},
+recs AS (
+  SELECT 'a:' || CAST(k AS VARCHAR) AS rid, name, segment, nation FROM a
+  UNION ALL
+  SELECT 'b:' || CAST(k AS VARCHAR), name, segment, nation FROM b
+  UNION ALL
+  SELECT 'c:' || CAST(k AS VARCHAR), name, segment, nation FROM c
+),
+pairs AS (
+  SELECT 'a:' || CAST(a.k AS VARCHAR) AS center, 'b:' || CAST(b.k AS VARCHAR) AS leaf
+  FROM a JOIN b ON a.phone = b.phone
+  WHERE {_fs_score_sql('a', 'b')} >= 2500
+  UNION ALL
+  SELECT 'a:' || CAST(a.k AS VARCHAR), 'c:' || CAST(c.k AS VARCHAR)
+  FROM a JOIN c ON a.phone = c.phone
+  WHERE {_fs_score_sql('a', 'c')} >= 2500
+),
+leaves AS (SELECT leaf AS rid, min(center) AS center FROM pairs GROUP BY 1),
+ent AS (
+  SELECT r.rid, COALESCE(l.center, r.rid) AS entity, r.name, r.segment, r.nation
+  FROM recs r LEFT JOIN leaves l ON l.rid = r.rid
+),
+nm AS (SELECT entity, CAST(count(*) AS BIGINT) AS n_members FROM ent GROUP BY 1),
+gname AS (
+  SELECT entity, name AS golden_name FROM (
+    SELECT entity, name,
+           row_number() OVER (PARTITION BY entity ORDER BY count(*) DESC, name ASC) AS rn
+    FROM ent GROUP BY entity, name
+  ) WHERE rn = 1
+),
+gseg AS (
+  SELECT entity, segment AS golden_segment FROM (
+    SELECT entity, segment,
+           row_number() OVER (PARTITION BY entity ORDER BY count(*) DESC, segment ASC) AS rn
+    FROM ent GROUP BY entity, segment
+  ) WHERE rn = 1
+),
+gnat AS (
+  SELECT entity, CAST(nation AS BIGINT) AS golden_nation FROM (
+    SELECT entity, nation,
+           row_number() OVER (PARTITION BY entity ORDER BY count(*) DESC, nation ASC) AS rn
+    FROM ent GROUP BY entity, nation
+  ) WHERE rn = 1
+)
+SELECT entity, n_members, golden_name, golden_segment, golden_nation
+FROM nm JOIN gname USING (entity) JOIN gseg USING (entity) JOIN gnat USING (entity)
+"""
+
+
+def _er_third_side(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    return cust.select(
+        k.alias("k"),
+        F.when(k % 3 == 0, F.concat(F.col("c_name"), F.lit(" sr")))
+        .otherwise(F.col("c_name"))
+        .alias("name"),
+        F.when(k % 4 == 0, F.lit("N/A")).otherwise(F.col("c_mktsegment")).alias("segment"),
+        F.when(k % 6 == 0, (F.col("c_nationkey") + 3) % 25)
+        .otherwise(F.col("c_nationkey"))
+        .alias("nation"),
+        F.when(k % 17 == 0, F.md5(F.concat(k.cast("string"), F.lit("relocated"))))
+        .otherwise(F.md5(k.cast("string")))
+        .alias("phone"),
+    )
+
+
+@query(
+    "entity_resolution_golden_records",
+    _ER_ORACLE,
+    tags=("linkage", "entity-resolution", "connected-components", "golden-record"),
+)
+def entity_resolution_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-source entity resolution end-to-end: Fellegi-Sunter
+    blocking joins produce `match` pairs, the GENERAL iterative
+    connected-components operator (`graph/algorithms.py`) merges them
+    into entities, and a deterministic election — per-field mode with
+    (count DESC, value ASC) tiebreak over the member rows — emits one
+    golden record per entity with its member count. Scale shape: two
+    blocking joins (each one shuffle per side on the high-cardinality
+    key), CC over an edge set far smaller than the corpus, and three
+    narrow groupBy+window passes over members for the election; no
+    UDF, no collect. The star-shaped fixture keeps the SQL oracle to
+    one min-propagation round while the engine runs unbounded
+    propagation — agreement is exact because min-label CC converges to
+    the same fixpoint regardless of rounds."""
+    from pyspark.sql import Window
+
+    from leader_graph_spark.graph.algorithms import connected_components
+    from leader_graph_spark.operators.linkage import fellegi_sunter_link
+
+    a, b = _fs_twin_sides(spark, sf_dir)
+    c = _er_third_side(spark, sf_dir)
+
+    def rid(prefix: str, col: str):
+        return F.concat(F.lit(prefix), F.col(col).cast("string"))
+
+    recs = (
+        a.select(rid("a:", "k").alias("rid"), "name", "segment", "nation")
+        .unionByName(b.select(rid("b:", "k").alias("rid"), "name", "segment", "nation"))
+        .unionByName(c.select(rid("c:", "k").alias("rid"), "name", "segment", "nation"))
+    )
+    link_kw = dict(
+        block_on="phone",
+        compare={f: (f, f) for f in _FS_WEIGHTS},
+        weights=_FS_WEIGHTS,
+        match_threshold=_FS_MATCH,
+        possible_threshold=_FS_POSSIBLE,
+    )
+
+    def match_edges(side: DataFrame, prefix: str) -> DataFrame:
+        return (
+            fellegi_sunter_link(a, side, **link_kw)
+            .where(F.col("verdict") == "match")
+            .select(
+                F.concat(F.lit("a:"), F.col("k_l").cast("string")).alias("src"),
+                F.concat(F.lit(prefix), F.col("k_r").cast("string")).alias("dst"),
+            )
+        )
+
+    edges = match_edges(b, "b:").unionByName(match_edges(c, "c:"))
+    comp = connected_components(recs.select(F.col("rid").alias("id")), edges)
+    members = comp.join(recs, F.col("id") == F.col("rid")).select(
+        F.col("component").alias("entity"), "name", "segment", "nation"
+    )
+
+    def elect(field: str, out: str, cast: str | None = None) -> DataFrame:
+        cnt = members.groupBy("entity", field).agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.partitionBy("entity").orderBy(F.col("cnt").desc(), F.col(field).asc())
+        val = F.col(field).cast(cast) if cast else F.col(field)
+        return (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("entity", val.alias(out))
+        )
+
+    n_members = members.groupBy("entity").agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    return (
+        n_members.join(elect("name", "golden_name"), "entity")
+        .join(elect("segment", "golden_segment"), "entity")
+        .join(elect("nation", "golden_nation", "bigint"), "entity")
+        .select("entity", "n_members", "golden_name", "golden_segment", "golden_nation")
+    )

@@ -867,3 +867,51 @@ def test_starvation_death_retries_round_at_serialized_level(spark, monkeypatch):
         assert (sess2.conf.get(CKPT_SER_CONF, "false") or "").lower() == "false"
     finally:
         monkeypatch.setattr(df_mod.DataFrame, "localCheckpoint", real_ckpt)
+
+
+def test_lcc_adjacency_intersection_matches_naive(spark, sf_smoke):
+    """supplier_clustering_coefficients counts triangles by
+    degree-oriented adjacency intersection; pin it against a naive
+    driver-side enumeration of the same shared-part graph (tiny at
+    sf0.001), corner credits and the exact-ppm division included."""
+    from itertools import combinations
+
+    from leader_graph_spark.plans.graph_queries import (
+        supplier_clustering_coefficients,
+    )
+    from leader_graph_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_smoke, "lineitem")
+    sp = {
+        (r["l_suppkey"], r["l_partkey"])
+        for r in li.select("l_suppkey", "l_partkey").distinct().collect()
+    }
+    by_part: dict[int, set[int]] = {}
+    for s, p in sp:
+        by_part.setdefault(p, set()).add(s)
+    edges = {
+        (a, b)
+        for supps in by_part.values()
+        for a, b in combinations(sorted(supps), 2)
+    }
+    nbrs: dict[int, set[int]] = {}
+    for u, v in edges:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    tri = {v: 0 for v in nbrs}
+    for u, v in edges:
+        for w in nbrs[u] & nbrs[v]:
+            if w > v:  # each triangle once: u < v < w by construction
+                tri[u] += 1
+                tri[v] += 1
+                tri[w] += 1
+    expect = {
+        v: (len(nbrs[v]), tri[v], (2_000_000 * tri[v]) // (len(nbrs[v]) * (len(nbrs[v]) - 1)))
+        for v in nbrs
+        if len(nbrs[v]) >= 2
+    }
+    got = {
+        r["supp_id"]: (r["degree"], r["n_triangles"], r["lcc_ppm"])
+        for r in supplier_clustering_coefficients(spark, sf_smoke).collect()
+    }
+    assert got == expect and got  # non-empty and exactly equal
