@@ -828,6 +828,74 @@ def khop_distances(
     return visited
 
 
+def weighted_sssp(
+    edges: DataFrame, sources: DataFrame, *, rounds: int
+) -> DataFrame:
+    """Multi-source WEIGHTED shortest paths by synchronous Bellman-Ford
+    relaxation, exactly ``rounds`` fixed rounds: the returned ``dist``
+    is the minimum total edge weight over paths of at most ``rounds``
+    edges from any source — itself a well-defined quantity (bounded-hop
+    cheapest reach), and equal to the true shortest distance whenever
+    ``rounds`` ≥ the weighted-path hop depth. Fixed rounds keep the
+    unrolled-SQL-oracle contract of ``khop_distances`` /
+    ``pagerank_fixed_point``.
+
+    ``edges`` must carry (src, dst, w) with the directions the caller
+    wants relaxed (symmetrize first for undirected graphs); ``sources``
+    carries (id), seeded at dist 0. Unlike BFS, a visited anti-join is
+    WRONG here (a later path may be cheaper than the first), so each
+    round relaxes only the DELTA frontier — vertices whose distance
+    improved last round — and folds candidates into the running
+    minimum with a full-outer join + ``least``. Work per round is
+    O(edges incident to improved vertices), the standard delta
+    optimization, and provably equal to all-edge relaxation because
+    min-folding is monotone. ``localCheckpoint`` truncates lineage per
+    round; at 100 TB the round primitive (join keyed by vertex id +
+    map-side-combinable min) is the same shuffle shape GraphX/Pregel
+    compile SSSP to.
+
+    Returns (id, dist) for every vertex reached within ``rounds``
+    relaxations; sources themselves are dist 0.
+    """
+    sym, seen = _checkpoint_observed(edges, n=F.count(F.lit(1)))
+    with _loop_exec_conf(sym.sparkSession, seen["n"]):
+        dist = sources.select(
+            "id", F.lit(0).cast("bigint").alias("dist")
+        ).localCheckpoint()
+        frontier = dist
+        prev_state: DataFrame = dist  # superseded once round 1's fold lands
+        for _ in range(rounds):
+            cand = (
+                sym.join(frontier, sym.src == frontier.id)
+                .select(F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("cdist"))
+                .groupBy("id")
+                .agg(F.min("cdist").alias("cdist"))
+            )
+            folded = (
+                dist.join(cand, "id", "full")
+                .select(
+                    "id",
+                    F.least(F.col("dist"), F.col("cdist")).alias("ndist"),
+                    # improved = no previous dist, or strictly cheaper now
+                    (F.col("dist").isNull() | (F.col("cdist") < F.col("dist"))).alias(
+                        "_improved"
+                    ),
+                )
+                .localCheckpoint()
+            )
+            # the previous round's fold (or the seed state) is dead only
+            # now that this round's fold is materialized; the FINAL fold
+            # backs the returned frame and must stay resident.
+            _release(prev_state)
+            prev_state = folded
+            dist = folded.select("id", F.col("ndist").alias("dist"))
+            frontier = folded.where(F.col("_improved")).select(
+                "id", F.col("ndist").alias("dist")
+            )
+    _release(sym)
+    return dist.select("id", "dist")
+
+
 def label_propagation_fixed(edges: DataFrame, *, rounds: int) -> DataFrame:
     """Synchronous label-propagation community detection (LPA), exactly
     ``rounds`` fixed rounds — deterministic where textbook LPA is not:

@@ -1397,3 +1397,86 @@ def connected_components_narrow_labels(spark: SparkSession, sf_dir: str) -> Data
     vertices = build_vertices(spark, sf_dir)
     edges = build_membership_edges(spark, sf_dir)
     return connected_components_narrow(vertices, edges)
+
+
+_SSSP_ROUNDS = 6
+
+
+def _sssp_oracle() -> str:
+    ctes = []
+    prev = "d0"
+    for r in range(1, _SSSP_ROUNDS + 1):
+        ctes.append(
+            f"d{r} AS (SELECT id, min(dist) AS dist FROM ("
+            f"  SELECT id, dist FROM {prev}"
+            f"  UNION ALL"
+            f"  SELECT e.dst AS id, d.dist + e.w AS dist FROM {prev} d JOIN e ON d.id = e.src"
+            f") GROUP BY 1)"
+        )
+        prev = f"d{r}"
+    return f"""
+WITH cp AS (
+  SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e AS (
+  SELECT concat('c', ck) AS src, concat('p', pk) AS dst,
+         CAST((ck * 31 + pk) % 97 + 1 AS BIGINT) AS w
+  FROM cp
+  UNION ALL
+  SELECT concat('p', pk), concat('c', ck),
+         CAST((ck * 31 + pk) % 97 + 1 AS BIGINT)
+  FROM cp
+),
+d0 AS (
+  SELECT concat('c', c_custkey) AS id, CAST(0 AS BIGINT) AS dist
+  FROM customer WHERE c_custkey % 250 = 0
+),
+{",".join(ctes)}
+SELECT id, dist FROM d{_SSSP_ROUNDS}
+"""
+
+
+@query(
+    "weighted_sssp_copurchase",
+    _sssp_oracle(),
+    tags=("graph-iterative", "weighted-sssp", "bellman-ford"),
+)
+def weighted_sssp_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted multi-source shortest paths
+    (``graph/algorithms.py:weighted_sssp``) over the customer–part
+    co-purchase bipartite graph (the same graph ``kcore_copurchase``
+    peels), edge weight a pure integer function of the endpoint keys
+    ((ck·31 + pk) % 97 + 1) so both engines derive it without floats,
+    seeds every 250th customer at distance 0, exactly 6 Bellman-Ford
+    relaxation rounds. The bipartite topology gives real alternative
+    paths (two customers sharing any part create a cheaper 2-hop
+    detour whenever weights allow), so the delta-frontier relaxation
+    is exercised on genuine improvements, not just first-visits. The
+    oracle unrolls the identical 6 rounds as CTEs — bounded-hop
+    cheapest reach is exact on both sides regardless of convergence."""
+    from leader_graph_spark.graph.algorithms import weighted_sssp
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    cp = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    w = ((F.col("ck") * 31 + F.col("pk")) % 97 + 1).cast("bigint")
+    fwd = cp.select(
+        F.concat(F.lit("c"), F.col("ck").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("pk").cast("string")).alias("dst"),
+        w.alias("w"),
+    )
+    rev = cp.select(
+        F.concat(F.lit("p"), F.col("pk").cast("string")).alias("src"),
+        F.concat(F.lit("c"), F.col("ck").cast("string")).alias("dst"),
+        w.alias("w"),
+    )
+    seeds = cust.where(F.col("c_custkey") % 250 == 0).select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("id")
+    )
+    return weighted_sssp(fwd.unionByName(rev), seeds, rounds=_SSSP_ROUNDS)

@@ -915,3 +915,22 @@ def test_lcc_adjacency_intersection_matches_naive(spark, sf_smoke):
         for r in supplier_clustering_coefficients(spark, sf_smoke).collect()
     }
     assert got == expect and got  # non-empty and exactly equal
+
+
+def test_weighted_sssp_relaxes_cheaper_multihop(spark):
+    """A later, longer path that is CHEAPER must overwrite the first
+    distance written — the case the BFS visited-set shortcut would get
+    wrong — and bounded rounds must expose the pre-relaxation value."""
+    from leader_graph_spark.graph.algorithms import weighted_sssp
+
+    edges = spark.createDataFrame(
+        [("a", "b", 10), ("a", "c", 1), ("c", "b", 2), ("x", "y", 5)],
+        "src string, dst string, w long",
+    )
+    seeds = spark.createDataFrame([("a",)], "id string")
+    one = {r.id: r.dist for r in weighted_sssp(edges, seeds, rounds=1).collect()}
+    assert one == {"a": 0, "b": 10, "c": 1}  # direct edges only
+    two = {r.id: r.dist for r in weighted_sssp(edges, seeds, rounds=2).collect()}
+    assert two == {"a": 0, "b": 3, "c": 1}  # b improved via c; x/y unreachable
+    # extra rounds are no-ops once converged
+    assert two == {r.id: r.dist for r in weighted_sssp(edges, seeds, rounds=4).collect()}
