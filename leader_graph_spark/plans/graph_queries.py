@@ -1403,11 +1403,17 @@ _SSSP_ROUNDS = 6
 
 
 def _sssp_oracle() -> str:
+    # Every round references the previous round TWICE (keep-branch +
+    # relax-branch); left to CTE inlining that doubles the plan per
+    # round — 2^rounds copies of the base scan, observed as a 22 GB
+    # DuckDB OOM at the 10x replica. MATERIALIZED pins each round to
+    # one evaluation, the semantics the engine's per-round checkpoint
+    # already has.
     ctes = []
     prev = "d0"
     for r in range(1, _SSSP_ROUNDS + 1):
         ctes.append(
-            f"d{r} AS (SELECT id, min(dist) AS dist FROM ("
+            f"d{r} AS MATERIALIZED (SELECT id, min(dist) AS dist FROM ("
             f"  SELECT id, dist FROM {prev}"
             f"  UNION ALL"
             f"  SELECT e.dst AS id, d.dist + e.w AS dist FROM {prev} d JOIN e ON d.id = e.src"
@@ -1415,21 +1421,21 @@ def _sssp_oracle() -> str:
         )
         prev = f"d{r}"
     return f"""
-WITH cp AS (
+WITH cp AS MATERIALIZED (
   SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 ),
-e AS (
-  SELECT concat('c', ck) AS src, concat('p', pk) AS dst,
+e AS MATERIALIZED (
+  SELECT CAST(ck * 2 AS BIGINT) AS src, CAST(pk * 2 + 1 AS BIGINT) AS dst,
          CAST((ck * 31 + pk) % 97 + 1 AS BIGINT) AS w
   FROM cp
   UNION ALL
-  SELECT concat('p', pk), concat('c', ck),
+  SELECT CAST(pk * 2 + 1 AS BIGINT), CAST(ck * 2 AS BIGINT),
          CAST((ck * 31 + pk) % 97 + 1 AS BIGINT)
   FROM cp
 ),
 d0 AS (
-  SELECT concat('c', c_custkey) AS id, CAST(0 AS BIGINT) AS dist
+  SELECT CAST(c_custkey * 2 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist
   FROM customer WHERE c_custkey % 250 = 0
 ),
 {",".join(ctes)}
@@ -1449,12 +1455,18 @@ def weighted_sssp_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     peels), edge weight a pure integer function of the endpoint keys
     ((ck·31 + pk) % 97 + 1) so both engines derive it without floats,
     seeds every 250th customer at distance 0, exactly 6 Bellman-Ford
-    relaxation rounds. The bipartite topology gives real alternative
-    paths (two customers sharing any part create a cheaper 2-hop
-    detour whenever weights allow), so the delta-frontier relaxation
-    is exercised on genuine improvements, not just first-visits. The
-    oracle unrolls the identical 6 rounds as CTEs — bounded-hop
-    cheapest reach is exact on both sides regardless of convergence."""
+    relaxation rounds. Vertex ids are NARROW BIGINTs (customer ck·2,
+    part pk·2+1 — the disjoint-parity encoding) rather than prefixed
+    strings: every relaxation round shuffles 8-byte keys, the same
+    narrow-key argument as ``connected_components_narrow_labels``, and
+    the unrolled oracle's six pipelined hash joins stay in memory
+    where the string form OOMed DuckDB at the 10x replica. The
+    bipartite topology gives real alternative paths (two customers
+    sharing any part create a cheaper 2-hop detour whenever weights
+    allow), so the delta-frontier relaxation is exercised on genuine
+    improvements, not just first-visits. The oracle unrolls the
+    identical 6 rounds as CTEs — bounded-hop cheapest reach is exact
+    on both sides regardless of convergence."""
     from leader_graph_spark.graph.algorithms import weighted_sssp
 
     orders = load_table(spark, sf_dir, "orders")
@@ -1466,17 +1478,11 @@ def weighted_sssp_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     w = ((F.col("ck") * 31 + F.col("pk")) % 97 + 1).cast("bigint")
-    fwd = cp.select(
-        F.concat(F.lit("c"), F.col("ck").cast("string")).alias("src"),
-        F.concat(F.lit("p"), F.col("pk").cast("string")).alias("dst"),
-        w.alias("w"),
-    )
-    rev = cp.select(
-        F.concat(F.lit("p"), F.col("pk").cast("string")).alias("src"),
-        F.concat(F.lit("c"), F.col("ck").cast("string")).alias("dst"),
-        w.alias("w"),
-    )
+    cid = (F.col("ck") * 2).cast("bigint")
+    pid = (F.col("pk") * 2 + 1).cast("bigint")
+    fwd = cp.select(cid.alias("src"), pid.alias("dst"), w.alias("w"))
+    rev = cp.select(pid.alias("src"), cid.alias("dst"), w.alias("w"))
     seeds = cust.where(F.col("c_custkey") % 250 == 0).select(
-        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("id")
+        (F.col("c_custkey") * 2).cast("bigint").alias("id")
     )
     return weighted_sssp(fwd.unionByName(rev), seeds, rounds=_SSSP_ROUNDS)

@@ -49,7 +49,7 @@ def duckdb_side(sql: str, sf_dir: str, timeout: float):
     # yardsticks fail fast as oracle errors instead of starving the
     # box.
     con.execute("SET temp_directory='/tmp/duckdb_replay_tmp'")
-    con.execute("SET max_temp_directory_size='20GB'")
+    con.execute("SET max_temp_directory_size='40GB'")
     # ...and cap memory: an unrolled iterative CTE over a 12M-row sym
     # edge list took the whole box down (kernel OOM-killed the replay
     # at query 100/205) under DuckDB's default 80%-of-RAM limit. A
