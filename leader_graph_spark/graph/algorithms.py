@@ -828,6 +828,62 @@ def khop_distances(
     return visited
 
 
+def multi_source_distances(
+    edges: DataFrame, pivots: DataFrame, *, k: int
+) -> DataFrame:
+    """Per-pivot BFS: hop distance (≤ ``k``) from EACH pivot vertex
+    separately — the primitive behind distance-based centralities
+    (closeness, harmonic, eccentricity estimates), where
+    ``khop_distances``' single merged frontier only answers "distance
+    from ANY source". State and frontier carry (id, pivot) pairs, so
+    per-round work is bounded by |V| x |pivots| rather than walks; the
+    anti-join on BOTH columns keeps each (vertex, pivot) lane's FIRST
+    (= minimum) hop count, exactly the ``khop_distances`` recipe run
+    per pivot in one shared loop. At scale the pivot set is the
+    sampling knob: Eppstein-Wang style centrality estimation keeps
+    |pivots| fixed as V grows, so the state stays a constant multiple
+    of the vertex set.
+
+    Returns (id, pivot, dist) for every vertex within k hops of each
+    pivot; each pivot itself appears at dist 0.
+    """
+    sym, seen = _checkpoint_observed(symmetrize(edges), n=F.count(F.lit(1)))
+    with _loop_exec_conf(sym.sparkSession, seen["n"]):
+        # dedupe seeds: a pivot id supplied twice (e.g. a dimension
+        # table replicated at a scale twin) would otherwise plant
+        # duplicate (id, pivot) dist-0 lanes that the per-lane
+        # anti-join preserves forever, inflating every count built on
+        # the result (caught by the sf1 replica, where nation rows are
+        # duplicated 10x and n_reached read 14 instead of 5).
+        visited = (
+            pivots.select("id")
+            .distinct()
+            .select(
+                "id", F.col("id").alias("pivot"), F.lit(0).cast("bigint").alias("dist")
+            )
+            .localCheckpoint()
+        )
+        frontier = visited.select("id", "pivot")
+        prev_frontier: DataFrame | None = None
+        for r in range(1, k + 1):
+            frontier = (
+                sym.join(frontier, sym.src == frontier.id)
+                .select(F.col("dst").alias("id"), "pivot")
+                .distinct()
+                .join(visited, ["id", "pivot"], "left_anti")
+                .localCheckpoint()
+            )
+            _release(prev_frontier)
+            prev_frontier = frontier
+            new_visited = visited.unionByName(
+                frontier.select("id", "pivot", F.lit(r).cast("bigint").alias("dist"))
+            ).localCheckpoint()
+            _release(visited)
+            visited = new_visited
+    _release(sym, prev_frontier)
+    return visited
+
+
 def weighted_sssp(
     edges: DataFrame, sources: DataFrame, *, rounds: int
 ) -> DataFrame:
@@ -859,9 +915,15 @@ def weighted_sssp(
     """
     sym, seen = _checkpoint_observed(edges, n=F.count(F.lit(1)))
     with _loop_exec_conf(sym.sparkSession, seen["n"]):
-        dist = sources.select(
-            "id", F.lit(0).cast("bigint").alias("dist")
-        ).localCheckpoint()
+        # dedupe seeds: duplicate source rows would ride through the
+        # full-outer fold as duplicate per-id rows in every round and
+        # the final result (same hazard multi_source_distances guards).
+        dist = (
+            sources.select("id")
+            .distinct()
+            .select("id", F.lit(0).cast("bigint").alias("dist"))
+            .localCheckpoint()
+        )
         frontier = dist
         prev_state: DataFrame = dist  # superseded once round 1's fold lands
         for _ in range(rounds):

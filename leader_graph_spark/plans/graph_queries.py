@@ -1013,7 +1013,7 @@ WHERE d.d >= 2
 """
 
 
-@query("supplier_clustering_coefficients", _LCC_ORACLE, tags=("graph-motif", "clustering-coefficient"))
+@query("supplier_clustering_coefficients", _LCC_ORACLE, bench=True, tags=("graph-motif", "clustering-coefficient"))
 def supplier_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient per supplier over the SHARED-PART
     graph (round-5) — how clique-like each vertex's neighborhood is
@@ -1446,6 +1446,7 @@ SELECT id, dist FROM d{_SSSP_ROUNDS}
 @query(
     "weighted_sssp_copurchase",
     _sssp_oracle(),
+    bench=True,
     tags=("graph-iterative", "weighted-sssp", "bellman-ford"),
 )
 def weighted_sssp_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1486,3 +1487,93 @@ def weighted_sssp_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_custkey") * 2).cast("bigint").alias("id")
     )
     return weighted_sssp(fwd.unionByName(rev), seeds, rounds=_SSSP_ROUNDS)
+
+
+_CLOSENESS_K = 4
+
+
+def _closeness_oracle() -> str:
+    # min-fold BFS unroll: equivalent to the engine's anti-join frontier
+    # for unweighted graphs (first reach IS the minimum), MATERIALIZED
+    # per round for the same reason as the SSSP oracle (each round is
+    # referenced twice; inlining doubles the plan per round).
+    ctes = []
+    prev = "v0"
+    for r in range(1, _CLOSENESS_K + 1):
+        ctes.append(
+            f"v{r} AS MATERIALIZED (SELECT id, pv, min(dist) AS dist FROM ("
+            f"  SELECT id, pv, dist FROM {prev}"
+            f"  UNION ALL"
+            f"  SELECT s.dst AS id, v.pv, v.dist + 1 AS dist"
+            f"  FROM {prev} v JOIN sym s ON v.id = s.src"
+            f") GROUP BY 1, 2)"
+        )
+        prev = f"v{r}"
+    return f"""
+WITH e0 AS (
+  SELECT md5(concat('nation', '_', n_name)) AS src,
+         md5(concat('region', '_', r_name)) AS dst
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+  UNION ALL
+  SELECT md5(concat('customer', '_', c_name)),
+         md5(concat('nation', '_', n_name))
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+),
+sym AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+  )
+),
+v0 AS (
+  SELECT md5(concat('nation', '_', n_name)) AS id,
+         md5(concat('nation', '_', n_name)) AS pv,
+         CAST(0 AS BIGINT) AS dist
+  FROM nation
+),
+{",".join(ctes)}
+SELECT id,
+       CAST(count(*) AS BIGINT) AS n_reached,
+       CAST(sum(dist) AS BIGINT) AS sum_dist,
+       CAST(CASE WHEN sum(dist) > 0 THEN (count(*) * 1000000) // sum(dist)
+                 ELSE 0 END AS BIGINT) AS closeness_milli
+FROM v{_CLOSENESS_K}
+GROUP BY id
+"""
+
+
+@query(
+    "closeness_centrality_membership",
+    _closeness_oracle(),
+    tags=("graph-iterative", "closeness-centrality", "multi-pivot-bfs"),
+)
+def closeness_centrality_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-based closeness centrality over the membership graph
+    (``graph/algorithms.py:multi_source_distances``): every nation
+    vertex is a pivot, 4 BFS rounds track (vertex, pivot) distance
+    lanes separately, and each vertex aggregates (pivots reached, sum
+    of distances, exact integer milli-closeness = reached·10^6 div
+    sum). This is the Eppstein–Wang estimation shape — at 100 TB the
+    pivot set stays FIXED while the graph grows, so the per-round
+    state is a constant multiple of the vertex set and the answer
+    converges to true closeness with O(log V / eps^2) pivots; here the
+    25 nations are the full organization tier, so the figure is exact
+    for the membership topology (cross-region vertices are simply
+    unreached — closeness over the reachable set, the standard
+    disconnected-graph convention). Oracle: min-fold BFS unrolled 4
+    rounds, equivalent to the engine's anti-join frontier because
+    first reach is the minimum hop count."""
+    from leader_graph_spark.functions.scalar import md5_key
+    from leader_graph_spark.graph.algorithms import multi_source_distances
+
+    nation = load_table(spark, sf_dir, "nation")
+    edges = build_membership_edges(spark, sf_dir).select("src", "dst")
+    pivots = nation.select(md5_key(F.lit("nation"), "n_name").alias("id"))
+    dists = multi_source_distances(edges, pivots, k=_CLOSENESS_K)
+    return dists.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+        F.sum("dist").cast("bigint").alias("sum_dist"),
+        F.expr(
+            "CAST(CASE WHEN sum(dist) > 0 THEN (count(*) * 1000000) div sum(dist) "
+            "ELSE 0 END AS BIGINT)"
+        ).alias("closeness_milli"),
+    )

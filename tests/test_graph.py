@@ -934,3 +934,23 @@ def test_weighted_sssp_relaxes_cheaper_multihop(spark):
     assert two == {"a": 0, "b": 3, "c": 1}  # b improved via c; x/y unreachable
     # extra rounds are no-ops once converged
     assert two == {r.id: r.dist for r in weighted_sssp(edges, seeds, rounds=4).collect()}
+
+
+def test_multi_source_distances_tracks_pivots_separately(spark):
+    """Two pivots on a path: each (vertex, pivot) lane carries its own
+    hop count, unreached lanes are absent, and k bounds the reach."""
+    from leader_graph_spark.graph.algorithms import multi_source_distances
+
+    # path a-b-c-d plus isolated z
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    pivots = spark.createDataFrame([("a",), ("d",)], "id string")
+    out = {
+        (r.id, r.pivot): r.dist
+        for r in multi_source_distances(edges, pivots, k=2).collect()
+    }
+    assert out == {
+        ("a", "a"): 0, ("b", "a"): 1, ("c", "a"): 2,
+        ("d", "d"): 0, ("c", "d"): 1, ("b", "d"): 2,
+    }  # d not reached from a (3 hops > k), z in no lane
