@@ -958,6 +958,67 @@ def weighted_sssp(
     return dist.select("id", "dist")
 
 
+def temporal_earliest_arrival(
+    contacts: DataFrame, seeds: DataFrame, *, rounds: int
+) -> DataFrame:
+    """Time-respecting reachability (earliest-arrival temporal BFS):
+    given timestamped ``contacts`` (src, dst, t) and ``seeds`` known at
+    time 0, a vertex's arrival is the minimum time it can first be
+    reached over paths whose contact times are NON-DECREASING — the
+    information/contagion-spread semantics of temporal networks, which
+    static reachability overstates (a contact that happened BEFORE the
+    source itself was reached cannot transmit). Relaxation per round:
+    ``arr'(v) = min(arr(v), min{t : (u,v,t) ∈ contacts, t ≥ arr(u)})``,
+    exactly ``rounds`` rounds (bounded-hop earliest arrival — the
+    fixed-round oracle contract of ``weighted_sssp``, whose delta
+    frontier and full-outer min-fold this reuses; seeds deduped for
+    the same replica-duplication hazard). Scale shape per round: one
+    join keyed by vertex id against the contact list plus a
+    map-side-combinable min — contacts shuffle ONCE up front, the
+    frontier is the only per-round stream.
+
+    Returns (id, arrival) for every vertex reachable time-respectingly
+    within ``rounds`` contact hops; seeds themselves are arrival 0.
+    """
+    sym, seen = _checkpoint_observed(contacts, n=F.count(F.lit(1)))
+    with _loop_exec_conf(sym.sparkSession, seen["n"]):
+        arr = (
+            seeds.select("id")
+            .distinct()
+            .select("id", F.lit(0).cast("bigint").alias("arrival"))
+            .localCheckpoint()
+        )
+        frontier = arr
+        prev_state: DataFrame = arr
+        for _ in range(rounds):
+            cand = (
+                sym.join(frontier, sym.src == frontier.id)
+                .where(F.col("t") >= F.col("arrival"))
+                .select(F.col("dst").alias("id"), F.col("t").alias("carr"))
+                .groupBy("id")
+                .agg(F.min("carr").alias("carr"))
+            )
+            folded = (
+                arr.join(cand, "id", "full")
+                .select(
+                    "id",
+                    F.least(F.col("arrival"), F.col("carr")).alias("narr"),
+                    (F.col("arrival").isNull() | (F.col("carr") < F.col("arrival"))).alias(
+                        "_improved"
+                    ),
+                )
+                .localCheckpoint()
+            )
+            _release(prev_state)
+            prev_state = folded
+            arr = folded.select("id", F.col("narr").alias("arrival"))
+            frontier = folded.where(F.col("_improved")).select(
+                "id", F.col("narr").alias("arrival")
+            )
+    _release(sym)
+    return arr.select("id", "arrival")
+
+
 def label_propagation_fixed(edges: DataFrame, *, rounds: int) -> DataFrame:
     """Synchronous label-propagation community detection (LPA), exactly
     ``rounds`` fixed rounds — deterministic where textbook LPA is not:

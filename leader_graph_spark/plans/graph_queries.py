@@ -1577,3 +1577,88 @@ def closeness_centrality_membership(spark: SparkSession, sf_dir: str) -> DataFra
             "ELSE 0 END AS BIGINT)"
         ).alias("closeness_milli"),
     )
+
+
+_TEMPORAL_ROUNDS = 4
+
+
+def _temporal_oracle() -> str:
+    # same MATERIALIZED-per-round discipline as the SSSP oracle: each
+    # round references the previous one twice, and default inlining
+    # doubles the plan per round.
+    ctes = []
+    prev = "a0"
+    for r in range(1, _TEMPORAL_ROUNDS + 1):
+        ctes.append(
+            f"a{r} AS MATERIALIZED (SELECT id, min(arrival) AS arrival FROM ("
+            f"  SELECT id, arrival FROM {prev}"
+            f"  UNION ALL"
+            f"  SELECT e.dst AS id, e.t AS arrival"
+            f"  FROM {prev} a JOIN e ON a.id = e.src AND e.t >= a.arrival"
+            f") GROUP BY 1)"
+        )
+        prev = f"a{r}"
+    return f"""
+WITH ct AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk,
+         CAST(datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS t
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e AS MATERIALIZED (
+  SELECT CAST(ck * 2 AS BIGINT) AS src, CAST(sk * 2 + 1 AS BIGINT) AS dst, t FROM ct
+  UNION ALL
+  SELECT CAST(sk * 2 + 1 AS BIGINT), CAST(ck * 2 AS BIGINT), t FROM ct
+),
+a0 AS (
+  SELECT CAST(c_custkey * 2 AS BIGINT) AS id, CAST(0 AS BIGINT) AS arrival
+  FROM customer WHERE c_custkey % 500 = 0
+),
+{",".join(ctes)}
+SELECT id, arrival FROM a{_TEMPORAL_ROUNDS}
+"""
+
+
+@query(
+    "temporal_reachability_contacts",
+    _temporal_oracle(),
+    tags=("graph-iterative", "temporal-bfs", "earliest-arrival"),
+)
+def temporal_reachability_contacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-respecting earliest arrival
+    (``graph/algorithms.py:temporal_earliest_arrival``) over the
+    customer–supplier CONTACT stream: every (customer, supplier,
+    ship-day) lineitem triple is a timestamped contact, every 500th
+    customer is seeded at day 0, and a vertex's arrival is the first
+    day it can be reached over a chain of contacts whose days never
+    decrease — the contagion/information-spread semantics a static
+    reachability query overstates (a supplier's January contact cannot
+    forward what its customer only learned in March). Vertex ids are
+    the narrow disjoint-parity BIGINTs (ck·2 / sk·2+1); 4 fixed
+    relaxation rounds; the oracle unrolls the identical rounds with
+    MATERIALIZED CTEs. Everything — days, ids, arrivals — is exact
+    integer arithmetic on both engines."""
+    from leader_graph_spark.graph.algorithms import temporal_earliest_arrival
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    ct = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("ck"),
+            F.col("l_suppkey").alias("sk"),
+            F.datediff(F.to_date("l_shipdate"), F.lit("1992-01-01").cast("date"))
+            .cast("bigint")
+            .alias("t"),
+        )
+        .distinct()
+    )
+    cid = (F.col("ck") * 2).cast("bigint")
+    sid = (F.col("sk") * 2 + 1).cast("bigint")
+    contacts = ct.select(cid.alias("src"), sid.alias("dst"), "t").unionByName(
+        ct.select(sid.alias("src"), cid.alias("dst"), "t")
+    )
+    seeds = cust.where(F.col("c_custkey") % 500 == 0).select(
+        (F.col("c_custkey") * 2).cast("bigint").alias("id")
+    )
+    return temporal_earliest_arrival(contacts, seeds, rounds=_TEMPORAL_ROUNDS)

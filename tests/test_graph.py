@@ -954,3 +954,22 @@ def test_multi_source_distances_tracks_pivots_separately(spark):
         ("a", "a"): 0, ("b", "a"): 1, ("c", "a"): 2,
         ("d", "d"): 0, ("c", "d"): 1, ("b", "d"): 2,
     }  # d not reached from a (3 hops > k), z in no lane
+
+
+def test_temporal_earliest_arrival_respects_time_order(spark):
+    """A contact earlier than the source's own arrival must NOT
+    transmit; a later chain must; arrival is the contact's time."""
+    from leader_graph_spark.graph.algorithms import temporal_earliest_arrival
+
+    contacts = spark.createDataFrame(
+        [
+            ("a", "b", 5),   # a(0) -> b arrives day 5
+            ("b", "c", 3),   # happened BEFORE b knew (3 < 5): no transmit
+            ("b", "d", 7),   # 7 >= 5: d arrives day 7
+            ("d", "c", 9),   # c finally arrives day 9 via d
+        ],
+        "src string, dst string, t long",
+    )
+    seeds = spark.createDataFrame([("a",), ("a",)], "id string")  # dup seed on purpose
+    out = {r.id: r.arrival for r in temporal_earliest_arrival(contacts, seeds, rounds=3).collect()}
+    assert out == {"a": 0, "b": 5, "d": 7, "c": 9}
