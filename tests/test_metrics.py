@@ -62,8 +62,14 @@ BENCH_BUDGETS: dict[str, tuple[float, int]] = {
     "shipping_priority_top10": (0.1, 10),
     # round-10 widening: measured 0.35 MB / 5 jobs at sf0.001
     "simhash_near_dup_pairs": (0.8, 7),
+    # round-10 widening: adjacency-intersection triangles, measured
+    # 0.085 MB / 16 jobs at sf0.001
+    "supplier_clustering_coefficients": (0.2, 21),
     "supplier_nation_reach": (0.05, 16),
     "user_state_scd2": (0.2, 6),
+    # round-10 widening: delta-frontier Bellman-Ford, measured
+    # 1.63 MB / 15 jobs at sf0.001
+    "weighted_sssp_copurchase": (3.3, 20),
 }
 
 
