@@ -244,3 +244,36 @@ def test_distributed_ntile_property(spark, values, k):
         ).collect()
     }
     assert mine == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=1, max_value=10),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_weighted_sssp_matches_reference_bellman_ford(spark, raw_edges):
+    """On arbitrary small weighted digraphs, the delta-frontier loop
+    must equal a driver-side all-edge Bellman-Ford run to convergence
+    (rounds = |V| suffices: shortest paths have < |V| edges)."""
+    from leader_graph_spark.graph.algorithms import weighted_sssp
+
+    edges = [(f"v{a}", f"v{b}", w) for a, b, w in raw_edges if a != b]
+    if not edges:
+        return
+    dist = {"v0": 0}
+    for _ in range(7):
+        for a, b, w in edges:
+            if a in dist and dist[a] + w < dist.get(b, float("inf")):
+                dist[b] = dist[a] + w
+    edf = spark.createDataFrame(edges, "src string, dst string, w long")
+    seeds = spark.createDataFrame([("v0",)], "id string")
+    got = {r.id: r.dist for r in weighted_sssp(edf, seeds, rounds=7).collect()}
+    assert got == dist
