@@ -425,3 +425,183 @@ def transition_dwell_times(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("gap_us").cast("bigint").alias("total_dwell_us"),
         F.expr("CAST(sum(gap_us) div count(1) AS BIGINT)").alias("mean_dwell_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution over a purchase lookback window
+# ---------------------------------------------------------------------------
+
+_ATTRIB_LOOKBACK_DAYS = 3
+
+_ATTRIB_TOUCHES_ORACLE = f"""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS pts
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, event_id, event_type, ts
+  FROM events WHERE event_type IN ('view', 'click')
+),
+j AS (
+  SELECT p.purchase_id, p.user_id, p.pts, t.event_id, t.event_type, t.ts
+  FROM p LEFT JOIN t
+    ON p.user_id = t.user_id
+   AND t.ts < p.pts
+   AND t.ts >= p.pts - INTERVAL {_ATTRIB_LOOKBACK_DAYS} DAY
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY purchase_id ORDER BY ts ASC, event_id ASC) AS rn_first,
+         row_number() OVER (PARTITION BY purchase_id ORDER BY ts DESC, event_id DESC) AS rn_last
+  FROM j
+)
+SELECT purchase_id, user_id,
+       CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS INT) AS n_views,
+       CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS INT) AS n_clicks,
+       min(CASE WHEN rn_first = 1 THEN event_type END) AS first_touch_type,
+       max(CASE WHEN rn_last = 1 THEN event_type END) AS last_touch_type,
+       CAST(epoch_us(min(pts)) - epoch_us(max(ts)) AS BIGINT) AS last_touch_gap_us
+FROM ranked GROUP BY purchase_id, user_id
+"""
+
+
+@query("purchase_attribution_touches", _ATTRIB_TOUCHES_ORACLE, tags=("behavior", "attribution"))
+def purchase_attribution_touches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-purchase touchpoint summary for multi-touch attribution:
+    every purchase paired with the view/click touches in the trailing
+    3-day lookback window (strictly before the purchase instant) —
+    touch counts per channel, first/last touch channel, and the
+    integer-microsecond gap from the last touch to the purchase.
+    Purchases with NO touch in the window survive the left join with
+    zero counts and NULL channels (the "dark conversion" row the
+    channel rollup must not lose).
+
+    Determinism: first/last touch resolved by ``max_by/min_by`` on the
+    (ts, event_id) struct — the event-id tiebreak makes equal-timestamp
+    touches deterministic; the gap is epoch-µs arithmetic, no floats.
+
+    Scale shape: an equi-join on ``user_id`` with the lookback band as
+    a post-join theta — per-user event counts are bounded, so the band
+    filter runs inside each sort-merge key group and the join output
+    is O(purchases × touches-in-window), never a time cross product.
+    At 100 TB the join key would be (user_id, day-bucket) exactly as
+    in ``operators/intervals.point_in_interval_join``; with the
+    synthetic per-user densities the plain user key is the faster plan
+    (no bucket replication of the probe side)."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    p = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("pts")
+    )
+    t = events.where(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("t_type"),
+        F.col("ts").alias("t_ts"),
+    )
+    j = p.join(
+        t,
+        (p["user_id"] == t["user_id"])
+        & (t["t_ts"] < p["pts"])
+        & (t["t_ts"] >= p["pts"] - F.expr(f"INTERVAL {_ATTRIB_LOOKBACK_DAYS} DAYS")),
+        "left",
+    ).select(p["purchase_id"], p["user_id"], p["pts"], "t_id", "t_type", "t_ts")
+    return j.groupBy("purchase_id", "user_id").agg(
+        F.count(F.when(F.col("t_type") == "view", 1)).cast("int").alias("n_views"),
+        F.count(F.when(F.col("t_type") == "click", 1)).cast("int").alias("n_clicks"),
+        F.expr("min_by(t_type, struct(t_ts, t_id))").alias("first_touch_type"),
+        F.expr("max_by(t_type, struct(t_ts, t_id))").alias("last_touch_type"),
+        (F.unix_micros(F.min("pts")) - F.unix_micros(F.max("t_ts")))
+        .cast("bigint")
+        .alias("last_touch_gap_us"),
+    )
+
+
+_ATTRIB_CREDIT_ORACLE = f"""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS pts
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, event_id, event_type, ts
+  FROM events WHERE event_type IN ('view', 'click')
+),
+j AS (
+  SELECT p.purchase_id, t.event_id, t.event_type, t.ts
+  FROM p JOIN t
+    ON p.user_id = t.user_id
+   AND t.ts < p.pts
+   AND t.ts >= p.pts - INTERVAL {_ATTRIB_LOOKBACK_DAYS} DAY
+),
+sized AS (
+  SELECT *, count(*) OVER (PARTITION BY purchase_id) AS n_touches,
+         row_number() OVER (PARTITION BY purchase_id ORDER BY ts DESC, event_id DESC) AS rn_last,
+         row_number() OVER (PARTITION BY purchase_id ORDER BY ts ASC, event_id ASC) AS rn_first
+  FROM j
+)
+SELECT event_type AS channel,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(count(CASE WHEN rn_last = 1 THEN 1 END) AS BIGINT) AS last_touch_purchases,
+       CAST(count(CASE WHEN rn_first = 1 THEN 1 END) AS BIGINT) AS first_touch_purchases,
+       CAST(sum(1000000000 // n_touches) AS BIGINT) AS linear_credit_nano
+FROM sized GROUP BY event_type
+"""
+
+
+@query("attribution_channel_credit", _ATTRIB_CREDIT_ORACLE, tags=("behavior", "attribution"))
+def attribution_channel_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Channel-level attribution rollup over the same 3-day lookback
+    pairing: for each channel (view / click) the number of purchases it
+    closed (last-touch), opened (first-touch), and its linear-model
+    credit — each purchase's single credit unit split evenly across its
+    touches. Credit is fixed-pointed BEFORE summing
+    (``1e9 div n_touches`` per touch, integer division) so the
+    distributed sum is order-independent and engine-exact; nothing
+    float crosses the aggregation.
+
+    Scale: reuses the purchase×touch band join (user-keyed, see
+    ``purchase_attribution_touches``), then two purchase-keyed window
+    ranks — same partitioning as the join output, so AQE coalesces
+    them into one exchange; the final rollup is a |channels|-row
+    aggregate with map-side combine."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    p = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("pts")
+    )
+    t = events.where(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("t_type"),
+        F.col("ts").alias("t_ts"),
+    )
+    j = p.join(
+        t,
+        (p["user_id"] == t["user_id"])
+        & (t["t_ts"] < p["pts"])
+        & (t["t_ts"] >= p["pts"] - F.expr(f"INTERVAL {_ATTRIB_LOOKBACK_DAYS} DAYS")),
+    ).select(p["purchase_id"], "t_id", "t_type", "t_ts")
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("purchase_id")
+    sized = j.select(
+        "t_type",
+        F.count(F.lit(1)).over(wp).alias("n_touches"),
+        F.row_number()
+        .over(wp.orderBy(F.desc("t_ts"), F.desc("t_id")))
+        .alias("rn_last"),
+        F.row_number()
+        .over(wp.orderBy(F.asc("t_ts"), F.asc("t_id")))
+        .alias("rn_first"),
+    )
+    return sized.groupBy(F.col("t_type").alias("channel")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.count(F.when(F.col("rn_last") == 1, 1))
+        .cast("bigint")
+        .alias("last_touch_purchases"),
+        F.count(F.when(F.col("rn_first") == 1, 1))
+        .cast("bigint")
+        .alias("first_touch_purchases"),
+        F.sum(F.expr("1000000000 div n_touches")).cast("bigint").alias("linear_credit_nano"),
+    )

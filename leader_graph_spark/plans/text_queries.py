@@ -1334,3 +1334,167 @@ def arrow_grouped_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang string, n_docs long, total_chars long, min_chars long, max_chars long",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer design: vocab-size coverage curve
+# ---------------------------------------------------------------------------
+
+_VOCAB_CURVE_ORACLE = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents
+),
+counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+ranked AS (
+  SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rnk
+  FROM (SELECT * FROM counts ORDER BY cnt DESC, token LIMIT 64)
+),
+tot AS (SELECT sum(cnt) AS total, count(*) AS n_types FROM counts),
+ks AS (SELECT unnest([8, 16, 24, 32, 64]) AS k)
+SELECT k,
+       CAST(least(k, tot.n_types) AS INT) AS n_vocab_types,
+       CAST(COALESCE(sum(r.cnt), 0) AS BIGINT) AS tokens_covered,
+       CAST(tot.total AS BIGINT) AS total_tokens,
+       CAST(COALESCE(sum(r.cnt), 0) * 1000000000 // tot.total AS BIGINT) AS coverage_nano
+FROM ks CROSS JOIN tot LEFT JOIN ranked r ON r.rnk <= ks.k
+GROUP BY k, tot.total, tot.n_types
+"""
+
+
+@query("vocab_coverage_curve", _VOCAB_CURVE_ORACLE, tags=("tokenizer", "text-vocab"))
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary sizing report: for each candidate vocab
+    size K, what fraction of corpus token OCCURRENCES the top-K
+    frequency-ranked types would cover — the curve a tokenizer designer
+    reads to pick a vocab size before training. Coverage is exact
+    integer arithmetic (count × 1e9 div total), no floats.
+
+    Scale shape: the only corpus-sized work is the token count
+    (groupBy on token with map-side combine — the same single exchange
+    every frequency query pays); the ranked head is top-64 via
+    orderBy+limit ⇒ TakeOrderedAndProject, so the full vocabulary
+    never funnels through a one-partition rank window, and the
+    K-expansion is a literal 5-row frame cross-joined against ≤64
+    ranked rows — driver-sized, broadcast, free."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = counts.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_types")
+    )
+    head = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(64)
+    ranked = head.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), F.asc("token")))
+        .alias("rnk"),
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in (8, 16, 24, 32, 64)])).alias("k")
+    )
+    return (
+        ks.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(ranked), F.col("rnk") <= F.col("k"), "left")
+        .groupBy("k", "total", "n_types")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("tokens_covered"))
+        .select(
+            "k",
+            F.least(F.col("k"), F.col("n_types")).cast("int").alias("n_vocab_types"),
+            "tokens_covered",
+            F.col("total").cast("bigint").alias("total_tokens"),
+            F.expr("CAST(tokens_covered * 1000000000 div total AS BIGINT)").alias(
+                "coverage_nano"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM quality scoring (add-one smoothed, integer-exact)
+# ---------------------------------------------------------------------------
+
+_BIGRAM_LM_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+),
+toks AS (SELECT doc_id, unnest(t) AS token FROM docs),
+uni AS (SELECT token, count(*) AS c1 FROM toks GROUP BY token),
+v AS (SELECT count(*) AS vsize FROM uni),
+bi_stream AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                i -> struct_pack(w1 := t[CAST(i AS INT)], w2 := t[CAST(i + 1 AS INT)]))) AS bg
+  FROM docs WHERE len(t) >= 2
+),
+bi AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM bi_stream),
+bic AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+scored AS (
+  SELECT b.doc_id,
+         (bic.c12 + 1) * 1000000000 // (uni.c1 + v.vsize) AS p_nano
+  FROM bi b JOIN bic USING (w1, w2) JOIN uni ON b.w1 = uni.token CROSS JOIN v
+)
+SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+       CAST(sum(p_nano) // count(*) AS BIGINT) AS avg_bigram_prob_nano,
+       CAST(min(p_nano) AS BIGINT) AS min_bigram_prob_nano
+FROM scored GROUP BY doc_id
+"""
+
+
+@query("bigram_lm_quality", _BIGRAM_LM_ORACLE, tags=("quality-lm", "tokenizer"))
+def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency scoring (the CCNet/KenLM-style perplexity
+    filter one order up from ``unigram_lm_quality``): every document
+    scored by the mean and minimum add-one-smoothed conditional bigram
+    probability P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V) of its adjacent token
+    pairs, with the LM trained on the corpus itself. The MIN column is
+    the disfluency detector — one never-seen transition drags it to the
+    smoothing floor even when the mean looks fluent.
+
+    Exactness: probabilities are fixed-pointed by INTEGER division
+    ((c12+1)·1e9 div (c1+V)) before any aggregation, so sums are
+    order-independent and both engines produce bit-equal BIGINTs —
+    no transcendental functions, no float summation.
+
+    Scale shape: the bigram stream is O(corpus tokens) rows built
+    JVM-side from the split array (transform over a sequence — no
+    Python); counts collapse map-side on (w1,w2); scoring is two
+    equi-joins against count tables that are vocabulary-sized (≪
+    corpus) plus a broadcast 1-row V — at web scale those count tables
+    broadcast when they fit and hash-partition when they don't, never
+    an all-pairs."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
+    )
+    toks = docs.select(F.explode("t").alias("token"))
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c1"))
+    vsize = uni.agg(F.count(F.lit(1)).alias("vsize"))
+    bi = docs.where(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    bic = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    scored = (
+        bi.join(bic, ["w1", "w2"])
+        .join(uni.withColumnRenamed("token", "w1"), "w1")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "doc_id",
+            F.expr("(c12 + 1) * 1000000000 div (c1 + vsize)").alias("p_nano"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+        F.expr("CAST(sum(p_nano) div count(1) AS BIGINT)").alias(
+            "avg_bigram_prob_nano"
+        ),
+        F.min("p_nano").cast("bigint").alias("min_bigram_prob_nano"),
+    )

@@ -1054,3 +1054,81 @@ def retractable_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_v").cast("bigint").alias("min_cents"),
         F.col("max_v").cast("bigint").alias("max_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: large-volume customers (group-HAVING join-back)
+# ---------------------------------------------------------------------------
+
+_Q18_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+       CAST(CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN big ON o.o_orderkey = big.l_orderkey
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY CAST(o.o_totalprice AS DECIMAL(18,2)) DESC, o.o_orderdate, o.o_orderkey
+LIMIT 100
+"""
+
+
+@query("large_volume_customers", _Q18_ORACLE, tags=("J8", "A1", "W3"))
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose lineitems sum to more than 250
+    quantity units, joined back to their customer and re-aggregated —
+    the canonical group-HAVING semi-join pattern (reference analogue:
+    the dup-check aggregation gates of src/leader_other_info_2_mysql.py,
+    which decide per-key whether a group crosses a threshold before
+    joining detail rows back).
+
+    Scale shape: the HAVING aggregate runs FIRST on lineitem alone
+    (map-side partial sums on l_orderkey, no wide join input), and its
+    survivor set — a few % of orders at the 250 threshold — drives the
+    detail join, so the expensive customer×orders×lineitem join only
+    ever sees qualifying orders. The survivor set joins lineitem on the
+    SAME l_orderkey partitioning the aggregate just produced (AQE
+    reuses the exchange), and the top-100 is TakeOrderedAndProject with
+    a (price, date, orderkey) total order — quantity sums stay DECIMAL
+    through the HAVING comparison and the final sort; only the output
+    projection casts to DOUBLE."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("decimal(18,2)").alias("qty")
+    )
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("big_qty"))
+        .where(F.col("big_qty") > 250)
+        .select("l_orderkey")
+    )
+    detail = lineitem.join(big, "l_orderkey")
+    return (
+        detail.join(orders, detail.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+        )
+        .agg(F.sum("qty").cast("decimal(28,2)").alias("sum_qty_dec"))
+        .orderBy(F.desc("price_dec"), F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(100)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("price_dec").cast("double").alias("o_totalprice"),
+            F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        )
+    )

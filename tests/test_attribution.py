@@ -1,0 +1,127 @@
+"""Crafted-case semantics for the round-10 additions: multi-touch
+attribution boundaries, the Q18 group-HAVING join-back, the vocab
+coverage curve, and the bigram-LM scorer's smoothing arithmetic."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+
+def _ts(s: str):
+    return datetime.fromisoformat(s)
+
+
+def _write_events(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    ).select("event_id", "ts", "user_id", "event_type", F.lit(0.0).alias("value"), F.lit("{}").alias("props"))
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_attribution_lookback_boundaries(spark, tmp_path):
+    from leader_graph_spark.plans.behavior_queries import purchase_attribution_touches
+
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [
+            # purchase 100 at Jan 10 00:00; lookback [Jan 7 00:00, Jan 10 00:00)
+            (1, _ts("2024-01-07 00:00:00"), 1, "view"),  # exactly -3d → included
+            (2, _ts("2024-01-06 23:59:59"), 1, "view"),  # older than 3d → excluded
+            (3, _ts("2024-01-10 00:00:00"), 1, "click"),  # same instant → excluded
+            (4, _ts("2024-01-09 12:00:00"), 1, "click"),  # in window → included, last
+            (100, _ts("2024-01-10 00:00:00"), 1, "purchase"),
+            # purchase 200 with no touches at all: dark conversion row.
+            (200, _ts("2024-01-20 00:00:00"), 2, "purchase"),
+        ],
+    )
+    got = {r.purchase_id: r for r in purchase_attribution_touches(spark, sf).collect()}
+    p = got[100]
+    assert (p.n_views, p.n_clicks) == (1, 1)
+    assert p.first_touch_type == "view" and p.last_touch_type == "click"
+    assert p.last_touch_gap_us == 12 * 3600 * 1_000_000
+    dark = got[200]
+    assert (dark.n_views, dark.n_clicks) == (0, 0)
+    assert dark.first_touch_type is None and dark.last_touch_gap_us is None
+
+
+def test_attribution_linear_credit_is_fixed_point_split(spark, tmp_path):
+    from leader_graph_spark.plans.behavior_queries import attribution_channel_credit
+
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [
+            # one purchase, three touches: 2 views + 1 click (click last).
+            (1, _ts("2024-01-09 01:00:00"), 1, "view"),
+            (2, _ts("2024-01-09 02:00:00"), 1, "view"),
+            (3, _ts("2024-01-09 03:00:00"), 1, "click"),
+            (100, _ts("2024-01-10 00:00:00"), 1, "purchase"),
+        ],
+    )
+    got = {r.channel: r for r in attribution_channel_credit(spark, sf).collect()}
+    per_touch = 1_000_000_000 // 3
+    assert got["view"].linear_credit_nano == 2 * per_touch
+    assert got["click"].linear_credit_nano == per_touch
+    assert got["click"].last_touch_purchases == 1
+    assert got["view"].first_touch_purchases == 1
+    assert got["view"].last_touch_purchases == 0
+
+
+def test_large_volume_customers_having_gate(spark, tmp_path):
+    from leader_graph_spark.plans.warehouse_queries import large_volume_customers
+
+    li = spark.createDataFrame(
+        # order 10: 260 > 250 qualifies; order 20: exactly 250 must NOT.
+        [(10, 200.0), (10, 60.0), (20, 250.0)],
+        "l_orderkey bigint, l_quantity double",
+    )
+    orders = spark.createDataFrame(
+        [(10, 1, 1000.0, _ts("2024-01-01 00:00:00")), (20, 1, 2000.0, _ts("2024-01-02 00:00:00"))],
+        "o_orderkey bigint, o_custkey bigint, o_totalprice double, o_orderdate timestamp",
+    )
+    cust = spark.createDataFrame([(1, "Customer#1")], "c_custkey bigint, c_name string")
+    li.write.parquet(str(tmp_path / "lineitem.parquet"))
+    orders.write.parquet(str(tmp_path / "orders.parquet"))
+    cust.write.parquet(str(tmp_path / "customer.parquet"))
+    rows = large_volume_customers(spark, str(tmp_path)).collect()
+    assert [(r.o_orderkey, r.sum_qty) for r in rows] == [(10, 260.0)]
+
+
+def test_vocab_coverage_curve_monotone_and_exact(spark, tmp_path):
+    from leader_graph_spark.plans.text_queries import vocab_coverage_curve
+
+    docs = spark.createDataFrame(
+        # freq: a=4, b=2, c=1 → total 7 occurrences, 3 types.
+        [(1, "a a b", "en", "s", 5), (2, "a a b c", "en", "s", 7)],
+        "doc_id bigint, text string, lang string, source string, n_chars int",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {r.k: r for r in vocab_coverage_curve(spark, str(tmp_path)).collect()}
+    assert rows[8].n_vocab_types == 3  # only 3 types exist
+    assert rows[8].tokens_covered == 7 and rows[8].total_tokens == 7
+    assert rows[8].coverage_nano == 1_000_000_000
+    # every k ≥ #types saturates identically
+    assert rows[64].tokens_covered == 7
+
+
+def test_bigram_lm_add_one_smoothing(spark, tmp_path):
+    from leader_graph_spark.plans.text_queries import bigram_lm_quality
+
+    docs = spark.createDataFrame(
+        # corpus: "a b a b" and "a b" → unigrams a=3,b=3 V=2; bigrams:
+        # (a,b)=3, (b,a)=1.
+        [(1, "a b a b", "en", "s", 7), (2, "a b", "en", "s", 3)],
+        "doc_id bigint, text string, lang string, source string, n_chars int",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {r.doc_id: r for r in bigram_lm_quality(spark, str(tmp_path)).collect()}
+    p_ab = (3 + 1) * 1_000_000_000 // (3 + 2)  # c12=3, c1(a)=3, V=2
+    p_ba = (1 + 1) * 1_000_000_000 // (3 + 2)
+    assert rows[2].n_bigrams == 1 and rows[2].avg_bigram_prob_nano == p_ab
+    assert rows[1].n_bigrams == 3
+    assert rows[1].avg_bigram_prob_nano == (2 * p_ab + p_ba) // 3
+    assert rows[1].min_bigram_prob_nano == p_ba
