@@ -1732,3 +1732,50 @@ def personalized_pagerank_fixed_point(
             ranks = new_ranks
     _release(edges, outd, seeded)
     return ranks
+
+
+def ancestor_closure(parents: DataFrame, *, max_rounds: int) -> DataFrame:
+    """Transitive (node, anc, depth) closure of a parent-pointer
+    forest — the traversal under every org-chart / category-tree
+    rollup. ``parents`` is one (child, parent) row per non-root node;
+    in a forest each node has exactly one parent, so every
+    node→ancestor path is unique and the closure needs no distinct.
+
+    Pregel-style: each round joins the frontier's current ancestor
+    back to the parent table to climb one level (shuffle keyed by the
+    ancestor id), accumulating (node, anc, depth) rows. Fixed
+    ``max_rounds`` (an empty frontier makes remaining rounds no-op
+    joins) so a recursive-CTE oracle reproduces it exactly; chains
+    stop naturally at nodes with no parent row. ``localCheckpoint``
+    truncates lineage per round. Output size is O(nodes × depth) —
+    bounded for the shallow trees org hierarchies actually are
+    (fanout-f forests have depth log_f n).
+    """
+    par, seen = _checkpoint_observed(
+        parents.select("child", "parent"), n=F.count(F.lit(1))
+    )
+    with _loop_exec_conf(par.sparkSession, seen["n"]):
+        frontier = par.select(
+            F.col("child").alias("node"),
+            F.col("parent").alias("anc"),
+            F.lit(1).alias("depth"),
+        ).localCheckpoint()
+        closure = frontier
+        prev_frontier: DataFrame | None = None
+        for _ in range(2, max_rounds + 1):
+            frontier = (
+                frontier.join(par, frontier.anc == par.child)
+                .select(
+                    frontier.node,
+                    par.parent.alias("anc"),
+                    (frontier.depth + 1).alias("depth"),
+                )
+                .localCheckpoint()
+            )
+            _release(prev_frontier)
+            prev_frontier = frontier
+            new_closure = closure.unionByName(frontier).localCheckpoint()
+            _release(closure)
+            closure = new_closure
+    _release(par, prev_frontier)
+    return closure

@@ -1662,3 +1662,82 @@ def temporal_reachability_contacts(spark: SparkSession, sf_dir: str) -> DataFram
         (F.col("c_custkey") * 2).cast("bigint").alias("id")
     )
     return temporal_earliest_arrival(contacts, seeds, rounds=_TEMPORAL_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy subtree rollup over a parent-pointer forest
+# ---------------------------------------------------------------------------
+
+_SUBTREE_ROLLUP_ORACLE = """
+WITH RECURSIVE par AS (
+  SELECT c_custkey AS child, c_custkey // 8 AS parent
+  FROM customer WHERE c_custkey // 8 >= 1
+),
+anc AS (
+  SELECT child AS node, parent AS anc, 1 AS depth FROM par
+  UNION ALL
+  SELECT a.node, p.parent, a.depth + 1 FROM anc a JOIN par p ON a.anc = p.child
+)
+SELECT c.c_custkey AS node_key,
+       CAST(count(*) AS BIGINT) AS n_descendants,
+       CAST(max(a.depth) AS INT) AS subtree_depth,
+       CAST(sum(CAST(floor(d.c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS desc_balance_cents
+FROM anc a
+JOIN customer d ON a.node = d.c_custkey
+JOIN customer c ON a.anc = c.c_custkey
+GROUP BY c.c_custkey
+"""
+
+
+@query("hierarchy_subtree_rollup", _SUBTREE_ROLLUP_ORACLE, tags=("J2", "graph-hierarchy"))
+def hierarchy_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Org-chart subtree rollup: every node of a parent-pointer forest
+    aggregated over its FULL descendant set — headcount, subtree
+    depth, and the summed account balance of everyone below — the
+    query behind "total budget under this org unit" on the reference's
+    BELONGS_TO hierarchy (``src/mysql2neo4j.py:204-227``), which stops
+    at one level because Cypher walks it per-request; here the whole
+    forest rolls up in one pass. The forest is synthesized over
+    customers by integer key arithmetic (parent = custkey div 8 — a
+    fanout-8 forest, depth log₈ n) so every scale factor carries the
+    same shape.
+
+    Exactness: balances go through the portable cents fixed-point
+    before summing; counts/depths are integers end-to-end.
+
+    Scale shape: ``ancestor_closure`` climbs the forest in O(depth)
+    rounds — each a join keyed on the ancestor id over a frontier that
+    is at most one row per node — then ONE groupBy on the ancestor key
+    aggregates the O(n·depth) closure. Nothing quadratic: a fanout-f
+    forest keeps the closure to n·log_f n rows, and hot ancestor keys
+    (the roots, with the most descendants) are exactly the AQE
+    skew-split case the session enables."""
+    from leader_graph_spark.graph.algorithms import ancestor_closure
+
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").alias("bal_cents"),
+    )
+    par = customer.select(
+        F.col("c_custkey").alias("child"),
+        F.expr("c_custkey div 8").alias("parent"),
+    ).where(F.col("parent") >= 1)
+    # 8^12 > any replica-offset key (≤ ~1.6e9), so 12 rounds always
+    # exhausts the forest; later rounds are empty-frontier no-ops.
+    closure = ancestor_closure(par, max_rounds=12)
+    return (
+        closure.join(
+            customer.select(F.col("c_custkey").alias("node"), "bal_cents"), "node"
+        )
+        .join(
+            customer.select(F.col("c_custkey").alias("anc")).alias("exists_anc"),
+            "anc",
+        )
+        .groupBy(F.col("anc").alias("node_key"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_descendants"),
+            F.max("depth").cast("int").alias("subtree_depth"),
+            F.sum("bal_cents").cast("bigint").alias("desc_balance_cents"),
+        )
+    )

@@ -17,7 +17,7 @@ written with identical parenthesization in both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from leader_graph_spark.plans.registry import query
@@ -448,3 +448,104 @@ def kmv_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = kmv_sketch(orders.where(F.col("yr") == 1994), key_col="o_custkey", k=_KMV_K)
     b = kmv_sketch(orders.where(F.col("yr") == 1995), key_col="o_custkey", k=_KMV_K)
     return kmv_overlap_estimates(a, b, k=_KMV_K)
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift per nation
+# ---------------------------------------------------------------------------
+
+_KS_DRIFT_ORACLE = """
+WITH px AS (
+  SELECT n.n_name AS nation,
+         CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         CASE WHEN o.o_orderdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END AS is_early
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+per_val AS (
+  SELECT nation, cents,
+         sum(is_early) AS a_cnt, sum(1 - is_early) AS b_cnt
+  FROM px GROUP BY nation, cents
+),
+cum AS (
+  SELECT nation,
+         sum(a_cnt) OVER (PARTITION BY nation ORDER BY cents) AS cum_a,
+         sum(b_cnt) OVER (PARTITION BY nation ORDER BY cents) AS cum_b,
+         sum(a_cnt) OVER (PARTITION BY nation) AS n_a,
+         sum(b_cnt) OVER (PARTITION BY nation) AS n_b
+  FROM per_val
+)
+SELECT nation,
+       CAST(max(n_a) AS BIGINT) AS n_early,
+       CAST(max(n_b) AS BIGINT) AS n_late,
+       CAST(max(abs(cum_a * 1000000000 // n_a - cum_b * 1000000000 // n_b)) AS BIGINT)
+         AS ks_nano
+FROM cum GROUP BY nation
+"""
+
+
+@query("price_drift_ks", _KS_DRIFT_ORACLE, tags=("stats-drift", "dq"))
+def price_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic per nation: how
+    far the order-price distribution moved between the early
+    (< 1998) and late (≥ 1998) periods — the distribution-drift gate a
+    training pipeline runs between ingestion snapshots before letting
+    a new batch into the mix (PSI's nonparametric sibling: no binning
+    choice, sensitive to any CDF displacement).
+
+    Exactness: prices go through the portable cents fixed-point; each
+    side's ECDF is computed in nano-units by INTEGER division
+    (cum·1e9 div n), so the max-gap statistic is a BIGINT both engines
+    agree on bit-for-bit. (At corpus scales where a group's count
+    approaches 1e9 rows, cum·1e9 nears the BIGINT edge — the nano
+    numerator would move to DECIMAL(38,0); at these SFs BIGINT holds
+    with 9 digits of headroom.)
+
+    Scale shape: one fact-side join to broadcast dims, a (nation,
+    cents) pre-aggregate that collapses duplicate price points
+    map-side, then a nation-partitioned ordered window over DISTINCT
+    price values only — the window never sees raw orders, and its
+    partitioning key is the same nation key the final aggregate
+    groups on, so the cumulative pass and the max-gap reduce share
+    one exchange."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    px = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+            F.when(
+                F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), 1
+            )
+            .otherwise(0)
+            .alias("is_early"),
+        )
+    )
+    per_val = px.groupBy("nation", "cents").agg(
+        F.sum("is_early").alias("a_cnt"),
+        F.sum(F.lit(1) - F.col("is_early")).alias("b_cnt"),
+    )
+    w_ord = Window.partitionBy("nation").orderBy("cents")
+    w_all = Window.partitionBy("nation")
+    cum = per_val.select(
+        "nation",
+        F.sum("a_cnt").over(w_ord).alias("cum_a"),
+        F.sum("b_cnt").over(w_ord).alias("cum_b"),
+        F.sum("a_cnt").over(w_all).alias("n_a"),
+        F.sum("b_cnt").over(w_all).alias("n_b"),
+    )
+    return cum.groupBy("nation").agg(
+        F.max("n_a").cast("bigint").alias("n_early"),
+        F.max("n_b").cast("bigint").alias("n_late"),
+        F.max(
+            F.abs(
+                F.expr("cum_a * 1000000000 div n_a - cum_b * 1000000000 div n_b")
+            )
+        )
+        .cast("bigint")
+        .alias("ks_nano"),
+    )

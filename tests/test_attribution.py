@@ -125,3 +125,55 @@ def test_bigram_lm_add_one_smoothing(spark, tmp_path):
     assert rows[1].n_bigrams == 3
     assert rows[1].avg_bigram_prob_nano == (2 * p_ab + p_ba) // 3
     assert rows[1].min_bigram_prob_nano == p_ba
+
+
+def test_ancestor_closure_and_rollup_semantics(spark, tmp_path):
+    from leader_graph_spark.plans.graph_queries import hierarchy_subtree_rollup
+
+    # forest over keys 1..20, parent = k div 8: children of 1 are 8..15,
+    # children of 2 are 16..20; 1's subtree also includes nothing deeper
+    # (8*8=64 > 20). Balances = key value in dollars.
+    cust = spark.createDataFrame(
+        [(k, f"c{k}", 0, float(k), "SEG") for k in range(1, 21)],
+        "c_custkey bigint, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    )
+    cust.write.parquet(str(tmp_path / "customer.parquet"))
+    got = {r.node_key: r for r in hierarchy_subtree_rollup(spark, str(tmp_path)).collect()}
+    # node 1: direct children 8..15 → 8 descendants, depth 1, sum 8..15
+    assert got[1].n_descendants == 8 and got[1].subtree_depth == 1
+    assert got[1].desc_balance_cents == sum(range(8, 16)) * 100
+    # node 2: children 16..20
+    assert got[2].n_descendants == 5
+    assert got[2].desc_balance_cents == sum(range(16, 21)) * 100
+    # leaves (e.g. 9) have no rollup row at all
+    assert 9 not in got
+
+
+def test_ks_drift_exact_statistic(spark, tmp_path):
+    from leader_graph_spark.plans.stats_queries import price_drift_ks
+
+    from datetime import datetime as dt
+
+    early = dt(1997, 1, 1)
+    late = dt(1999, 1, 1)
+    # one nation; early sample {1,2}, late sample {2,3}:
+    # ECDF gaps at v=1: |1/2-0| = .5 ; v=2: |1-1/2| = .5 ; v=3: 0 → KS 0.5
+    orders = spark.createDataFrame(
+        [
+            (1, 1, 1.0, early),
+            (2, 1, 2.0, early),
+            (3, 1, 2.0, late),
+            (4, 1, 3.0, late),
+        ],
+        "o_orderkey bigint, o_custkey bigint, o_totalprice double, o_orderdate timestamp",
+    )
+    cust = spark.createDataFrame([(1, 0)], "c_custkey bigint, c_nationkey int")
+    nation = spark.createDataFrame([(0, "N0", 0)], "n_nationkey int, n_name string, n_regionkey int")
+    orders.write.parquet(str(tmp_path / "orders.parquet"))
+    cust.write.parquet(str(tmp_path / "customer.parquet"))
+    nation.write.parquet(str(tmp_path / "nation.parquet"))
+    rows = price_drift_ks(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_early, r.n_late) == (2, 2)
+    assert r.ks_nano == 500_000_000
