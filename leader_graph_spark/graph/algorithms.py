@@ -1779,3 +1779,117 @@ def ancestor_closure(parents: DataFrame, *, max_rounds: int) -> DataFrame:
             closure = new_closure
     _release(par, prev_frontier)
     return closure
+
+
+def pivot_betweenness(
+    edges: DataFrame, pivots: DataFrame, *, k: int, unit: int = 1_000_000
+) -> DataFrame:
+    """Pivot-sampled, depth-bounded betweenness dependencies (Brandes
+    2001 §4, with the pivot-sampling of Brandes-Pich 2007): for each
+    pivot s, a forward BFS counts shortest paths σ per (vertex, pivot)
+    lane, then the backward pass accumulates the dependency
+    δ(v) = Σ_{w ∈ succ(v)} σ_v/σ_w · (1 + δ_w) level by level.
+    Returns one (id, pivot, dist, delta) row per lane with δ computed
+    at hop depth < k (the deepest level's δ is identically 0 and is
+    not emitted); betweenness is the per-vertex sum over pivots.
+
+    ``edges`` must already contain both directions. δ is fixed-pointed:
+    each edge's share is computed by INTEGER division
+    (σ_v·(unit+δ_w) div σ_w) before the per-vertex sum, so the
+    distributed aggregation is order-independent and an unrolled SQL
+    oracle reproduces it bit-for-bit. (σ·δ products stay far inside
+    BIGINT at these scales with milli units; a corpus-scale run would
+    move the numerator to DECIMAL(38,0).)
+
+    Scale shape: forward is the ``multi_source_distances`` lane plan —
+    per-round shuffles keyed on vertex id, state bounded by
+    |V|·|pivots| — plus a (vertex, pivot) partial-sum for σ. Backward
+    is k-1 joins of the edge list against two adjacent BFS levels,
+    each keyed on vertex id; nothing ever materializes per-path."""
+    sym, seen = _checkpoint_observed(
+        edges.select("src", "dst"), n=F.count(F.lit(1))
+    )
+    with _loop_exec_conf(sym.sparkSession, seen["n"]):
+        visited = pivots.select(
+            "id",
+            F.col("id").alias("pv"),
+            F.lit(0).alias("dist"),
+            F.lit(1).cast("bigint").alias("sigma"),
+        ).localCheckpoint()
+        frontier = visited
+        prev_frontier: DataFrame | None = None
+        for r in range(1, k + 1):
+            msgs = sym.join(frontier, sym.src == frontier.id).select(
+                F.col("dst").alias("id"), "pv", "sigma"
+            )
+            frontier = (
+                msgs.groupBy("id", "pv")
+                .agg(F.sum("sigma").alias("sigma"))
+                .join(visited.select("id", "pv"), ["id", "pv"], "left_anti")
+                .select("id", "pv", F.lit(r).alias("dist"), "sigma")
+                .localCheckpoint()
+            )
+            _release(prev_frontier)
+            prev_frontier = frontier
+            new_visited = visited.unionByName(frontier).localCheckpoint()
+            _release(visited)
+            visited = new_visited
+
+        # level 1's backward round would only produce the pivots' own
+        # (dist 0) dependencies, which betweenness excludes — stop at 2.
+        delta: DataFrame | None = None
+        for level in range(k, 1, -1):
+            upper = visited.where(F.col("dist") == level - 1).select(
+                F.col("id").alias("u_id"), "pv", F.col("sigma").alias("u_sigma")
+            )
+            lower = visited.where(F.col("dist") == level).select(
+                F.col("id").alias("w_id"),
+                F.col("pv").alias("w_pv"),
+                F.col("sigma").alias("w_sigma"),
+            )
+            if delta is not None:
+                lower = lower.join(
+                    delta.select(
+                        F.col("id").alias("w_id"),
+                        F.col("pv").alias("w_pv"),
+                        F.col("delta").alias("w_delta"),
+                    ),
+                    ["w_id", "w_pv"],
+                    "left",
+                )
+            else:
+                lower = lower.withColumn("w_delta", F.lit(None).cast("bigint"))
+            contrib = (
+                sym.join(upper, sym.src == upper.u_id)
+                .join(
+                    lower,
+                    (F.col("dst") == F.col("w_id")) & (F.col("pv") == F.col("w_pv")),
+                )
+                .select(
+                    "u_id",
+                    "pv",
+                    F.expr(
+                        f"(u_sigma * ({unit} + coalesce(w_delta, CAST(0 AS BIGINT))))"
+                        " div w_sigma"
+                    ).alias("share"),
+                )
+            )
+            du = (
+                contrib.groupBy("u_id", "pv")
+                .agg(F.sum("share").cast("bigint").alias("delta"))
+                .select(
+                    F.col("u_id").alias("id"),
+                    "pv",
+                    F.lit(level - 1).alias("dist"),
+                    "delta",
+                )
+                .localCheckpoint()
+            )
+            if delta is None:
+                delta = du
+            else:
+                merged = delta.unionByName(du).localCheckpoint()
+                _release(delta, du)
+                delta = merged
+    _release(sym, prev_frontier, visited)
+    return delta.where(F.col("dist") > 0)

@@ -1741,3 +1741,131 @@ def hierarchy_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bal_cents").cast("bigint").alias("desc_balance_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pivot-sampled betweenness centrality over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_BETW_K = 3
+_BETW_UNIT = 1_000_000
+
+
+def _betweenness_oracle() -> str:
+    # Brandes unrolled: min-fold BFS for distances, per-level σ sums,
+    # then the backward dependency accumulation δ with the SAME
+    # integer-division fixed-point as the engine. MATERIALIZED per CTE
+    # (each level is referenced by the next two).
+    k, u = _BETW_K, _BETW_UNIT
+    ctes = []
+    prev = "d0"
+    for r in range(1, k + 1):
+        ctes.append(
+            f"d{r} AS MATERIALIZED (SELECT id, pv, min(dist) AS dist FROM ("
+            f"  SELECT id, pv, dist FROM {prev}"
+            f"  UNION ALL"
+            f"  SELECT e.dst AS id, v.pv, v.dist + 1 AS dist"
+            f"  FROM {prev} v JOIN e ON v.id = e.src"
+            f") GROUP BY 1, 2)"
+        )
+        prev = f"d{r}"
+    ctes.append("s0 AS (SELECT id, pv, CAST(1 AS BIGINT) AS sigma FROM d0)")
+    for lv in range(1, k + 1):
+        ctes.append(
+            f"s{lv} AS MATERIALIZED ("
+            f"  SELECT dd.id, dd.pv, sum(s.sigma) AS sigma"
+            f"  FROM s{lv - 1} s JOIN e ON s.id = e.src"
+            f"  JOIN d{k} dd ON dd.id = e.dst AND dd.pv = s.pv AND dd.dist = {lv}"
+            f"  GROUP BY 1, 2)"
+        )
+    for lv in range(k, 1, -1):
+        dl = (
+            f" LEFT JOIN delta{lv} dl ON dl.id = w.id AND dl.pv = w.pv"
+            if lv < k
+            else ""
+        )
+        dexpr = "coalesce(dl.delta, CAST(0 AS BIGINT))" if lv < k else "CAST(0 AS BIGINT)"
+        ctes.append(
+            f"delta{lv - 1} AS MATERIALIZED ("
+            f"  SELECT u.id, u.pv,"
+            f"         sum((u.sigma * ({u} + {dexpr})) // w.sigma) AS delta"
+            f"  FROM s{lv - 1} u JOIN e ON u.id = e.src"
+            f"  JOIN s{lv} w ON w.id = e.dst AND w.pv = u.pv{dl}"
+            f"  GROUP BY 1, 2)"
+        )
+    lanes = " UNION ALL ".join(
+        f"SELECT id, pv, delta FROM delta{lv}" for lv in range(1, k)
+    )
+    return f"""
+WITH cp AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e AS MATERIALIZED (
+  SELECT CAST(ck * 2 AS BIGINT) AS src, CAST(pk * 2 + 1 AS BIGINT) AS dst FROM cp
+  UNION ALL
+  SELECT CAST(pk * 2 + 1 AS BIGINT), CAST(ck * 2 AS BIGINT) FROM cp
+),
+d0 AS (
+  SELECT CAST(c_custkey * 2 AS BIGINT) AS id,
+         CAST(c_custkey * 2 AS BIGINT) AS pv,
+         CAST(0 AS BIGINT) AS dist
+  FROM customer WHERE c_custkey % 500 = 0
+),
+{",".join(ctes)}
+SELECT id,
+       CAST(count(*) AS BIGINT) AS n_lanes,
+       CAST(sum(delta) AS BIGINT) AS bc_milli
+FROM ({lanes})
+GROUP BY id
+"""
+
+
+@query(
+    "betweenness_copurchase_sampled",
+    _betweenness_oracle(),
+    tags=("graph-iterative", "betweenness-centrality", "multi-pivot-bfs"),
+)
+def betweenness_copurchase_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-sampled, depth-bounded betweenness centrality
+    (``graph/algorithms.py:pivot_betweenness``; Brandes 2001 with
+    Brandes-Pich 2007 pivot sampling) over the same customer–part
+    co-purchase bipartite graph ``kcore_copurchase`` peels and
+    ``weighted_sssp_copurchase`` relaxes: every 500th customer is a
+    pivot, 3 forward BFS rounds count shortest paths σ per
+    (vertex, pivot) lane, and the backward pass folds the dependency
+    δ(v) = Σ σ_v/σ_w·(1+δ_w) down the shortest-path DAG. The
+    bipartite topology gives real σ > 1 lanes (two customers sharing
+    several parts have that many 2-hop shortest paths), so the
+    path-ratio arithmetic is exercised, not degenerate. δ shares are
+    fixed-pointed by integer division to milli-units before summing —
+    the same order-independence discipline as closeness — so the
+    unrolled oracle matches bit-for-bit.
+
+    Scale: pivots stay FIXED as the graph grows (the Brandes-Pich
+    estimator), so state is |V|·|pivots| lanes; narrow BIGINT vertex
+    ids (ck·2/pk·2+1) keep every per-round shuffle at 8-byte keys, the
+    ``connected_components_narrow_labels`` argument."""
+    from leader_graph_spark.graph.algorithms import pivot_betweenness
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    cp = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    cid = (F.col("ck") * 2).cast("bigint")
+    pid = (F.col("pk") * 2 + 1).cast("bigint")
+    edges = cp.select(cid.alias("src"), pid.alias("dst")).unionByName(
+        cp.select(pid.alias("src"), cid.alias("dst"))
+    )
+    pivots = cust.where(F.col("c_custkey") % 500 == 0).select(
+        (F.col("c_custkey") * 2).cast("bigint").alias("id")
+    )
+    lanes = pivot_betweenness(edges, pivots, k=_BETW_K, unit=_BETW_UNIT)
+    return lanes.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lanes"),
+        F.sum("delta").cast("bigint").alias("bc_milli"),
+    )

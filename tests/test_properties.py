@@ -277,3 +277,74 @@ def test_weighted_sssp_matches_reference_bellman_ford(spark, raw_edges):
     seeds = spark.createDataFrame([("v0",)], "id string")
     got = {r.id: r.dist for r in weighted_sssp(edf, seeds, rounds=7).collect()}
     assert got == dist
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=0, max_value=5),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_pivot_betweenness_matches_reference_brandes(spark, raw_pairs):
+    """On arbitrary small undirected graphs, the lane-parallel
+    forward/backward passes must equal a driver-side Brandes run with
+    the SAME depth bound and the SAME integer fixed-point: per-level
+    BFS σ counts, then δ(v) = Σ (σ_v·(unit+δ_w)) div σ_w folded
+    level-by-level."""
+    from leader_graph_spark.graph.algorithms import pivot_betweenness
+
+    unit = 1_000_000
+    k = 3
+    und = {(a, b) for a, b in raw_pairs if a != b}
+    if not und:
+        return
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    pivot = min(adj)
+
+    # reference: BFS levels + sigma
+    dist = {pivot: 0}
+    sigma = {pivot: 1}
+    levels = [[pivot]]
+    frontier = [pivot]
+    for d in range(1, k + 1):
+        nxt: dict[int, int] = {}
+        for u in frontier:
+            for w in adj[u]:
+                if w not in dist:
+                    nxt[w] = nxt.get(w, 0) + sigma[u]
+        for w, s in nxt.items():
+            dist[w] = d
+            sigma[w] = s
+        frontier = sorted(nxt)
+        levels.append(frontier)
+    # backward dependency with the identical integer formula
+    delta: dict[int, int] = {}
+    expected: dict[int, int] = {}
+    for lv in range(k, 1, -1):
+        for u in levels[lv - 1]:
+            share = 0
+            seen_succ = False
+            for w in adj[u]:
+                if dist.get(w) == lv:
+                    seen_succ = True
+                    share += (sigma[u] * (unit + delta.get(w, 0))) // sigma[w]
+            if seen_succ:
+                delta[u] = delta.get(u, 0) + share
+                if lv - 1 > 0:
+                    expected[u] = delta[u]
+
+    both = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    edf = spark.createDataFrame(both, "src long, dst long")
+    piv = spark.createDataFrame([(pivot,)], "id long")
+    lanes = pivot_betweenness(edf, piv, k=k, unit=unit)
+    got = {r.id: r.delta for r in lanes.collect()}
+    assert got == expected
