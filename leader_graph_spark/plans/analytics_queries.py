@@ -1607,3 +1607,80 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(sum(share_ppm * share_ppm) div 1000000 AS BIGINT)").alias("hhi_ppm")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto-dominance) of supplier offers per part
+# ---------------------------------------------------------------------------
+
+_SKYLINE_ORACLE = """
+WITH offers AS (
+  SELECT l_partkey AS partkey,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents,
+         CAST(datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS BIGINT)
+           AS ship_day,
+         count(*) AS n_offers
+  FROM lineitem
+  GROUP BY 1, 2, 3
+),
+flagged AS (
+  SELECT *, min(ship_day) OVER (
+           PARTITION BY partkey ORDER BY price_cents, ship_day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS best_prev_ship
+  FROM offers
+)
+SELECT partkey, price_cents, ship_day, CAST(n_offers AS BIGINT) AS n_offers
+FROM flagged
+WHERE best_prev_ship IS NULL OR best_prev_ship > ship_day
+"""
+
+
+@query("supplier_offer_skyline", _SKYLINE_ORACLE, tags=("analytics-skyline", "W1"))
+def supplier_offer_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part skyline (Pareto frontier) of offers in the
+    (price, ship-latency) plane: an offer survives iff no other offer
+    on the same part is at least as cheap AND at least as early with
+    one strict improvement — the dominance query (Börzsönyi et al.,
+    ICDE 2001 "The Skyline Operator") behind best-offer pickers and
+    multi-objective dataset curation (keep the quality/length
+    frontier, drop dominated documents).
+
+    Mechanics: identical (price, ship) points are collapsed first
+    (pairs within a partition become unique, and tied points — which
+    never dominate each other — stay together as one frontier row with
+    a count), then ONE ordered window per part: sorted by (price asc,
+    ship asc), a row is dominated exactly when some earlier row ships
+    no later, so `min(ship) over rows-preceding` decides membership.
+    A sort-based 2-D skyline, not the O(n²) self-join textbook form.
+    All comparisons on exact integers (cents, epoch days).
+
+    Scale shape: one exchange keyed on partkey serves both the
+    collapse and the window; per-part offer counts are bounded (≤49 at
+    sf0.01, O(suppliers-per-part) generally), so no single window
+    partition ever grows with the corpus — the skyline of a 100 TB
+    catalog is embarrassingly parallel over parts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    offers = (
+        li.select(
+            F.col("l_partkey").alias("partkey"),
+            F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").alias(
+                "price_cents"
+            ),
+            F.expr(
+                "CAST(datediff(CAST(l_shipdate AS DATE), DATE '1992-01-01') AS BIGINT)"
+            ).alias("ship_day"),
+        )
+        .groupBy("partkey", "price_cents", "ship_day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_offers"))
+    )
+    w = (
+        Window.partitionBy("partkey")
+        .orderBy("price_cents", "ship_day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = offers.withColumn("best_prev_ship", F.min("ship_day").over(w))
+    return flagged.where(
+        F.col("best_prev_ship").isNull()
+        | (F.col("best_prev_ship") > F.col("ship_day"))
+    ).select("partkey", "price_cents", "ship_day", "n_offers")

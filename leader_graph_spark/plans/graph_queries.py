@@ -1869,3 +1869,90 @@ def betweenness_copurchase_sampled(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).cast("bigint").alias("n_lanes"),
         F.sum("delta").cast("bigint").alias("bc_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Harmonic centrality + bounded eccentricity over the membership graph
+# ---------------------------------------------------------------------------
+
+
+def _harmonic_oracle() -> str:
+    # Same min-fold BFS unroll as the closeness oracle; only the final
+    # fold differs (sum of reciprocal distances in milli, max dist).
+    ctes = []
+    prev = "v0"
+    for r in range(1, _CLOSENESS_K + 1):
+        ctes.append(
+            f"v{r} AS MATERIALIZED (SELECT id, pv, min(dist) AS dist FROM ("
+            f"  SELECT id, pv, dist FROM {prev}"
+            f"  UNION ALL"
+            f"  SELECT s.dst AS id, v.pv, v.dist + 1 AS dist"
+            f"  FROM {prev} v JOIN sym s ON v.id = s.src"
+            f") GROUP BY 1, 2)"
+        )
+        prev = f"v{r}"
+    return f"""
+WITH e0 AS (
+  SELECT md5(concat('nation', '_', n_name)) AS src,
+         md5(concat('region', '_', r_name)) AS dst
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+  UNION ALL
+  SELECT md5(concat('customer', '_', c_name)),
+         md5(concat('nation', '_', n_name))
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+),
+sym AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+  )
+),
+v0 AS (
+  SELECT md5(concat('nation', '_', n_name)) AS id,
+         md5(concat('nation', '_', n_name)) AS pv,
+         CAST(0 AS BIGINT) AS dist
+  FROM nation
+),
+{",".join(ctes)}
+SELECT id,
+       CAST(count(*) AS BIGINT) AS n_reached,
+       CAST(max(dist) AS INT) AS ecc_k,
+       CAST(sum(CASE WHEN dist > 0 THEN 1000000 // dist ELSE 0 END) AS BIGINT)
+         AS harmonic_milli
+FROM v{_CLOSENESS_K}
+GROUP BY id
+"""
+
+
+@query(
+    "harmonic_centrality_membership",
+    _harmonic_oracle(),
+    tags=("graph-iterative", "harmonic-centrality", "multi-pivot-bfs"),
+)
+def harmonic_centrality_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality (Boldi-Vigna's disconnected-safe variant of
+    closeness: sum of reciprocal distances, unreached pivots simply
+    contribute 0 — no reachable-set normalization artifact) plus the
+    k-bounded eccentricity, over the SAME pivot BFS lanes
+    ``closeness_centrality_membership`` builds — one
+    ``multi_source_distances`` pass, two extra integer folds. Each
+    reciprocal is fixed-pointed independently (1e6 div dist), so the
+    per-vertex sum is order-independent and engine-exact.
+
+    Scale: identical to closeness — fixed pivot set, |V|×|pivots|
+    lane state, per-round shuffles keyed on vertex id."""
+    from leader_graph_spark.functions.scalar import md5_key
+    from leader_graph_spark.graph.algorithms import multi_source_distances
+
+    nation = load_table(spark, sf_dir, "nation")
+    edges = build_membership_edges(spark, sf_dir).select("src", "dst")
+    pivots = nation.select(md5_key(F.lit("nation"), "n_name").alias("id"))
+    dists = multi_source_distances(edges, pivots, k=_CLOSENESS_K)
+    return dists.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+        F.max("dist").cast("int").alias("ecc_k"),
+        F.sum(
+            F.when(F.col("dist") > 0, F.expr("1000000 div dist")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("harmonic_milli"),
+    )

@@ -177,3 +177,70 @@ def test_ks_drift_exact_statistic(spark, tmp_path):
     r = rows[0]
     assert (r.n_early, r.n_late) == (2, 2)
     assert r.ks_nano == 500_000_000
+
+
+def test_skyline_dominance_semantics(spark, tmp_path):
+    from leader_graph_spark.plans.analytics_queries import supplier_offer_skyline
+
+    from datetime import datetime as dt, timedelta
+
+    base = dt(1992, 1, 1)
+
+    from datetime import datetime as dt
+
+    def row(pk, price, day):
+        return (pk, price, base + timedelta(days=day))
+
+    li = spark.createDataFrame(
+        [
+            # part 1: (10, d2) and (20, d1) are the frontier;
+            # (20, d3) dominated by (10, d2)? no: 20>10 price, d3>d2 → dominated by (10,d2)? price 10<20 and d2<d3 → yes dominated.
+            # (10, d2) twice → tie collapses to one row with n_offers 2.
+            row(1, 0.10, 2),
+            row(1, 0.10, 2),
+            row(1, 0.20, 1),
+            row(1, 0.20, 3),
+            # part 2: single offer always survives.
+            row(2, 0.99, 9),
+        ],
+        "l_partkey bigint, l_extendedprice double, l_shipdate timestamp",
+    )
+    li.write.parquet(str(tmp_path / "lineitem.parquet"))
+    rows = {
+        (r.partkey, r.price_cents, r.ship_day): r.n_offers
+        for r in supplier_offer_skyline(spark, str(tmp_path)).collect()
+    }
+    assert rows == {(1, 10, 2): 2, (1, 20, 1): 1, (2, 99, 9): 1}
+
+
+def test_harmonic_centrality_star_graph(spark, tmp_path):
+    from leader_graph_spark.plans.graph_queries import harmonic_centrality_membership
+
+    # one region, two nations, one customer in nation A. From pivot A:
+    # region at 1, nation B at 2, customer at 1. From pivot B: region 1,
+    # A 2, customer 3.
+    region = spark.createDataFrame([(0, "R")], "r_regionkey int, r_name string")
+    nation = spark.createDataFrame(
+        [(0, "A", 0), (1, "B", 0)], "n_nationkey int, n_name string, n_regionkey int"
+    )
+    cust = spark.createDataFrame(
+        [(1, "c1", 0, 0.0, "S")],
+        "c_custkey bigint, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    )
+    for name, df in (("region", region), ("nation", nation), ("customer", cust)):
+        df.write.parquet(str(tmp_path / f"{name}.parquet"))
+    import hashlib
+
+    def mid(kind, name):
+        return hashlib.md5(f"{kind}_{name}".encode()).hexdigest()
+
+    got = {r.id: r for r in harmonic_centrality_membership(spark, str(tmp_path)).collect()}
+    cust_row = got[mid("customer", "c1")]
+    # customer: dist 1 from A, dist 3 from B → 1e6 + 333333
+    assert cust_row.harmonic_milli == 1_000_000 + 1_000_000 // 3
+    assert cust_row.ecc_k == 3 and cust_row.n_reached == 2
+    # vertex A's lanes across pivots: from pivot A dist 0 (contributes
+    # 0), from pivot B dist 2 — harmonic sums per-vertex over pivots.
+    a_row = got[mid("nation", "A")]
+    assert a_row.harmonic_milli == 500_000
+    assert a_row.ecc_k == 2 and a_row.n_reached == 2
