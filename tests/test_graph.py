@@ -915,6 +915,20 @@ def test_lcc_adjacency_intersection_matches_naive(spark, sf_smoke):
         for r in supplier_clustering_coefficients(spark, sf_smoke).collect()
     }
     assert got == expect and got  # non-empty and exactly equal
+    # r10: the default path at smoke scale is the broadcast BITSET
+    # edge-iterator; force the size guard to 1 byte to exercise the
+    # degree-oriented large-graph fallback and pin both paths to the
+    # same naive enumeration.
+    conf = "spark.leader_graph_spark.lcc.broadcastMaxBytes"
+    spark.conf.set(conf, "1")
+    try:
+        got_oriented = {
+            r["supp_id"]: (r["degree"], r["n_triangles"], r["lcc_ppm"])
+            for r in supplier_clustering_coefficients(spark, sf_smoke).collect()
+        }
+    finally:
+        spark.conf.unset(conf)
+    assert got_oriented == expect
 
 
 def test_weighted_sssp_relaxes_cheaper_multihop(spark):
