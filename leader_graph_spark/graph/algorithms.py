@@ -308,6 +308,30 @@ class _loop_exec_conf:
         return False
 
 
+BCAST_FRONTIER_CONF = "spark.leader_graph_spark.loop.broadcastFrontierMaxRows"
+
+
+def _maybe_broadcast(frontier: DataFrame, n_rows: int) -> DataFrame:
+    """Size-guarded broadcast hint for a loop's per-round FRONTIER side
+    (r10 optimization, guide §2.4/§3.1): checkpointed loop states are
+    ``LogicalRDD`` leaves with no statistics, so Catalyst prices them
+    at ``defaultSizeInBytes`` and NEVER broadcasts them — every round
+    then sort-merge-joins the full static edge table (measured on
+    ``weighted_sssp_copurchase`` at sf0.1: the 18.4 MB symmetrized
+    edge set re-exchanged in all six rounds for frontiers of a few
+    thousand rows). The frontier's exact row count rides the previous
+    round's checkpoint observation (zero extra actions), so the hint
+    engages only when the frontier is PROVABLY at most
+    ``spark.leader_graph_spark.loop.broadcastFrontierMaxRows`` rows
+    (default 1M — tens of MB framed, comfortably inside executor
+    memory at any deployment size); a 100 TB frontier of hundreds of
+    millions of vertices stays on the shuffled path unchanged."""
+    limit = int(frontier.sparkSession.conf.get(BCAST_FRONTIER_CONF, "1000000"))
+    if 0 <= n_rows <= limit:
+        return F.broadcast(frontier)
+    return frontier
+
+
 def symmetrize(edges: DataFrame, *, disjoint_directions: bool = False) -> DataFrame:
     """Undirected view of a directed edge list (distinct both ways).
 
@@ -918,22 +942,26 @@ def weighted_sssp(
         # dedupe seeds: duplicate source rows would ride through the
         # full-outer fold as duplicate per-id rows in every round and
         # the final result (same hazard multi_source_distances guards).
-        dist = (
+        # The seed/improved counts ride the checkpoints' own jobs and
+        # feed the per-round frontier-broadcast guard (zero extra
+        # actions; _maybe_broadcast).
+        dist, sseen = _checkpoint_observed(
             sources.select("id")
             .distinct()
-            .select("id", F.lit(0).cast("bigint").alias("dist"))
-            .localCheckpoint()
+            .select("id", F.lit(0).cast("bigint").alias("dist")),
+            n=F.count(F.lit(1)),
         )
-        frontier = dist
+        frontier, n_frontier = dist, sseen["n"]
         prev_state: DataFrame = dist  # superseded once round 1's fold lands
         for _ in range(rounds):
+            fr = _maybe_broadcast(frontier, n_frontier)
             cand = (
-                sym.join(frontier, sym.src == frontier.id)
+                sym.join(fr, sym.src == fr.id)
                 .select(F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("cdist"))
                 .groupBy("id")
                 .agg(F.min("cdist").alias("cdist"))
             )
-            folded = (
+            folded, fseen = _checkpoint_observed(
                 dist.join(cand, "id", "full")
                 .select(
                     "id",
@@ -942,18 +970,25 @@ def weighted_sssp(
                     (F.col("dist").isNull() | (F.col("cdist") < F.col("dist"))).alias(
                         "_improved"
                     ),
-                )
-                .localCheckpoint()
+                ),
+                i=F.sum(F.col("_improved").cast("bigint")),
             )
             # the previous round's fold (or the seed state) is dead only
             # now that this round's fold is materialized; the FINAL fold
             # backs the returned frame and must stay resident.
             _release(prev_state)
             prev_state = folded
+            n_frontier = fseen["i"] or 0
             dist = folded.select("id", F.col("ndist").alias("dist"))
             frontier = folded.where(F.col("_improved")).select(
                 "id", F.col("ndist").alias("dist")
             )
+            # Fixed point: no distance improved, so every remaining
+            # unrolled round is a provable no-op (min-folding is
+            # monotone and idempotent) — same early-exit contract as
+            # kcore_subgraph. The observation made the probe free.
+            if n_frontier == 0:
+                break
     _release(sym)
     return dist.select("id", "dist")
 

@@ -1017,7 +1017,11 @@ def duplicated_span_coverage(
     ``org/create_c_org_info.py:401-426``); this extends the corpus-
     hygiene family the way §2's dedup suite anticipates.
     """
-    toks = df.select(
+    # fan_out: a small single-file doc table arrives as ONE scan split;
+    # tokenize + gram explode + hashing would then serialize on one core
+    # (measured: the whole sf0.1 gram stream built by a single 0.7 s
+    # task while 31 cores idle — r10). No-op at scale (already split).
+    toks = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("tokens"),
     ).select("id", "tokens", F.size("tokens").cast("long").alias("n_tokens"))
@@ -1109,7 +1113,11 @@ def excise_duplicated_spans(
     for boilerplate-laden docs that is still linear-ish because hits
     cluster (coverage windows overlap).
     """
-    toks = df.select(
+    # fan_out: a small single-file doc table arrives as ONE scan split;
+    # tokenize + gram explode + hashing would then serialize on one core
+    # (measured: the whole sf0.1 gram stream built by a single 0.7 s
+    # task while 31 cores idle — r10). No-op at scale (already split).
+    toks = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("tokens"),
     ).select("id", "tokens", F.size("tokens").cast("long").alias("n_tokens"))

@@ -57,6 +57,15 @@ def pack_by_cumsum(
     """
     order = order_col or id_col
     n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # Materialize the input once (r10 optimization): repartitionByRange
+    # executes its child an extra time for the range-boundary sampling
+    # pass, and the carry-broadcast subtree below references the ranged
+    # stream a second time — left lazy, the caller's upstream pipeline
+    # (for corpus_release_manifest, the whole curation-verdict chain)
+    # runs 2-3x per query. The checkpoint is the packer's narrow
+    # (id, tokens) projection only, so the retained block is
+    # metadata-sized relative to any corpus.
+    df = df.localCheckpoint()
     ranged = df.repartitionByRange(n, F.col(order)).withColumn(
         "_pid", F.spark_partition_id()
     )

@@ -68,8 +68,10 @@ BENCH_BUDGETS: dict[str, tuple[float, int]] = {
     "supplier_nation_reach": (0.05, 16),
     "user_state_scd2": (0.2, 6),
     # round-10 widening: delta-frontier Bellman-Ford, measured
-    # 1.63 MB / 15 jobs at sf0.001
-    "weighted_sssp_copurchase": (3.3, 20),
+    # 1.63 MB / 15 jobs at sf0.001; r10 opt: the size-guarded frontier
+    # broadcast cuts sf0.1 shuffle 110 -> 24 MB but adds one broadcast
+    # build job per round (22 = 6 rounds x (ckpt + bcast) + prologue)
+    "weighted_sssp_copurchase": (3.3, 22),
 }
 
 
