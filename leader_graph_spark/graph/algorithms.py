@@ -357,6 +357,50 @@ def degrees(edges: DataFrame) -> DataFrame:
     )
 
 
+DRIVER_CC_CONF = "spark.leader_graph_spark.cc.driverMaxEdges"
+
+
+def _driver_components(sym: DataFrame) -> DataFrame:
+    """Union-find over ONE collect of a provably-small edge set →
+    (id, component = minimum member id), bit-identical to converged
+    min-label propagation (ids compare exactly as the column's Spark
+    ordering: bigints numerically, strings as UTF8 — the same
+    equivalence ``merge_components`` pins in tests). Callers guard the
+    collect with an observed row count; this function never decides
+    size itself."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in sym.collect():
+        ra, rb = find(row.src), find(row.dst)
+        if ra != rb:
+            parent[ra] = rb
+    members = set(parent)
+    for v in list(members):
+        members.add(find(v))
+    comp_min: dict = {}
+    for v in members:
+        r = find(v)
+        m = comp_min.get(r)
+        comp_min[r] = v if m is None or v < m else m
+    schema = T.StructType(
+        [
+            T.StructField("id", sym.schema["src"].dataType),
+            T.StructField("component", sym.schema["src"].dataType),
+        ]
+    )
+    return sym.sparkSession.createDataFrame(
+        [(v, comp_min[find(v)]) for v in sorted(members)], schema
+    )
+
+
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
@@ -392,6 +436,22 @@ def connected_components(
     else:
         sym, seen = _checkpoint_observed(symmetrize(edges), n=F.count(F.lit(1)))
         n_edges = seen["n"]
+    # Size-guarded driver swap (r10, same policy and limit family as
+    # merge_components' quotient path): a provably-small edge set is
+    # solved by union-find from ONE collect instead of O(diameter)
+    # checkpointed rounds — at sf0.1 the base-CC loop of
+    # incremental_component_merge was ~20 stages of near-zero CPU,
+    # pure scheduling barriers. Labels are bit-identical (min member
+    # id, pinned by test + oracle). A 100 TB edge set never collects:
+    # the guard reads the OBSERVED count, not an estimate.
+    driver_max = int(
+        vertices.sparkSession.conf.get(DRIVER_CC_CONF, "100000")
+    )
+    if n_edges <= driver_max:
+        labels = _driver_components(sym)
+        if not assume_symmetrized:
+            _release(sym)
+        return _with_isolated(vertices, labels)
     with _loop_exec_conf(vertices.sparkSession, n_edges):
         state = _active_vertices(sym)
         labels = state
@@ -1275,36 +1335,9 @@ def merge_components(
     )
     q_edges, seen = _checkpoint_observed(q_edges, n=F.count(F.lit(1)))
     if seen["n"] <= driver_quotient_limit:
-        parent: dict = {}
-
-        def find(x):
-            root = x
-            while parent.get(root, root) != root:
-                root = parent[root]
-            while parent.get(x, x) != x:
-                parent[x], x = root, parent[x]
-            return root
-
-        for row in q_edges.collect():
-            ra, rb = find(row.src), find(row.dst)
-            if ra != rb:
-                parent[ra] = rb
-        comp_min: dict = {}
-        members = set(parent)
-        for v in list(members):
-            members.add(find(v))
-        for v in members:
-            r = find(v)
-            m = comp_min.get(r)
-            comp_min[r] = v if m is None or v < m else m
-        schema = T.StructType(
-            [
-                T.StructField("component", q_edges.schema["src"].dataType),
-                T.StructField("new_component", q_edges.schema["src"].dataType),
-            ]
-        )
-        mapping = labels.sparkSession.createDataFrame(
-            [(v, comp_min[find(v)]) for v in sorted(members)], schema
+        mapping = _driver_components(q_edges).select(
+            F.col("id").alias("component"),
+            F.col("component").alias("new_component"),
         )
         # driver path consumed the quotient in one collect — release it
         _release(q_edges)

@@ -574,12 +574,15 @@ def curated_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from leader_graph_spark.plans.analytics_queries import _distributed_ntile
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
+    # Materialize the capped corpus once (r10): three consumers below
+    # (raw-count pass, en-target pass, final source join) each re-ran
+    # the domain-cap window over the full text column when left lazy.
     capped = domain_capped_sample(
         docs.select("doc_id", "source", "text", "lang"),
         domain_col="source",
         key_col="doc_id",
         max_per_domain=_MIX_CAP,
-    ).drop("domain_rank")
+    ).drop("domain_rank").localCheckpoint()
     scores = dsir_importance_scores(
         capped,
         capped.where(F.col("lang") == "en"),
