@@ -308,6 +308,46 @@ class _loop_exec_conf:
         return False
 
 
+def _loop_partitioned(
+    df: DataFrame, key: str, scope: "_loop_exec_conf", *, release: bool = True
+) -> DataFrame:
+    """Inside an ACTIVE static loop scope, re-checkpoint a STATIC
+    per-round join side hash-partitioned and sorted by the round join
+    key (r10 optimization, guide §2.4): ``localCheckpoint`` preserves
+    ``outputPartitioning``/``outputOrdering``, so every subsequent
+    round's sort-merge join elides both the exchange and the sort on
+    this side — one up-front shuffle replaces O(rounds) of them
+    (measured on ``personalized_pagerank_regions``: the membership
+    edge set re-exchanged in all 8 iterations). No-op outside static
+    mode: under AQE the coalesced partition counts are dynamic and a
+    pinned layout cannot be proven to match."""
+    if not scope.active:
+        return df
+    min_rows = int(df.sparkSession.conf.get(PARTITIONED_MIN_CONF, "10000"))
+    if scope.n_rows < min_rows:
+        # The up-front repartition+sort+checkpoint is one extra job;
+        # below ~10k rows the per-round exchange it would elide is
+        # scheduling noise and the job is a measured net loss
+        # (dedup_canonical_docs sf0.1: +0.7 s wall, −0 shuffle bytes
+        # — its dup-pair edge set is tiny while the lane's bytes live
+        # upstream in LSH candidate generation). At/above the gate
+        # the elision wins on bytes AND wall (pagerank_membership
+        # sf0.1, 15k edges × 8 rounds: shuffle 9.7 → 1.1 MB, wall
+        # 1.68 → 1.47 s best-of-7).
+        return df
+    parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    out = df.repartition(parts, key).sortWithinPartitions(key).localCheckpoint()
+    if release:
+        # ``release=False`` when the input checkpoint is owned by the
+        # caller's caller (e.g. connected_components under
+        # assume_symmetrized) — releasing another owner's state would
+        # invalidate frames still referencing it.
+        _release(df)
+    return out
+
+
+PARTITIONED_MIN_CONF = "spark.leader_graph_spark.loop.partitionedMinRows"
+
 BCAST_FRONTIER_CONF = "spark.leader_graph_spark.loop.broadcastFrontierMaxRows"
 
 
@@ -452,7 +492,11 @@ def connected_components(
         if not assume_symmetrized:
             _release(sym)
         return _with_isolated(vertices, labels)
-    with _loop_exec_conf(vertices.sparkSession, n_edges):
+    with _loop_exec_conf(vertices.sparkSession, n_edges) as scope:
+        own_sym = not assume_symmetrized
+        part = _loop_partitioned(sym, "dst", scope, release=own_sym)
+        if part is not sym:
+            sym, own_sym = part, True
         state = _active_vertices(sym)
         labels = state
         for _ in range(max_iter):
@@ -469,7 +513,7 @@ def connected_components(
             labels = stepped.select("id", "component")
             if not seen["changed"]:
                 break
-    if not assume_symmetrized:
+    if own_sym:
         _release(sym)
     return _with_isolated(vertices, labels)
 
@@ -793,7 +837,8 @@ def min_propagation(
     # to full-vertex propagation — an isolated vertex can neither give
     # nor receive a label — so the unrolled SQL oracle is unchanged.
     sym, seen = _checkpoint_observed(symmetrize(edges), n=F.count(F.lit(1)))
-    with _loop_exec_conf(sym.sparkSession, seen["n"]):
+    with _loop_exec_conf(sym.sparkSession, seen["n"]) as scope:
+        sym = _loop_partitioned(sym, "dst", scope)
         state = _active_vertices(sym)
         labels = state
         done = 0
@@ -834,12 +879,20 @@ def pagerank_fixed_point(
     edges, seen = _checkpoint_observed(
         edges.select("src", "dst"), n=F.count(F.lit(1))
     )
-    with _loop_exec_conf(edges.sparkSession, seen["n"]):
+    with _loop_exec_conf(edges.sparkSession, seen["n"]) as scope:
+        edges = _loop_partitioned(edges, "src", scope)
+        # Checkpoint the vertex set (r10): left lazy, every round's
+        # new_ranks re-ran the union+distinct over the edge set — two
+        # full edge passes per iteration for a vertex-sized table. The
+        # in-partition sort lets each round's SMJ against contrib skip
+        # the sort as well as the exchange.
         nodes = (
             edges.select("src")
             .unionByName(edges.select(F.col("dst").alias("src")))
             .distinct()
             .select(F.col("src").alias("id"))
+            .sortWithinPartitions("id")
+            .localCheckpoint()
         )
         outd = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).localCheckpoint()
         ranks = nodes.select("id", F.lit(1000000).cast("bigint").alias("rank")).localCheckpoint()
@@ -862,7 +915,7 @@ def pagerank_fixed_point(
             )
             _release(ranks)
             ranks = new_ranks
-    _release(edges, outd)
+    _release(edges, outd, nodes)
     return ranks
 
 
@@ -889,7 +942,8 @@ def khop_distances(
     """
     # One-shot edge materialization — see connected_components.
     sym, seen = _checkpoint_observed(symmetrize(edges), n=F.count(F.lit(1)))
-    with _loop_exec_conf(sym.sparkSession, seen["n"]):
+    with _loop_exec_conf(sym.sparkSession, seen["n"]) as scope:
+        sym = _loop_partitioned(sym, "src", scope)
         visited = sources.select("id", F.lit(0).alias("dist")).localCheckpoint()
         frontier = visited.select("id")
         prev_frontier: DataFrame | None = None
@@ -932,7 +986,8 @@ def multi_source_distances(
     pivot; each pivot itself appears at dist 0.
     """
     sym, seen = _checkpoint_observed(symmetrize(edges), n=F.count(F.lit(1)))
-    with _loop_exec_conf(sym.sparkSession, seen["n"]):
+    with _loop_exec_conf(sym.sparkSession, seen["n"]) as scope:
+        sym = _loop_partitioned(sym, "src", scope)
         # dedupe seeds: a pivot id supplied twice (e.g. a dimension
         # table replicated at a scale twin) would otherwise plant
         # duplicate (id, pivot) dist-0 lanes that the per-lane
@@ -1076,7 +1131,8 @@ def temporal_earliest_arrival(
     within ``rounds`` contact hops; seeds themselves are arrival 0.
     """
     sym, seen = _checkpoint_observed(contacts, n=F.count(F.lit(1)))
-    with _loop_exec_conf(sym.sparkSession, seen["n"]):
+    with _loop_exec_conf(sym.sparkSession, seen["n"]) as scope:
+        sym = _loop_partitioned(sym, "src", scope)
         arr = (
             seeds.select("id")
             .distinct()
@@ -1140,7 +1196,8 @@ def label_propagation_fixed(edges: DataFrame, *, rounds: int) -> DataFrame:
 
     sym, seen = _checkpoint_observed(symmetrize(edges), n=F.count(F.lit(1)))
     w = Window.partitionBy("nid").orderBy(F.desc("c"), F.asc("label"))
-    with _loop_exec_conf(sym.sparkSession, seen["n"]):
+    with _loop_exec_conf(sym.sparkSession, seen["n"]) as scope:
+        sym = _loop_partitioned(sym, "src", scope)
         nodes = sym.select(F.col("src").alias("id")).distinct()
         labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint()
         for _ in range(rounds):
@@ -1258,9 +1315,21 @@ def kcore_subgraph(
                 .where(F.col("deg") >= k)
                 .select("src")
             )
+            # Survivor set is PROVABLY ≤ n_edges div k rows (each
+            # survivor owns ≥ k of the observed symmetrized edge
+            # rows), so the broadcast guard needs no extra action.
+            # Broadcast semi-joins drop BOTH per-round exchanges of
+            # the edge set (the SMJ re-partitioned all surviving
+            # edges by src and again by dst every round — the
+            # dominant byte term of kcore_copurchase); only the
+            # map-side-combined degree aggregate still shuffles, and
+            # it moves (vertex, partial-count) rows, not edges. A
+            # 100 TB survivor set past the guard keeps the shuffled
+            # path unchanged.
+            kb = _maybe_broadcast(keep, n_edges // max(k, 1))
             new_e, seen = _checkpoint_observed(
-                e.join(keep, "src", "semi").join(
-                    keep.withColumnRenamed("src", "dst"), "dst", "semi"
+                e.join(kb, "src", "semi").join(
+                    kb.withColumnRenamed("src", "dst"), "dst", "semi"
                 ),
                 n=F.count(F.lit(1)),
             )
@@ -1758,7 +1827,8 @@ def personalized_pagerank_fixed_point(
     edges, seen = _checkpoint_observed(
         edges.select("src", "dst"), n=F.count(F.lit(1))
     )
-    with _loop_exec_conf(edges.sparkSession, seen["n"]):
+    with _loop_exec_conf(edges.sparkSession, seen["n"]) as scope:
+        edges = _loop_partitioned(edges, "src", scope)
         nodes = (
             edges.select("src")
             .unionByName(edges.select(F.col("dst").alias("src")))
@@ -1771,7 +1841,7 @@ def personalized_pagerank_fixed_point(
             "id",
             "left",
         ).select("id", F.coalesce("_seed", F.lit(0)).alias("is_seed"))
-        seeded = seeded.localCheckpoint()
+        seeded = seeded.sortWithinPartitions("id").localCheckpoint()
         teleport_micro = (100 - damping_pct) * 10000
         teleport = (F.col("is_seed") * teleport_micro).cast("bigint")
         ranks = seeded.select(

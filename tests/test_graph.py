@@ -987,3 +987,70 @@ def test_temporal_earliest_arrival_respects_time_order(spark):
     seeds = spark.createDataFrame([("a",), ("a",)], "id string")  # dup seed on purpose
     out = {r.id: r.arrival for r in temporal_earliest_arrival(contacts, seeds, rounds=3).collect()}
     assert out == {"a": 0, "b": 5, "d": 7, "c": 9}
+
+
+def test_loop_partitioned_gate_and_layout(spark):
+    """_loop_partitioned (r10): below partitionedMinRows the input is
+    returned UNTOUCHED (the up-front repartition job is a measured net
+    loss for tiny loop states); at/above it the checkpoint comes back
+    hash-partitioned on the round key with the scope's pinned partition
+    count, so per-round SMJs elide the exchange+sort on that side."""
+    from leader_graph_spark.graph.algorithms import (
+        PARTITIONED_MIN_CONF,
+        _loop_exec_conf,
+        _loop_partitioned,
+        _release,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").cast("string").alias("src"), F.lit("x").alias("dst")
+    ).localCheckpoint()
+    with _loop_exec_conf(spark, 100_000) as scope:
+        # scope.n_rows (100k) >= default gate (10k): layout applied
+        out = _loop_partitioned(df, "src", scope, release=False)
+        assert out is not df
+        assert out.rdd.getNumPartitions() == int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
+        assert sorted(r.src for r in out.collect()) == sorted(
+            str(i) for i in range(100)
+        )
+        _release(out)
+    with _loop_exec_conf(spark, 9_999) as scope:
+        # below the gate: identity — no extra job, no new checkpoint
+        assert _loop_partitioned(df, "src", scope, release=False) is df
+    spark.conf.set(PARTITIONED_MIN_CONF, "200000")
+    try:
+        with _loop_exec_conf(spark, 100_000) as scope:
+            assert _loop_partitioned(df, "src", scope, release=False) is df
+    finally:
+        spark.conf.unset(PARTITIONED_MIN_CONF)
+    _release(df)
+
+
+def test_kcore_broadcast_and_shuffled_survivor_paths_agree(spark):
+    """kcore_subgraph (r10): the broadcast-guarded survivor semi-joins
+    must return EXACTLY the shuffled path's core (guard forced off via
+    broadcastFrontierMaxRows=-1) — same vertices, same degrees."""
+    from leader_graph_spark.graph.algorithms import BCAST_FRONTIER_CONF, kcore_subgraph
+
+    # K4 on a-d (core), plus a pendant chain e-f-g that peels off in
+    # cascades, plus an isolated edge pair.
+    core = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    edges = spark.createDataFrame(
+        core + [("d", "e"), ("e", "f"), ("f", "g"), ("x", "y")],
+        "src string, dst string",
+    )
+    got_bcast = {
+        (r.id, r.degree)
+        for r in kcore_subgraph(edges, k=3, rounds=6).collect()
+    }
+    spark.conf.set(BCAST_FRONTIER_CONF, "-1")
+    try:
+        got_shuffled = {
+            (r.id, r.degree)
+            for r in kcore_subgraph(edges, k=3, rounds=6).collect()
+        }
+    finally:
+        spark.conf.unset(BCAST_FRONTIER_CONF)
+    assert got_bcast == got_shuffled == {(v, 3) for v in "abcd"}
