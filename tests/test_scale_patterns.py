@@ -202,7 +202,13 @@ SHUFFLE_BUDGETS = {
     # one hash exchange (asserted exactly in test_operators) + the
     # final interval-lead sort exchange
     "user_state_scd2": 2,
-    "dup_span_coverage": 3,
+    # r10: +3 from fan_out of the single-split doc scan feeding the
+    # span-gram pipeline (runtime-conditional — repartitions ONLY when
+    # the scan has fewer splits than defaultParallelism, so at scale
+    # the exchange never materializes; at smoke/sf0.1 it deliberately
+    # trades one narrow input-sized shuffle for 32-way tokenize+hash
+    # parallelism, measured 3.16 -> 1.71 s).
+    "dup_span_coverage": 6,
     # composed capstone: curation signals + packing prefix-sum + split —
     # the sum of its stages' budgets, nothing added by the composition
     "corpus_release_manifest": 13,
