@@ -1023,6 +1023,52 @@ def multi_source_distances(
     return visited
 
 
+def _min_fold(state: DataFrame, relaxed: DataFrame, col: str) -> DataFrame:
+    """One-exchange min-fold of a relaxation stream into the running
+    per-vertex minimum state (r10 optimization, guide §2.2/§3.2).
+
+    Replaces the loop-round full-outer join + ``least`` fold — whose
+    per-round cost was TWO exchanges (the state side of the
+    SortMergeJoin plus the candidate ``groupBy``) and two sorts — with
+    a tagged union into ONE hash aggregate: one exchange, zero sorts,
+    no join, and the raw relaxation stream is map-side combined by the
+    partial aggregate before it ever shuffles (the candidate-side
+    pre-``groupBy`` the join form needed as a separate exchange).
+
+    Equivalence to ``state FULL OUTER JOIN min(relaxed) ON id``:
+    the state is one row per id (seeds are deduped and every fold
+    groups by id), so the per-id min over the union splits exactly
+    into (old value, min of candidates); ``least`` skips nulls in
+    both forms; ``_improved`` matches the join form's
+    ``old.isNull() | (new < old)`` case-for-case (no old row → true;
+    no candidate → false/null, which filters and sum-counts the same;
+    both present → strict improvement). Pinned by
+    ``test_min_fold_equals_full_outer_fold``.
+
+    ``state`` carries (id, <col>); ``relaxed`` carries candidate
+    (id, <col>) rows, many per id allowed. Returns
+    (id, n<col>, _improved)."""
+    tagged = state.select(
+        "id", F.col(col).alias("_v"), F.lit(True).alias("_old")
+    ).unionByName(
+        relaxed.select("id", F.col(col).alias("_v"), F.lit(False).alias("_old"))
+    )
+    return (
+        tagged.groupBy("id")
+        .agg(
+            F.min(F.when(F.col("_old"), F.col("_v"))).alias("_oldv"),
+            F.min(F.when(~F.col("_old"), F.col("_v"))).alias("_newv"),
+        )
+        .select(
+            "id",
+            F.least(F.col("_oldv"), F.col("_newv")).alias("n" + col),
+            (
+                F.col("_oldv").isNull() | (F.col("_newv") < F.col("_oldv"))
+            ).alias("_improved"),
+        )
+    )
+
+
 def weighted_sssp(
     edges: DataFrame, sources: DataFrame, *, rounds: int
 ) -> DataFrame:
@@ -1041,7 +1087,10 @@ def weighted_sssp(
     WRONG here (a later path may be cheaper than the first), so each
     round relaxes only the DELTA frontier — vertices whose distance
     improved last round — and folds candidates into the running
-    minimum with a full-outer join + ``least``. Work per round is
+    minimum with :func:`_min_fold` (one tagged-union hash aggregate —
+    value-identical to the full-outer join + ``least`` fold it
+    replaced, at one exchange per round instead of two). Work per
+    round is
     O(edges incident to improved vertices), the standard delta
     optimization, and provably equal to all-edge relaxation because
     min-folding is monotone. ``localCheckpoint`` truncates lineage per
@@ -1070,22 +1119,12 @@ def weighted_sssp(
         prev_state: DataFrame = dist  # superseded once round 1's fold lands
         for _ in range(rounds):
             fr = _maybe_broadcast(frontier, n_frontier)
-            cand = (
-                sym.join(fr, sym.src == fr.id)
-                .select(F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("cdist"))
-                .groupBy("id")
-                .agg(F.min("cdist").alias("cdist"))
+            relaxed = sym.join(fr, sym.src == fr.id).select(
+                F.col("dst").alias("id"),
+                (F.col("dist") + F.col("w")).alias("dist"),
             )
             folded, fseen = _checkpoint_observed(
-                dist.join(cand, "id", "full")
-                .select(
-                    "id",
-                    F.least(F.col("dist"), F.col("cdist")).alias("ndist"),
-                    # improved = no previous dist, or strictly cheaper now
-                    (F.col("dist").isNull() | (F.col("cdist") < F.col("dist"))).alias(
-                        "_improved"
-                    ),
-                ),
+                _min_fold(dist, relaxed, "dist"),
                 i=F.sum(F.col("_improved").cast("bigint")),
             )
             # the previous round's fold (or the seed state) is dead only
@@ -1121,11 +1160,13 @@ def temporal_earliest_arrival(
     ``arr'(v) = min(arr(v), min{t : (u,v,t) ∈ contacts, t ≥ arr(u)})``,
     exactly ``rounds`` rounds (bounded-hop earliest arrival — the
     fixed-round oracle contract of ``weighted_sssp``, whose delta
-    frontier and full-outer min-fold this reuses; seeds deduped for
-    the same replica-duplication hazard). Scale shape per round: one
-    join keyed by vertex id against the contact list plus a
-    map-side-combinable min — contacts shuffle ONCE up front, the
-    frontier is the only per-round stream.
+    frontier, broadcast-guarded frontier join, early exit and
+    :func:`_min_fold` this reuses; seeds deduped for the same
+    replica-duplication hazard). Scale shape per round: one join keyed
+    by vertex id against the contact list (broadcast-hash while the
+    frontier is provably small) plus one map-side-combined min-fold
+    aggregate — contacts shuffle ONCE up front, the running state is
+    the only per-round stream.
 
     Returns (id, arrival) for every vertex reachable time-respectingly
     within ``rounds`` contact hops; seeds themselves are arrival 0.
@@ -1133,39 +1174,37 @@ def temporal_earliest_arrival(
     sym, seen = _checkpoint_observed(contacts, n=F.count(F.lit(1)))
     with _loop_exec_conf(sym.sparkSession, seen["n"]) as scope:
         sym = _loop_partitioned(sym, "src", scope)
-        arr = (
+        arr, sseen = _checkpoint_observed(
             seeds.select("id")
             .distinct()
-            .select("id", F.lit(0).cast("bigint").alias("arrival"))
-            .localCheckpoint()
+            .select("id", F.lit(0).cast("bigint").alias("arrival")),
+            n=F.count(F.lit(1)),
         )
-        frontier = arr
+        frontier, n_frontier = arr, sseen["n"]
         prev_state: DataFrame = arr
         for _ in range(rounds):
-            cand = (
-                sym.join(frontier, sym.src == frontier.id)
+            fr = _maybe_broadcast(frontier, n_frontier)
+            relaxed = (
+                sym.join(fr, sym.src == fr.id)
                 .where(F.col("t") >= F.col("arrival"))
-                .select(F.col("dst").alias("id"), F.col("t").alias("carr"))
-                .groupBy("id")
-                .agg(F.min("carr").alias("carr"))
+                .select(F.col("dst").alias("id"), F.col("t").alias("arrival"))
             )
-            folded = (
-                arr.join(cand, "id", "full")
-                .select(
-                    "id",
-                    F.least(F.col("arrival"), F.col("carr")).alias("narr"),
-                    (F.col("arrival").isNull() | (F.col("carr") < F.col("arrival"))).alias(
-                        "_improved"
-                    ),
-                )
-                .localCheckpoint()
+            folded, fseen = _checkpoint_observed(
+                _min_fold(arr, relaxed, "arrival"),
+                i=F.sum(F.col("_improved").cast("bigint")),
             )
             _release(prev_state)
             prev_state = folded
-            arr = folded.select("id", F.col("narr").alias("arrival"))
+            n_frontier = fseen["i"] or 0
+            arr = folded.select("id", F.col("narrival").alias("arrival"))
             frontier = folded.where(F.col("_improved")).select(
-                "id", F.col("narr").alias("arrival")
+                "id", F.col("narrival").alias("arrival")
             )
+            # Fixed point: nothing improved, so every remaining unrolled
+            # round is a provable no-op (min-folding is monotone and
+            # idempotent — weighted_sssp's early-exit contract).
+            if n_frontier == 0:
+                break
     _release(sym)
     return arr.select("id", "arrival")
 

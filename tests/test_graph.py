@@ -1028,6 +1028,58 @@ def test_loop_partitioned_gate_and_layout(spark):
     _release(df)
 
 
+def test_min_fold_equals_full_outer_fold(spark):
+    """_min_fold (r10): the one-exchange tagged-union aggregate must be
+    value-identical to the full-outer join + ``least`` fold it replaced,
+    across every per-id case: state-only (no candidate), candidate-only
+    (new vertex), both with strict improvement, both with a tie (NOT an
+    improvement — strict <), both with a worse candidate, and multiple
+    candidate rows per id (the min the join form pre-aggregated)."""
+    from pyspark.sql import functions as F
+
+    from leader_graph_spark.graph.algorithms import _min_fold
+
+    state = spark.createDataFrame(
+        [("keep", 5), ("tie", 7), ("worse", 2), ("better", 9)],
+        "id string, dist long",
+    )
+    relaxed = spark.createDataFrame(
+        [("tie", 7), ("worse", 4), ("better", 6), ("better", 3), ("new", 8)],
+        "id string, dist long",
+    )
+    got = {
+        (r.id): (r.ndist, bool(r._improved) if r._improved is not None else None)
+        for r in _min_fold(state, relaxed, "dist").collect()
+    }
+    # reference: the retired full-outer join + least fold, verbatim
+    cand = relaxed.groupBy("id").agg(F.min("dist").alias("cdist"))
+    ref_rows = (
+        state.join(cand, "id", "full")
+        .select(
+            "id",
+            F.least(F.col("dist"), F.col("cdist")).alias("ndist"),
+            (F.col("dist").isNull() | (F.col("cdist") < F.col("dist"))).alias(
+                "_improved"
+            ),
+        )
+        .collect()
+    )
+    ref = {
+        r.id: (r.ndist, bool(r._improved) if r._improved is not None else None)
+        for r in ref_rows
+    }
+    # _improved null-vs-false both filter/sum identically; normalize
+    norm = lambda d: {k: (v, bool(i)) for k, (v, i) in d.items()}  # noqa: E731
+    assert norm(got) == norm(ref)
+    assert norm(got) == {
+        "keep": (5, False),
+        "tie": (7, False),
+        "worse": (2, False),
+        "better": (3, True),
+        "new": (8, True),
+    }
+
+
 def test_kcore_broadcast_and_shuffled_survivor_paths_agree(spark):
     """kcore_subgraph (r10): the broadcast-guarded survivor semi-joins
     must return EXACTLY the shuffled path's core (guard forced off via
