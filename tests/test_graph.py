@@ -1106,3 +1106,52 @@ def test_kcore_broadcast_and_shuffled_survivor_paths_agree(spark):
     finally:
         spark.conf.unset(BCAST_FRONTIER_CONF)
     assert got_bcast == got_shuffled == {(v, 3) for v in "abcd"}
+
+
+def test_skew_guarded_pairs_hot_key_split_exact(spark):
+    """skew_guarded_self_pairs (r11): a synthetic hot key past the
+    fanout cap must route through the SALTED branch and still produce
+    the exact pair multiset of the plain self-join — in both the
+    ordered (a < b) and bidirectional (a != b) forms, with cold groups
+    riding the original symmetric join alongside."""
+    from pyspark.sql import functions as F
+
+    from leader_graph_spark.graph.derived import (
+        PAIR_HOT_CAP_CONF,
+        PAIR_SALT_CONF,
+        skew_guarded_self_pairs,
+    )
+
+    rows = [("hot", i) for i in range(1, 12)] + [("cold", 1), ("cold", 2), ("cold", 3)]
+    df = spark.createDataFrame(rows, "g string, id long")
+    spark.conf.set(PAIR_HOT_CAP_CONF, "5")   # 11-member group is hot
+    spark.conf.set(PAIR_SALT_CONF, "4")
+    try:
+        for ordered, op in ((True, lambda a, b: a < b), (False, lambda a, b: a != b)):
+            out = skew_guarded_self_pairs(
+                df,
+                group_col="g",
+                id_col="id",
+                emit=lambda: [
+                    F.col("a.g").alias("g"),
+                    F.col("a.id").alias("id_1"),
+                    F.col("b.id").alias("id_2"),
+                ],
+                ordered=ordered,
+            )
+            got = sorted((r.g, r.id_1, r.id_2) for r in out.collect())
+            want = sorted(
+                (g1, i1, i2)
+                for (g1, i1) in rows
+                for (g2, i2) in rows
+                if g1 == g2 and op(i1, i2)
+            )
+            assert got == want
+            # the guard path must really be in the plan: the left side
+            # keys on its deterministic bucket and the right side
+            # explodes the (constant-folded) bucket sequence
+            plan = out._jdf.queryExecution().optimizedPlan().toString()
+            assert "pmod(xxhash64" in plan and "Generate explode" in plan
+    finally:
+        spark.conf.unset(PAIR_HOT_CAP_CONF)
+        spark.conf.unset(PAIR_SALT_CONF)

@@ -22,6 +22,12 @@ from pyspark.sql import types as T
 from leader_graph_spark.plans import REGISTRY
 from leader_graph_spark.sources.tables import TABLES
 
+# Full-registry schema sweep: the spark_schemas fixture alone builds
+# every oracle-paired plan (~120 s, eager for the iterative queries).
+# The guarded bug class only changes when queries are added/edited, so
+# this is a deep-audit battery, not a per-commit gate.
+pytestmark = pytest.mark.slow
+
 ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
 
 # DuckDB type names that the driver's hasher renders differently from

@@ -58,7 +58,10 @@ BENCH_BUDGETS: dict[str, tuple[float, int]] = {
     # round-8 static-loop scope halved the AQE sub-jobs: measured 36
     "personalized_pagerank_regions": (0.2, 45),
     "pricing_summary": (0.05, 5),
-    "schoolmates_shared_part": (0.3, 8),
+    # r11 hot-school skew guard (skew_guarded_self_pairs): +1 job for
+    # the study checkpoint and +broadcast builds of the (empty at this
+    # scale) hot-group set; measured 0.054 MB / 9 jobs at sf0.001.
+    "schoolmates_shared_part": (0.3, 10),
     "shipping_priority_top10": (0.1, 10),
     # round-10 widening: measured 0.35 MB / 5 jobs at sf0.001
     "simhash_near_dup_pairs": (0.8, 7),

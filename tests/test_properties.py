@@ -279,6 +279,7 @@ def test_weighted_sssp_matches_reference_bellman_ford(spark, raw_edges):
     assert got == dist
 
 
+@pytest.mark.slow  # 8 examples × ~40 s of iterative checkpoints; the fixed-graph variant below runs by default
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
@@ -297,11 +298,33 @@ def test_pivot_betweenness_matches_reference_brandes(spark, raw_pairs):
     the SAME depth bound and the SAME integer fixed-point: per-level
     BFS σ counts, then δ(v) = Σ (σ_v·(unit+δ_w)) div σ_w folded
     level-by-level."""
+    _check_pivot_betweenness_matches_reference(spark, raw_pairs)
+
+
+def test_pivot_betweenness_fixed_diamond(spark):
+    """Default-suite anchor for the slow-gated hypothesis battery
+    above: the cycle 0-1-2-4-0 (the r11 falsifying draw, which also
+    carries both orientations of edge (0,4) so the canonicalization in
+    the checker is exercised) has σ(2)=2 — both the path-count merge
+    and the integer δ split are covered by one Spark run."""
+    _check_pivot_betweenness_matches_reference(
+        spark, [(1, 2), (4, 0), (0, 1), (2, 4), (0, 4)]
+    )
+
+
+def _check_pivot_betweenness_matches_reference(spark, raw_pairs):
     from leader_graph_spark.graph.algorithms import pivot_betweenness
 
     unit = 1_000_000
     k = 3
-    und = {(a, b) for a, b in raw_pairs if a != b}
+    # Canonicalize to one row per undirected edge: raw_pairs may carry
+    # BOTH orientations of the same edge (hypothesis found (4,0)+(0,4)),
+    # and expanding those to "both directions" below would hand the
+    # operator a MULTIGRAPH (σ honestly counts the parallel edge as two
+    # shortest paths) while this reference adj dedups via sets. The
+    # operator's contract — matching its registered caller, which feeds
+    # a .distinct() edge set — is a simple directed graph.
+    und = {(min(a, b), max(a, b)) for a, b in raw_pairs if a != b}
     if not und:
         return
     adj: dict[int, set[int]] = {}

@@ -6,6 +6,8 @@ crafted fixtures. Few examples, each a whole batch through one job."""
 from __future__ import annotations
 
 import itertools
+
+import pytest
 from datetime import datetime, timedelta
 
 from hypothesis import HealthCheck, given, settings
@@ -64,6 +66,7 @@ ivs_st = st.lists(
 )
 
 
+@pytest.mark.slow  # 8 examples × ~14 s; test_point_in_interval_join_exact_and_no_bnlj anchors the operator by default
 @settings(**_SETTINGS)
 @given(pts_st, ivs_st)
 def test_range_join_matches_brute(spark, day_offsets, iv_specs):

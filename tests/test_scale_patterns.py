@@ -191,7 +191,12 @@ SHUFFLE_BUDGETS = {
     "local_supplier_volume": 1,
     "minhash_near_dup_docs": 6,
     "pricing_summary": 1,
-    "schoolmates_shared_part": 2,
+    # r11 hot-school skew guard: the initial (pre-AQE) plan carries the
+    # per-school fanout-count exchange plus the salted hot-branch join
+    # sides next to the cold pair join; at runtime the hot set is empty
+    # (AQE empty-relation no-op), the cold sides reuse one exchange,
+    # and measured sf0.1 bytes went DOWN (37.2 -> 30.5 MB r+w).
+    "schoolmates_shared_part": 5,
     "shipping_priority_top10": 1,
     # round-4 bitmap-distinct rewrite: two branches (one per distinct
     # column), each shuffling ≤4KB bitmaps on (supplier, bucket) then

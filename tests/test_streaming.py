@@ -315,6 +315,7 @@ def test_checkpoint_only_new_across_runs(spark, sf_smoke, tmp_path):
 
 
 
+@pytest.mark.slow  # watermark-expiry wait dominates, ~45 s
 def test_stream_stream_left_outer_emits_null_rows(spark, tmp_path):
     """Left-outer stream-stream join: a click with no purchase in its
     window must eventually emit WITH NULLS — but the watermark that
@@ -383,6 +384,7 @@ def test_stream_stream_left_outer_emits_null_rows(spark, tmp_path):
     assert got[4] is None
 
 
+@pytest.mark.slow  # multi-batch stateful equivalence sweep, ~25 s
 def test_stateful_sessionizer_matches_builtin(spark, tmp_path):
     """The custom event-time-timeout sessionizer must reproduce the
     built-in session_window semantics exactly: in-batch gap splits emit
@@ -446,6 +448,7 @@ def test_stateful_sessionizer_matches_builtin(spark, tmp_path):
     assert len(want) == 4
 
 
+@pytest.mark.slow  # multi-batch late-data replay, ~30 s
 def test_stateful_sessionizer_late_older_events(spark, tmp_path):
     """Regression (round-5 advice, low): a late-but-in-watermark event
     OLDER than the carried session must not shrink session_end. The old

@@ -145,6 +145,7 @@ def test_surrogate_key_patterns(con):
     assert s == 20
 
 
+@pytest.mark.slow  # executes all 200+ oracles in DuckDB, ~65 s; the verify skill runs the same audit every round
 def test_no_vacuous_oracles(con):
     """Every registered oracle must see >0 rows at sf0.01 — a 0-row
     oracle hash-matches a 0-row Spark result no matter how wrong the

@@ -42,6 +42,7 @@ def _unpartitioned_window_children(df: DataFrame):
             yield n.children().apply(0)
 
 
+@pytest.mark.slow  # full-registry plan walk + subtree counts, ~110 s
 def test_no_data_sized_unpartitioned_windows(spark):
     """Every unpartitioned Window in every registered query must read
     an aggregate-bounded input; only the flagged subtrees are
