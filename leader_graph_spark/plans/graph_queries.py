@@ -1026,100 +1026,103 @@ def supplier_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFr
     and credited to all three corners; degree over the symmetrized
     edge set; ppm division exact integer.
 
-    Size-guarded physical paths, same answer (r10 optimization):
+    Size-guarded physical paths, same answer (r10 optimization, r11
+    restructure):
 
-    - BITSET EDGE-ITERATOR (broadcastable adjacency): per-vertex
-      neighborhoods packed into 64-bit blocks keyed by ``id div 64``
-      (a map<block, bits>), broadcast to both sides of the edge join;
-      per-edge triangle count t(e) = |N(u) ∩ N(v)| evaluated as
+    - The raw shared-part pair stream feeds the 64-bit block packer
+      DIRECTLY (r11): ``bit_or`` is idempotent, so duplicate (u, v)
+      pairs from multiple shared parts are free — the pair
+      ``distinct`` (the lane's dominant exchange: every surviving
+      pair shuffled to build an edge list the bitset path only
+      re-derives anyway) is GONE, and the partial aggregate ships at
+      most one (u, block) row per map partition (guide §2.3
+      "aggregate before you shuffle"; dense graphs collapse ~64
+      neighbors per shipped row). The pair join itself rides the
+      hot-part skew guard (``skew_guarded_self_pairs``, §2.5).
+      The checkpointed block relation OBSERVES its exact entry count,
+      so the broadcast guard prices the real payload — one tier, no
+      estimates (the r10 two-tier 16 B/entry guess under-counted and
+      the budget was spent twice, ADVICE r10).
+    - BITSET EDGE-ITERATOR (broadcastable adjacency): per-edge
+      triangle count t(e) = |N(u) ∩ N(v)| evaluated as
       Σ bit_count(bits_u & bits_v) over the key-merged block maps;
       per-vertex T(v) = Σ_incident t(e) / 2 (each triangle through v
       has exactly two edges at v, so the sum is provably even) and
-      degree = Σ bit_count(blocks). No degree join, no orientation,
-      no per-triangle credit explode, and the intersection does ~64
-      neighbors per cheap long-AND instead of one hash-set op per
-      neighbor — at sf0.1 (a complete K_1000, 166.2M triangles) the
-      triangle tail drops 10.8 s / 244 CPU-s to under 1 s (measured:
-      array_intersect 2.6 s → bitset 0.64 s; OPTIMIZATION_r10.md).
-      Taken when the block-map relation provably fits the broadcast
-      budget (``spark.leader_graph_spark.lcc.broadcastMaxBytes``,
-      default 48 MB): either 2m entries are small outright, or — the
-      dense regime, where 2m is large but neighborhoods blanket the
-      id span — the n_vertices × span/64 block bound (observed on the
-      degree checkpoint, no extra action) is small. The sf1 replica
-      (near-complete K_10000, 4.995M edges) lands in the second tier:
-      ~25 MB of blocks vs ~80 MB of raw entries.
-    - LARGE sparse adjacency: the round-9 DEGREE-ORIENTED path below,
-      unchanged (forward arrays halve the intersection work; per-edge
-      common members credited to all three corners) — a 100 TB-scale
-      sparse graph (n·span/64 astronomically over budget) must not
-      ride a broadcast, and block maps of scattered sparse neighbors
-      degenerate to one entry per neighbor anyway."""
-    from leader_graph_spark.graph.algorithms import _checkpoint_observed
+      degree = Σ bit_count(blocks). Edges (u < v, exactly once) are
+      EXPLODED from the adjacency rows themselves, so the owner's
+      block map rides along and only the NEIGHBOR side is broadcast —
+      one broadcast, not two (ADVICE r10), under
+      ``spark.leader_graph_spark.lcc.broadcastMaxBytes`` (default
+      64 MB against a conservative 32 B/entry: key + bits + hashed-
+      relation row overhead; the sf1 replica's ~1.57 M entries price
+      at ~50 MB and stay on this path). At sf0.1 (a complete K_1000,
+      166.2M triangles) the triangle tail is sub-second (r10:
+      array_intersect 2.6 s → bitset 0.64 s).
+    - LARGE sparse adjacency: the round-9 DEGREE-ORIENTED path below
+      (forward arrays halve the intersection work; per-edge common
+      members credited to all three corners) — a 100 TB-scale sparse
+      graph must not ride a broadcast. Its edge list and degrees now
+      also derive from the checkpointed block relation (one explode /
+      one aggregate) instead of a second full pair shuffle."""
+    from leader_graph_spark.graph.algorithms import _checkpoint_observed, _release
+    from leader_graph_spark.graph.derived import skew_guarded_self_pairs
 
     li = load_table(spark, sf_dir, "lineitem")
     sp = li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")).distinct()
-    edges, seen = _checkpoint_observed(
-        sp.alias("a")
-        .join(sp.alias("b"), (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
-        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-        .distinct(),
-        n=F.count(F.lit(1)),
+    pairs = skew_guarded_self_pairs(
+        sp,
+        group_col="p",
+        id_col="s",
+        emit=lambda: [F.col("a.s").alias("u"), F.col("b.s").alias("v")],
+        ordered=False,
     )
-    n_edges = seen["n"]
+    nbr_blocks, seen = _checkpoint_observed(
+        pairs.select(
+            "u",
+            F.expr("CAST(v div 64 AS INT)").alias("blk"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(v % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("u", "blk")
+        .agg(F.expr("bit_or(bit)").alias("bits")),
+        n_entries=F.count(F.lit(1)),
+    )
     bcast_max = int(
         spark.conf.get(
-            "spark.leader_graph_spark.lcc.broadcastMaxBytes", str(48 * 1024 * 1024)
+            "spark.leader_graph_spark.lcc.broadcastMaxBytes", str(64 * 1024 * 1024)
         )
     )
-    # ~16 bytes per map entry (int block key + long bits + row overhead).
-    ENTRY_BYTES = 16
-    sym = edges.select("u", "v").unionByName(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    # Conservative bytes per broadcast map entry: 4 B block key + 8 B
+    # bits + ~20 B hashed-relation/row overhead, single broadcast.
+    ENTRY_BYTES = 32
+    # Set-bit positions of one block, as absolute neighbor ids > u —
+    # exploding the OWN adjacency yields each undirected edge exactly
+    # once (from its smaller endpoint) with zero shuffle: bit_or packed
+    # a distinct neighbor set, so no pair distinct is ever needed.
+    _EXPLODE_BITS = (
+        "filter(transform(sequence(0, 63), i -> CAST(blk AS BIGINT) * 64 + i),"
+        " vv -> vv > u AND (shiftright(bits, CAST(vv % 64 AS INT)) & 1) = 1)"
     )
-    deg = None
-    fits_small = 2 * n_edges * ENTRY_BYTES <= bcast_max
-    if not fits_small:
-        # Dense-regime second chance: total block entries are bounded by
-        # n_vertices × ceil(id-span / 64); n/min/max ride the degree
-        # checkpoint the oriented fallback needs anyway — zero extra
-        # actions on either branch.
-        deg, dseen = _checkpoint_observed(
-            sym.groupBy(F.col("u").alias("id")).agg(F.count(F.lit(1)).alias("d")),
-            nv=F.count(F.lit(1)),
-            mn=F.min("id"),
-            mx=F.max("id"),
-        )
-        span_blocks = (dseen["mx"] // 64) - (dseen["mn"] // 64) + 1
-        fits_small = dseen["nv"] * span_blocks * ENTRY_BYTES <= bcast_max
-    if fits_small:
+    if seen["n_entries"] * ENTRY_BYTES <= bcast_max:
         badj = (
-            sym.select(
-                "u",
-                F.expr("CAST(v div 64 AS INT)").alias("blk"),
-                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(v % 64 AS INT))").alias("bit"),
-            )
-            .groupBy("u", "blk")
-            .agg(F.expr("bit_or(bit)").alias("bits"))
-            .groupBy("u")
+            nbr_blocks.groupBy("u")
             .agg(F.map_from_entries(F.collect_list(F.struct("blk", "bits"))).alias("bm"))
             .localCheckpoint()
         )
-        b_u = badj.select(F.col("u").alias("fu"), F.col("bm").alias("bu"))
+        _release(nbr_blocks)
+        edges = (
+            badj.select("u", F.col("bm").alias("bu"), F.explode("bm").alias("blk", "bits"))
+            .select("u", "bu", F.explode(F.expr(_EXPLODE_BITS)).alias("v"))
+        )
         b_v = badj.select(F.col("u").alias("fv"), F.col("bm").alias("bv"))
-        te = (
-            edges.join(F.broadcast(b_u), F.col("u") == F.col("fu"))
-            .join(F.broadcast(b_v), F.col("v") == F.col("fv"))
-            .select(
-                "u",
-                "v",
-                F.expr(
-                    "aggregate(map_values(map_zip_with(bu, bv,"
-                    " (k, x, y) -> bit_count(coalesce(x, CAST(0 AS BIGINT))"
-                    "   & coalesce(y, CAST(0 AS BIGINT))))),"
-                    " CAST(0 AS BIGINT), (acc, c) -> acc + c)"
-                ).alias("t"),
-            )
+        te = edges.join(F.broadcast(b_v), F.col("v") == F.col("fv")).select(
+            "u",
+            "v",
+            F.expr(
+                "aggregate(map_values(map_zip_with(bu, bv,"
+                " (k, x, y) -> bit_count(coalesce(x, CAST(0 AS BIGINT))"
+                "   & coalesce(y, CAST(0 AS BIGINT))))),"
+                " CAST(0 AS BIGINT), (acc, c) -> acc + c)"
+            ).alias("t"),
         )
         credits = te.select(
             F.explode(
@@ -1134,14 +1137,13 @@ def supplier_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFr
         per_vertex = credits.groupBy("id").agg(
             F.expr("CAST(sum(t) div 2 AS BIGINT)").alias("t")
         )
-        if deg is None:
-            deg = badj.select(
-                "u",
-                F.expr(
-                    "aggregate(map_values(bm), CAST(0 AS BIGINT),"
-                    " (acc, b) -> acc + bit_count(b))"
-                ).alias("d"),
-            ).select(F.col("u").alias("id"), "d")
+        deg = badj.select(
+            "u",
+            F.expr(
+                "aggregate(map_values(bm), CAST(0 AS BIGINT),"
+                " (acc, b) -> acc + bit_count(b))"
+            ).alias("d"),
+        ).select(F.col("u").alias("id"), "d")
         return (
             deg.join(per_vertex, "id", "left")
             .where(F.col("d") >= 2)
@@ -1166,7 +1168,16 @@ def supplier_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFr
     # near-complete K_10000 (4.995M edges), the wedge-join form took
     # 423 s; this form runs in ~15 s warm with identical output. At
     # 100 TB the same property holds: shuffle volume stays O(m), and
-    # per-task memory is bounded by the O(√m) array length.
+    # per-task memory is bounded by the O(√m) array length. Both the
+    # degree table and the u<v edge list derive from the checkpointed
+    # block relation (r11) — one narrow aggregate and one zero-shuffle
+    # explode instead of the former pair-distinct + symmetrize passes.
+    deg = (
+        nbr_blocks.groupBy(F.col("u").alias("id"))
+        .agg(F.expr("sum(bit_count(bits))").alias("d"))
+        .localCheckpoint()
+    )
+    edges = nbr_blocks.select("u", F.explode(F.expr(_EXPLODE_BITS)).alias("v"))
     du = deg.select(F.col("id").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("id").alias("v"), F.col("d").alias("dv"))
     keyed = edges.join(du, "u").join(dv, "v")
