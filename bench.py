@@ -244,6 +244,53 @@ def main() -> None:
                 bytes_flagged.append(q)
         if "vs_baseline" in artifact:
             artifact["vs_baseline"]["bytes_flagged"] = sorted(bytes_flagged)
+    # Heavy section (r11, VERDICT r10 item 3): at sf0.1 every lane is
+    # scheduling-floor-bound (the 8-vs-32-core ratios are ≈1), so wall
+    # time cannot see plan wins — the byte ledger carries them. With
+    # SPARK_GRAFT_BENCH_HEAVY=1 and a 10x replica present (built by
+    # scripts/scale_stress.py --factor 10 --out /tmp/sf1.0), the
+    # compute-bound lanes are re-timed at sf1 where wall follows the
+    # plan. Opt-in only — the driver's default invocation is unchanged,
+    # and results go to the artifact file, never the printed contract.
+    if os.environ.get("SPARK_GRAFT_BENCH_HEAVY") == "1":
+        heavy_dir = os.environ.get("SPARK_GRAFT_BENCH_HEAVY_SF_DIR", "/tmp/sf1.0")
+        heavy_names = [
+            "supplier_clustering_coefficients",
+            "kcore_copurchase",
+            "weighted_sssp_copurchase",
+            "minhash_near_dup_docs",
+            "schoolmates_shared_part",
+        ]
+        if os.path.isdir(heavy_dir):
+            heavy_runs = int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_RUNS", "2"))
+            specs = bench_queries()
+            heavy_times: dict[str, list[float]] = {}
+            for _ in range(heavy_runs):
+                for name in heavy_names:
+                    with HostWindow() as hw:
+                        t0 = time.perf_counter()
+                        specs[name].bench_spark(spark, heavy_dir).write.format(
+                            "noop"
+                        ).mode("overwrite").save()
+                        heavy_times.setdefault(name, []).append(
+                            round(time.perf_counter() - t0, 3)
+                        )
+            heavy_ledger = {}
+            for name in heavy_names:
+                led = measure_query(
+                    spark, lambda n=name: specs[n].bench_spark(spark, heavy_dir)
+                ).as_dict()
+                del led["wall_sec"]
+                heavy_ledger[name] = led
+            artifact["heavy"] = {
+                "sf_dir": heavy_dir,
+                "queries": {n: min(ts) for n, ts in heavy_times.items()},
+                "attempts": heavy_times,
+                "total": round(sum(min(ts) for ts in heavy_times.values()), 3),
+                "ledger": heavy_ledger,
+            }
+        else:
+            artifact["heavy"] = {"skipped": f"{heavy_dir} not present"}
     artifact_path = os.environ.get(
         "SPARK_GRAFT_BENCH_ARTIFACT",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_artifact.json"),

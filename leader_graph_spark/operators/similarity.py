@@ -98,6 +98,7 @@ def srp_lsh_buckets(
     n_planes: int = 4,
     n_tables: int = 4,
     dim: int = 64,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Sign-random-projection bucket ids, OR-amplified across
     ``n_tables`` independent hash tables: within a table, bit p = sign
@@ -142,7 +143,7 @@ def srp_lsh_buckets(
 
     from leader_graph_spark.sources.tables import fan_out
 
-    return fan_out(emb.select(id_col, vec_col)).mapInPandas(run, out_schema)
+    return fan_out(emb.select(id_col, vec_col), parallelism).mapInPandas(run, out_schema)
 
 
 def scaled_lsh_params(
@@ -215,20 +216,47 @@ def ann_lsh_topk(
     import pandas as pd
     from pyspark.sql import types as T
 
+    n_rows = None
     if target_bucket is not None:
+        n_rows = emb.count()
         n_planes, n_tables = scaled_lsh_params(
-            emb.count(),
+            n_rows,
             n_planes=n_planes,
             n_tables=n_tables,
             target_bucket=target_bucket,
         )
+    # Arrow-seam task sizing (r11, guide §2.2/§4.2): with a cores-sized
+    # task count, a small corpus hands each Python worker a few hundred
+    # rows — per-task Arrow stream setup dominates and 32 cores run
+    # SLOWER than 8 (PERF_r10 scaling ratio 0.63 on this lane). When the
+    # corpus count is already observed (the target_bucket path — no new
+    # action), size the seams to ≥ rowsPerTask rows per task and only
+    # ever SHRINK below the default parallelism: a corpus past
+    # cores × rowsPerTask rows keeps today's plan unchanged.
+    rows_per_task = int(
+        emb.sparkSession.conf.get(
+            "spark.leader_graph_spark.lsh.rowsPerTask", "4096"
+        )
+    )
+    default_par = emb.sparkSession.sparkContext.defaultParallelism
+    hash_par = None
+    if n_rows is not None:
+        hash_par = max(1, min(default_par, -(-n_rows // rows_per_task)))
     buckets = srp_lsh_buckets(
-        emb, id_col=id_col, vec_col=vec_col, n_planes=n_planes, n_tables=n_tables, dim=dim
+        emb, id_col=id_col, vec_col=vec_col, n_planes=n_planes, n_tables=n_tables,
+        dim=dim, parallelism=hash_par,
     )
     vecs = emb.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
     )
     joined = buckets.join(vecs, buckets.id == vecs.vid).select("table", "bucket", "id", "v")
+    if n_rows is not None:
+        verify_par = max(1, min(default_par, -(-n_rows * n_tables // rows_per_task)))
+        if verify_par < default_par:
+            # pre-key the verify exchange at the derived width; the
+            # per-bucket applyInPandas reuses this partitioning, so it
+            # replaces (not adds to) the default cores-wide exchange
+            joined = joined.repartition(verify_par, "table", "bucket")
 
     out_schema = T.StructType(
         [

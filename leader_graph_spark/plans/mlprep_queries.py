@@ -506,9 +506,14 @@ def dsir_importance_scores_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from leader_graph_spark.operators.sampling import dsir_importance_scores
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    target = docs.where(F.col("lang") == "en")
+    # r11: the target is a predicate on the same corpus — the fused
+    # count pass drops one full tokenize+md5 pass (guide §1.2 step 2).
     return dsir_importance_scores(
-        docs, target, key_col="doc_id", text_col="text", n_buckets=_DSIR_BUCKETS
+        docs,
+        key_col="doc_id",
+        text_col="text",
+        n_buckets=_DSIR_BUCKETS,
+        target_filter=F.col("lang") == "en",
     )
 
 
@@ -585,9 +590,9 @@ def curated_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("domain_rank").localCheckpoint()
     scores = dsir_importance_scores(
         capped,
-        capped.where(F.col("lang") == "en"),
         key_col="doc_id",
         text_col="text",
+        target_filter=F.col("lang") == "en",
     ).select("doc_id", "dsir_score")
     scored = scores.join(capped.select("doc_id", "source"), "doc_id")
     deciled = _distributed_ntile(

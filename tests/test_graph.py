@@ -1155,3 +1155,31 @@ def test_skew_guarded_pairs_hot_key_split_exact(spark):
     finally:
         spark.conf.unset(PAIR_HOT_CAP_CONF)
         spark.conf.unset(PAIR_SALT_CONF)
+
+
+def test_connected_components_driver_and_loop_paths_agree(spark):
+    """ADVICE r10: the default driverMaxEdges guard routes every
+    unit-scale graph through the driver union-find, leaving the
+    distributed loop (own_sym release + _loop_partitioned branch)
+    untested. Force DRIVER_CC_CONF=0 and pin the two paths equal —
+    same pattern as the kcore and LCC dual-path tests."""
+    from leader_graph_spark.graph.algorithms import DRIVER_CC_CONF, connected_components
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("p", "q"), ("q", "r"), ("r", "s")],
+        "src string, dst string",
+    )
+    verts = spark.createDataFrame([(v,) for v in "abcxypqrs" + "z"], "id string")
+    via_driver = {
+        (r.id, r.component) for r in connected_components(verts, edges).collect()
+    }
+    spark.conf.set(DRIVER_CC_CONF, "0")
+    try:
+        via_loop = {
+            (r.id, r.component) for r in connected_components(verts, edges).collect()
+        }
+    finally:
+        spark.conf.unset(DRIVER_CC_CONF)
+    assert via_driver == via_loop
+    assert ("z", "z") in via_driver  # isolated vertex keeps its own label
+    assert {c for i, c in via_driver if i in "pqrs"} == {"p"}
